@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH, SimHash, and n-gram Jaccard — each designed as pure
+DataFrame algebra so the physical plan is shuffle-on-key hash aggregates
+and equi-joins that scale linearly with the corpus.
+
+Scale notes (the 100 TB story):
+- Exact dedup groups on a 128-bit content hash, not the text — the shuffle
+  carries 16 bytes + the keeper id per row, never the document body.
+- MinHash/LSH candidate generation joins on (band, band_signature), i.e.
+  only near-duplicate candidates ever meet; the full O(n^2) pair space is
+  never materialized. Band buckets are the classic LSH trade: more bands →
+  higher recall, bigger join fan-out.
+- All hashing is md5-based, chosen deliberately: md5 is identical across
+  engines, which makes every one of these operators oracle-checkable in
+  DuckDB (xxhash64 would be faster JVM-side; swap via ``hash_fn`` at
+  deployment, the algebra is unchanged).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a lowercased text column.
+
+    Pure array algebra (split → transform over an index sequence), fully
+    codegen'd; no Python.
+    """
+    tokens = F.split(F.lower(col), r"\s+")
+    k = F.size(tokens) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content hash: one row per distinct content with the
+    minimum id as the deterministic keeper (ST3 content-hash skip analog).
+
+    Shuffle key is md5(text) — 16 bytes/row regardless of document size.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_perm: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signatures: for each of ``n_perm`` simulated permutations,
+    the minimum md5 of (perm_seed || shingle). Output: one row per
+    (id, perm) with the minhash — an aggregate over the exploded shingle
+    set, map-side combined before the shuffle.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    perms = F.explode(F.array(*[F.lit(i) for i in range(n_perm)])).alias("perm")
+    return (
+        shingled.select("doc", "sh", perms)
+        .select(
+            "doc",
+            "perm",
+            F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("doc", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join on
+    (band, band_signature), emit distinct (doc_a < doc_b) pairs.
+
+    The join is equi on the band key — Spark hash-partitions both sides by
+    the bucket, so only same-bucket docs are compared. At 100 TB this is
+    the only dedup strategy that doesn't quadratically explode.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n_perm, shingle_n)
+    bands = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        # band signature = perm-ordered concat of the band's minhashes
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"],
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _hex4_to_int(h: Column) -> Column:
+    """First 4 hex chars -> 16-bit int, JVM-side (conv)."""
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document.
+
+    Per token: a 16-bit hash (first 4 hex chars of md5). Per bit position:
+    sum of ±1 votes over tokens; fingerprint sets bits with positive vote.
+    Expressed as explode → bit-position cross product (16 small rows per
+    token) → two hash aggregates. Near-dup detection then compares
+    fingerprints by Hamming distance — ``bit_count(a XOR b)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("th", _hex4_to_int(F.md5(F.col("tok"))))
+    bits = toks.select(
+        "doc",
+        "th",
+        F.explode(F.array(*[F.lit(i) for i in range(16)])).alias("pos"),
+    ).withColumn(
+        # shiftright() in the Python API wants a literal bit count; the SQL
+        # form accepts a column expression
+        "vote",
+        F.when(F.expr("(shiftright(th, pos) & 1) = 1"), 1).otherwise(-1),
+    )
+    votes = bits.groupBy("doc", "pos").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs by word n-gram Jaccard similarity.
+
+    jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|), computed with one
+    explode + self-equi-join on the shingle + a pair-count aggregate.
+    The join key is the shingle, so only docs sharing at least one shingle
+    ever pair up (common-shingle fan-out is the skew risk at scale —
+    drop ultra-frequent shingles first for web-scale corpora).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs: all (a<b) pairs with cosine >= threshold.
+
+    Brute-force O(n^2) — correct baseline for modest n; the scale path is
+    :func:`erddap2agol_spark.operators.similarity.sign_lsh_topk`, which
+    buckets by projection signs first.
+    """
+    from .similarity import cosine, with_norm
+
+    v = with_norm(df, id_col, vec_col)
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            cosine("a", "b").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,56 @@
+"""Join operators (SURVEY §2.4 J1-J6).
+
+The reference's join-shaped logic is all small-keyed dict lookups — in
+Spark every one of them is a broadcast join (no shuffle of the big side).
+The helpers force ``F.broadcast`` on the dimension side so the plan is a
+``BroadcastHashJoin`` regardless of statistics; at 100 TB the fact side
+never moves.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def anti_join_new(
+    incoming: DataFrame, existing: DataFrame, key: str | Sequence[str]
+) -> DataFrame:
+    """J1/U1 — NRT anti-join: keep datasets not already present
+    (reference ``findExistingNRT``, src/core.py:763-781:
+    ``new = set(list) - set(existing)``)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return incoming.join(F.broadcast(existing.select(*keys).distinct()), keys, "left_anti")
+
+
+def semi_join_existing(
+    incoming: DataFrame, existing: DataFrame, key: str | Sequence[str]
+) -> DataFrame:
+    """J4 — existence semi-join (reference ``check_dataset_exists``,
+    src/core.py:753-761)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return incoming.join(F.broadcast(existing.select(*keys).distinct()), keys, "left_semi")
+
+
+def enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str | Sequence[str],
+    coalesce_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """J2/J3 — broadcast left-join enrichment with authoritative-value
+    coalesce (reference date-cache restore, src/core.py:150-155: cache
+    value wins over search value when present).
+
+    ``coalesce_cols`` maps fact column -> dim column; the output keeps the
+    fact column name with ``coalesce(dim_value, fact_value)`` semantics.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    joined = facts.join(F.broadcast(dim), keys, "left")
+    for fact_col, dim_col in (coalesce_cols or {}).items():
+        joined = joined.withColumn(fact_col, F.coalesce(F.col(dim_col), F.col(fact_col))).drop(
+            dim_col
+        )
+    return joined

@@ -1,0 +1,88 @@
+"""Text-analysis operators for corpus curation: token counting, quality
+scoring, language ID, and document fingerprinting.
+
+All pure Column algebra over ``split``/``filter``/``aggregate`` — each
+document is scored independently, so these map-parallelize perfectly and
+never shuffle (the scan partitioning is the output partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword
+#: language-ID heuristic. Ordered: first match priority on ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "es", "una", "y"),
+    "zh": ("de5", "shi4", "le5", "zai4"),  # pinyin-ish markers
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.lower(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish subword estimate ≈ chars/4 is the
+    companion heuristic — see ``token_estimate``)."""
+    return F.size(tokens(col))
+
+
+def token_estimate(col: Column) -> Column:
+    """BPE-ish token-count estimate: ceil(chars / 4) — the standard
+    rule-of-thumb for byte-pair-encoded subwords."""
+    return F.ceil(F.length(col) / 4).cast("bigint")
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(col)
+    return F.round(_count_in(toks, stopwords) / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def avg_word_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: penalize extreme length,
+    missing stopwords, and very short/long average word length — the
+    classic cheap pre-filters for LLM training corpora."""
+    n = token_count(col)
+    len_ok = F.when((n >= 5) & (n <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    awl = avg_word_len(col)
+    awl_ok = F.when((awl >= 2.5) & (awl <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(len_ok + stop_ok + awl_ok, 2)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-marker language ID: argmax of per-language marker hits,
+    first-listed language wins ties, 'und' when nothing matches."""
+    toks = tokens(col)
+    scores = [(lang, _count_in(toks, words)) for lang, words in LANG_MARKERS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # build reversed so earlier languages take priority on ties
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 over normalized text
+    (lowercased, whitespace-collapsed) — the rolling-hash analog used for
+    cross-run change detection (ST3/ST4)."""
+    return F.md5(F.concat_ws(" ", tokens(col)))

@@ -1,0 +1,146 @@
+"""Deduplication queries over the ``documents`` / ``embeddings`` tables.
+
+Every oracle mirrors the Spark algebra exactly — shingling, md5-based
+minhash, sign conventions — so the results are bit-comparable. The test
+corpus has planted near-duplicates (jaccard >= 0.5 isolates them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..sources.tables import load_table
+from . import register
+
+# Shared DuckDB CTE: word-3-gram shingles per document (mirrors
+# dedup.word_shingles: lowercase, \s+ split, distinct 3-grams).
+_SHINGLES_CTE = """
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup by content hash; deterministic min-id keeper. The "
+    "shuffle carries 16-byte hashes, never document bodies.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 6) AS jaccard
+    FROM common JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+    WHERE round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+    """,
+    doc="Near-dup pairs by word-3-gram Jaccard >= 0.5 (isolates the "
+    "planted near-duplicates). Pairs meet only through a shared shingle.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hp AS (
+      SELECT doc, perm, md5(CAST(perm AS VARCHAR) || ':' || sh) AS h
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS perm)
+    ),
+    mh AS (SELECT doc, perm, min(h) AS minhash FROM hp GROUP BY doc, perm),
+    bands AS (
+      SELECT doc, perm // 2 AS band, string_agg(minhash, '|' ORDER BY perm) AS band_sig
+      FROM mh GROUP BY doc, perm // 2
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+    """,
+    doc="MinHash(8 perms) + LSH(4 bands x 2 rows) candidate pairs — the "
+    "scale path: candidates meet only inside a band bucket.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, "doc_id", "text", n_perm=8, rows_per_band=2)
+
+
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc,
+             (instr('{_HEX}', h[1]) - 1) * 4096 + (instr('{_HEX}', h[2]) - 1) * 256 +
+             (instr('{_HEX}', h[3]) - 1) * 16   + (instr('{_HEX}', h[4]) - 1) AS th
+      FROM (SELECT doc, md5(tok) AS h FROM toks)
+    ),
+    votes AS (
+      SELECT doc, pos, sum(CASE WHEN (th >> pos) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS pos)
+      GROUP BY doc, pos
+    )
+    SELECT doc, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc
+    """,
+    doc="16-bit SimHash fingerprints (md5-derived token hashes, ±1 bit "
+    "votes). Near-dups then compare by Hamming distance.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_VEC_CTE = """
+    v AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_VEC_CTE}
+    SELECT doc_a, doc_b, cos_sim FROM (
+      SELECT a.id AS doc_a, b.id AS doc_b,
+             round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM v a JOIN v b ON a.id < b.id
+    ) WHERE cos_sim >= 0.4
+    """,
+    doc="Embedding near-dup pairs: cosine >= 0.4, brute-force baseline "
+    "(the LSH-bucketed variant is the scale path, see ann_sign_lsh).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)

@@ -1,0 +1,78 @@
+"""Similarity-search queries over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..sources.tables import load_table
+from . import register
+
+_VEC_CTE = """
+    v AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    scored AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM (SELECT * FROM v WHERE id < 10) q
+      JOIN v c ON q.id <> c.id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="Exact cosine top-5 for 10 query vectors: broadcast queries x "
+    "partitioned corpus, per-query ranking window. Ranking uses the "
+    "rounded cosine so ties are engine-portable.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register(
+    "ann_sign_lsh",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    vb AS (
+      SELECT *, array_to_string(list_transform(vec[1:8],
+                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM v
+    ),
+    scored AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM (SELECT * FROM vb WHERE id < 10) q
+      JOIN vb c ON q.bucket = c.bucket AND q.id <> c.id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="ANN top-5 via sign-LSH bucketing (8 sign bits): the bucket "
+    "equi-join replaces the cross join — the 100 TB shape; recall < 1 "
+    "by construction.",
+)
+def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.sign_lsh_topk(queries, emb, "vec_id", "embedding", k=5, bits=8)
