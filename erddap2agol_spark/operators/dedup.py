@@ -26,6 +26,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition iff the input is under-parallelized.
+
+    Fan-out operators (explode to shingles/tokens, pair joins) multiply
+    work 10-100x per input row; when the scan produced few partitions
+    (e.g. one small parquet file -> one task) the whole operator runs on
+    one core. At real scale the scan is already wide and this is a no-op
+    — the check costs a plan walk, not a job.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a lowercased text column.
 
@@ -61,25 +76,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_perm: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signatures: for each of ``n_perm`` simulated permutations,
-    the minimum md5 of (perm_seed || shingle). Output: one row per
-    (id, perm) with the minhash — an aggregate over the exploded shingle
-    set, map-side combined before the shuffle.
+    """MinHash signatures, one WIDE row per doc (columns m0..m{n_perm-1}).
+
+    Hash family: the 128-bit md5 of a salted shingle is split into four
+    8-hex-char chunks, each an independent 32-bit min-hashable value —
+    ``ceil(n_perm/4)`` md5 calls per shingle instead of ``n_perm``, and
+    ONE hash aggregate for all permutations instead of an (id, perm)
+    shuffle with ``n_perm``x the rows. Map-side combine reduces each
+    partition to one candidate row per doc before the exchange.
     """
-    shingled = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    n_md5 = -(-n_perm // 4)  # ceil
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
-    perms = F.explode(F.array(*[F.lit(i) for i in range(n_perm)])).alias("perm")
-    return (
-        shingled.select("doc", "sh", perms)
-        .select(
-            "doc",
-            "perm",
-            F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
-        )
-        .groupBy("doc", "perm")
-        .agg(F.min("h").alias("minhash"))
+    salts = "abcdefghijklmnopqrstuvwxyz"
+    hashed = sh.select(
+        "doc",
+        *[
+            F.md5(F.concat(F.lit(f"{salts[j]}:"), F.col("sh"))).alias(f"h{j}")
+            for j in range(n_md5)
+        ],
     )
+    aggs = [
+        F.min(F.substring(F.col(f"h{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"m{i}")
+        for i in range(n_perm)
+    ]
+    return hashed.groupBy("doc").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -97,22 +120,16 @@ def lsh_candidate_pairs(
     the bucket, so only same-bucket docs are compared. At 100 TB this is
     the only dedup strategy that doesn't quadratically explode.
     """
+    if n_perm % rows_per_band:
+        raise ValueError("n_perm must be divisible by rows_per_band")
     sig = minhash_signatures(df, id_col, text_col, n_perm, shingle_n)
-    bands = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        # band signature = perm-ordered concat of the band's minhashes
-        .agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
-                    ),
-                    lambda s: s["minhash"],
-                ),
-            ).alias("band_sig")
-        )
+    n_bands = n_perm // rows_per_band
+    stack_args = ", ".join(
+        f"{b}, concat_ws('|', {', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        for b in range(n_bands)
+    )
+    bands = sig.selectExpr(
+        "doc", f"stack({n_bands}, {stack_args}) AS (band, band_sig)"
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -142,7 +159,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token) → two hash aggregates. Near-dup detection then compares
     fingerprints by Hamming distance — ``bit_count(a XOR b)``.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("th", _hex4_to_int(F.md5(F.col("tok"))))
@@ -179,11 +196,16 @@ def ngram_jaccard_pairs(
     ever pair up (common-shingle fan-out is the skew risk at scale —
     drop ultra-frequent shingles first for web-scale corpora).
     """
-    sh = df.select(
+    src = ensure_parallelism(df)
+    sh = src.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # shingle-set sizes straight off the array — no second explode+agg
+    sizes = src.select(
+        F.col(id_col).alias("doc"),
+        F.size(word_shingles(F.col(text_col), shingle_n)).alias("n_sh"),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -221,7 +243,7 @@ def embedding_cosine_pairs(
     """
     from .similarity import cosine, with_norm
 
-    v = with_norm(df, id_col, vec_col)
+    v = with_norm(ensure_parallelism(df), id_col, vec_col)
     a = v.alias("a")
     b = v.alias("b")
     return (

@@ -70,8 +70,10 @@ def brute_force_topk(
     the per-query top-k aggregate; the window partitions by query id so
     ranking state is per-query.
     """
+    from .dedup import ensure_parallelism
+
     q = with_norm(queries, id_col, vec_col).alias("q")
-    c = with_norm(corpus, id_col, vec_col).alias("c")
+    c = with_norm(ensure_parallelism(corpus), id_col, vec_col).alias("c")
     scored = (
         F.broadcast(q.select(F.col("id"), F.col("vec"), F.col("nrm")).alias("q"))
         .crossJoin(c)
@@ -119,8 +121,12 @@ def sign_lsh_topk(
     shape. Recall < 1.0 by construction (neighbors in other buckets are
     missed); multi-probe or multiple hash tables raise it.
     """
+    from .dedup import ensure_parallelism
+
     q = with_norm(queries, id_col, vec_col).withColumn("bucket", sign_bucket(F.col("vec"), bits))
-    c = with_norm(corpus, id_col, vec_col).withColumn("bucket", sign_bucket(F.col("vec"), bits))
+    c = with_norm(ensure_parallelism(corpus), id_col, vec_col).withColumn(
+        "bucket", sign_bucket(F.col("vec"), bits)
+    )
     a = q.alias("q")
     b = c.alias("c")
     scored = (

@@ -66,21 +66,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    hp AS (
-      SELECT doc, perm, md5(CAST(perm AS VARCHAR) || ':' || sh) AS h
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS perm)
+    h AS (SELECT doc, md5('a:' || sh) AS h0, md5('b:' || sh) AS h1 FROM sh),
+    sig AS (
+      SELECT doc,
+             min(substr(h0, 1, 8))  AS m0, min(substr(h0, 9, 8))  AS m1,
+             min(substr(h0, 17, 8)) AS m2, min(substr(h0, 25, 8)) AS m3,
+             min(substr(h1, 1, 8))  AS m4, min(substr(h1, 9, 8))  AS m5,
+             min(substr(h1, 17, 8)) AS m6, min(substr(h1, 25, 8)) AS m7
+      FROM h GROUP BY doc
     ),
-    mh AS (SELECT doc, perm, min(h) AS minhash FROM hp GROUP BY doc, perm),
     bands AS (
-      SELECT doc, perm // 2 AS band, string_agg(minhash, '|' ORDER BY perm) AS band_sig
-      FROM mh GROUP BY doc, perm // 2
+      SELECT doc, 0 AS band, m0 || '|' || m1 AS band_sig FROM sig UNION ALL
+      SELECT doc, 1, m2 || '|' || m3 FROM sig UNION ALL
+      SELECT doc, 2, m4 || '|' || m5 FROM sig UNION ALL
+      SELECT doc, 3, m6 || '|' || m7 FROM sig
     )
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
     """,
-    doc="MinHash(8 perms) + LSH(4 bands x 2 rows) candidate pairs — the "
-    "scale path: candidates meet only inside a band bucket.",
+    doc="MinHash(8 perms, chunked-md5 hash family) + LSH(4 bands x 2 rows) "
+    "candidate pairs — the scale path: candidates meet only inside a band "
+    "bucket; 2 md5 calls per shingle, one hash aggregate for all perms.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
