@@ -1,0 +1,203 @@
+"""DAS (Dataset Attribute Structure) metadata model (SURVEY §2.1 S4).
+
+The reference parses ERDDAP ``.das`` responses into a nested dict and
+derives the projection column set, time extents, and geographic ranges
+from it (``src/das_client.py:25-135`` parser, ``:186-231`` time extent,
+``:299-389`` attribute filter; ``src/data_wrangler.py:224-233`` geo
+range). Here the same metadata becomes a DataFrame of
+``(dataset_id, variable, attr, datatype, value)`` rows — the FIXTURES.md
+§6 shape — so schema derivation is plain relational algebra, unit-testable
+and joinable against catalogs at any scale.
+
+The parser is a fresh implementation of the public DAS text format
+(OPeNDAP DAS spec): ``Attributes { <var> { <type> <name> <value>; ... } }``.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.projection import QC_SUFFIXES
+
+#: coverage_content_type values whose variables are bookkeeping, not
+#: measures (reference src/das_client.py:245-296).
+SKIP_COVERAGE_TYPES = frozenset(
+    {"qualityInformation", "referenceInformation", "thematicClassification"}
+)
+
+METADATA_COLUMNS = ("dataset_id", "variable", "attr", "datatype", "value")
+
+
+def parse_das_text(text: str, dataset_id: str) -> list[tuple[str, str, str, str, str]]:
+    """Parse DAS text into (dataset_id, variable, attr, datatype, value)
+    tuples.
+
+    Handles the format's essentials: an ``Attributes {`` wrapper, one
+    block per variable (including ``NC_GLOBAL``), ``<datatype> <name>
+    <value>;`` attribute lines, multi-line quoted string values, and
+    comma-separated numeric ranges kept verbatim (``actual_range``).
+    """
+    rows: list[tuple[str, str, str, str, str]] = []
+    var: str | None = None
+    pending: list[str] = []  # continuation buffer for multi-line strings
+    pending_head: tuple[str, str] | None = None  # (datatype, attr)
+
+    def flush_pending() -> None:
+        nonlocal pending, pending_head
+        if pending_head is not None and var is not None:
+            datatype, attr = pending_head
+            value = "\n".join(pending).strip()
+            if value.endswith(";"):
+                value = value[:-1].rstrip()
+            if value.startswith('"') and value.endswith('"') and len(value) >= 2:
+                value = value[1:-1]
+            rows.append((dataset_id, var, attr, datatype, value))
+        pending, pending_head = [], None
+
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line == "Attributes {":
+            continue
+        if pending_head is not None:
+            pending.append(line)
+            if line.endswith(";"):
+                flush_pending()
+            continue
+        if line == "}":
+            var = None
+            continue
+        if line.endswith("{"):
+            var = line[:-1].strip()
+            continue
+        if var is None:
+            continue
+        parts = line.split(None, 2)
+        if len(parts) < 2:
+            continue
+        datatype, attr = parts[0], parts[1]
+        value = parts[2] if len(parts) == 3 else ""
+        if value.count('"') % 2 == 1 or (value.startswith('"') and not value.rstrip(";").rstrip().endswith('"')):
+            pending_head = (datatype, attr)
+            pending = [value]
+            continue
+        if value.endswith(";"):
+            value = value[:-1].rstrip()
+        if value.startswith('"') and value.endswith('"') and len(value) >= 2:
+            value = value[1:-1]
+        rows.append((dataset_id, var, attr, datatype, value))
+    flush_pending()
+    return rows
+
+
+def das_to_dataframe(spark: SparkSession, das_texts: dict[str, str]) -> DataFrame:
+    """Parse one DAS text per dataset_id into the metadata DataFrame."""
+    rows = [r for ds, text in das_texts.items() for r in parse_das_text(text, ds)]
+    return spark.createDataFrame(rows, schema=list(METADATA_COLUMNS))
+
+
+# ---------------------------------------------------------------------------
+# Schema derivation from metadata (P1/P2, pure relational)
+# ---------------------------------------------------------------------------
+
+
+def actual_attributes(meta: DataFrame, return_all: bool = False) -> DataFrame:
+    """P1 as metadata algebra: per dataset, the variables that survive the
+    reference's filter (``getActualAttributes`` src/das_client.py:299-389):
+    drop QC/qartod/single-char/NC_GLOBAL names; keep variables that have an
+    ``actual_range`` OR exactly one attribute.
+
+    Output: (dataset_id, variable). All computed with one aggregate over
+    the metadata table — no data scan.
+    """
+    per_var = meta.groupBy("dataset_id", "variable").agg(
+        F.count(F.lit(1)).alias("n_attrs"),
+        F.max(F.when(F.col("attr") == "actual_range", 1).otherwise(0)).alias("has_range"),
+    )
+    if not return_all:
+        per_var = per_var.filter((F.col("has_range") == 1) | (F.col("n_attrs") == 1))
+    out = per_var.select("dataset_id", "variable")
+    if return_all:
+        return out.filter(F.col("variable") != "NC_GLOBAL")
+    # same name predicate as operators.projection.keep_attribute, expressed
+    # as Column algebra so it runs JVM-side over arbitrarily large metadata
+    cond = (
+        (F.length("variable") >= 2)
+        & (F.col("variable") != "NC_GLOBAL")
+        & ~F.col("variable").startswith("qartod_")
+    )
+    for suf in QC_SUFFIXES:
+        if suf.endswith("_"):
+            cond = cond & ~F.col("variable").contains(suf)
+        else:
+            cond = cond & ~F.col("variable").endswith(suf)
+    return out.filter(cond)
+
+
+def grid_measure_variables(meta: DataFrame) -> DataFrame:
+    """P2: griddap measure variables — everything that isn't a dimension/
+    bookkeeping variable and isn't flagged by coverage_content_type
+    (reference src/das_client.py:245-296)."""
+    from ..operators.projection import GRID_DIM_NAMES
+
+    flagged = (
+        meta.filter(
+            (F.col("attr") == "coverage_content_type")
+            & F.col("value").isin(*SKIP_COVERAGE_TYPES)
+        )
+        .select("dataset_id", "variable")
+        .distinct()
+    )
+    vars_ = meta.select("dataset_id", "variable").distinct()
+    return (
+        vars_.join(flagged, ["dataset_id", "variable"], "left_anti")
+        .filter(~F.col("variable").isin(*GRID_DIM_NAMES))
+        .filter(~F.col("variable").startswith("l2_"))
+    )
+
+
+def time_extent_from_meta(
+    meta: DataFrame, now: datetime | None = None
+) -> DataFrame:
+    """A1/F2 from metadata: per dataset, (start, end) parsed from the time
+    variable's ``actual_range`` of epoch seconds, end clamped to ``now``
+    (reference src/das_client.py:186-231, negative epochs allowed, future
+    ends clamped at :201-204). Metadata-only planning — no data scan (O4).
+    """
+    now = now or datetime.now(timezone.utc)
+    now_lit = F.lit(now.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+    rng = meta.filter(
+        (F.col("variable") == "time") & (F.col("attr") == "actual_range")
+    ).select(
+        "dataset_id",
+        F.split(F.regexp_replace("value", r"\s+", ""), ",").alias("parts"),
+    )
+    start = F.timestamp_seconds(F.element_at("parts", 1).cast("double"))
+    end = F.timestamp_seconds(F.element_at("parts", 2).cast("double"))
+    return rng.select(
+        "dataset_id",
+        start.alias("start_time"),
+        F.least(end, now_lit).alias("end_time"),
+    )
+
+
+def geographic_range_from_meta(meta: DataFrame) -> DataFrame:
+    """A4 from metadata: NC_GLOBAL geospatial_{lat,lon}_{min,max}
+    (reference src/data_wrangler.py:224-233)."""
+    keys = {
+        "geospatial_lat_min": "lat_min",
+        "geospatial_lat_max": "lat_max",
+        "geospatial_lon_min": "lon_min",
+        "geospatial_lon_max": "lon_max",
+    }
+    g = meta.filter(
+        (F.col("variable") == "NC_GLOBAL") & F.col("attr").isin(*keys)
+    )
+    return g.groupBy("dataset_id").pivot("attr", list(keys)).agg(
+        F.first(F.col("value").cast("double"))
+    ).select(
+        "dataset_id",
+        *[F.col(src).alias(dst) for src, dst in keys.items()],
+    )

@@ -1,0 +1,193 @@
+"""Converter subsystem tests: flatten (F12), type inference (F15/O11),
+plugin registry (X1), geometry constructors (F17), GeoJSON sink (K2),
+datetime decoding (F1)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from erddap2agol_spark.functions import datetimes, geometry
+from erddap2agol_spark.operators import convert
+from erddap2agol_spark.sinks import geojson
+
+
+# --- F12 flatten -----------------------------------------------------------
+
+
+def _nested_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(
+                id=1,
+                meta=Row(author=Row(name="ada"), name="m1"),
+                name="top",
+            )
+        ]
+    )
+
+
+def test_flatten_path_names(spark):
+    out = convert.flatten(_nested_df(spark))
+    assert out.columns == ["id", "meta_author_name", "meta_name", "name"]
+    r = out.first()
+    assert (r.meta_author_name, r.meta_name, r.name) == ("ada", "m1", "top")
+
+
+def test_flatten_leaf_names_with_collisions(spark):
+    out = convert.flatten(_nested_df(spark), flatten_names=False)
+    # three leaves all named 'name' -> name, name2, name3 (U4 suffixing)
+    assert out.columns == ["id", "name", "name2", "name3"]
+
+
+def test_flatten_exclusions(spark):
+    out = convert.flatten(_nested_df(spark), exclude=("meta.author",))
+    assert "meta_author" in out.columns  # kept as struct, not descended
+    assert out.schema["meta_author"].dataType.typeName() == "struct"
+
+
+# --- F15 type inference ----------------------------------------------------
+
+
+def test_detect_type_heuristics():
+    assert convert.detect_type("count", ["1", "2"]) == "integer"
+    assert convert.detect_type("last_updated", ["1704067200", "1704153600"]) == "date"
+    assert convert.detect_type("price", ["1.5", "2"]) == "float"
+    assert convert.detect_type("when", ["2024-01-01 10:00", "2024-02-03"]) == "date"
+    assert convert.detect_type("note", ["abc", "1"]) == "text"
+    assert convert.detect_type("empty", [None, ""]) == "text"
+
+
+def test_infer_and_apply_field_types(spark):
+    df = spark.createDataFrame(
+        [("1", "1704067200", "2.5", "hello", "2024-01-05")],
+        ["n", "item_updated", "x", "note", "obs_date"],
+    )
+    types = convert.infer_field_types(df)
+    assert types == {
+        "n": "integer",
+        "item_updated": "date",
+        "x": "float",
+        "note": "text",
+        "obs_date": "date",
+    }
+    out = convert.apply_field_types(df, types)
+    r = out.first()
+    assert r.n == 1 and abs(r.x - 2.5) < 1e-9
+    assert r.item_updated.year == 2024  # epoch-second int promoted
+    assert r.obs_date.month == 1
+
+
+# --- X1 plugin registry ----------------------------------------------------
+
+
+def test_converter_registry(spark):
+    calls = []
+
+    @convert.register_converter("add_flag")
+    def add_flag(df):
+        calls.append("add_flag")
+        return df.withColumn("flag", F.lit(1))
+
+    @convert.register_converter("noop")
+    def noop(df):
+        calls.append("noop")
+        return None  # "no change" contract
+
+    df = spark.range(2)
+    out = convert.apply_converters(df, ["add_flag", "noop"])
+    assert "flag" in out.columns
+    assert calls == ["add_flag", "noop"]
+    with pytest.raises(KeyError):
+        convert.get_converter("missing")
+
+
+# --- F17 geometry ----------------------------------------------------------
+
+
+def test_point_reorders_lat_lon(spark):
+    df = spark.createDataFrame([("27.9 -93.6",)], ["georss_point"])
+    g = df.select(geometry.point_geojson(F.col("georss_point")).alias("g")).first().g
+    assert json.loads(g) == {"type": "Point", "coordinates": [-93.6, 27.9]}
+
+
+def test_line_and_srs_dimension(spark):
+    df = spark.createDataFrame([("10 20 11 21",)], ["flat"])
+    g = df.select(geometry.line_geojson(F.col("flat")).alias("g")).first().g
+    assert json.loads(g)["coordinates"] == [[20, 10], [21, 11]]
+    df3 = spark.createDataFrame([("10 20 99 11 21 99",)], ["flat"])
+    g3 = df3.select(geometry.line_geojson(F.col("flat"), srs_dim=3).alias("g")).first().g
+    assert json.loads(g3)["coordinates"] == [[20, 10], [21, 11]]
+
+
+def test_polygon_close_and_reverse(spark):
+    df = spark.createDataFrame([("0 0 0 10 10 10",)], ["flat"])
+    g = json.loads(df.select(geometry.polygon_geojson(F.col("flat")).alias("g")).first().g)
+    ring = g["coordinates"][0]
+    assert ring[0] == ring[-1]  # closed
+    gr = json.loads(
+        df.select(geometry.polygon_geojson(F.col("flat"), reverse=True).alias("g")).first().g
+    )
+    assert gr["coordinates"][0][:3] == ring[:3][::-1]  # winding flipped
+
+
+def test_box_five_point_ring(spark):
+    df = spark.createDataFrame([("18 -98 31 -76",)], ["box"])
+    g = json.loads(df.select(geometry.box_geojson(F.col("box")).alias("g")).first().g)
+    ring = g["coordinates"][0]
+    assert len(ring) == 5 and ring[0] == ring[-1]
+    assert ring[0] == [-98, 18] and ring[2] == [-76, 31]
+
+
+# --- K2 GeoJSON sink -------------------------------------------------------
+
+
+def test_write_feature_collection(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 20.0, 11.0, 21.0), (2, "b", 30.0, 40.0, 31.0, 41.0)],
+        ["seg_id", "label", "x1", "y1", "x2", "y2"],
+    )
+    geom = geometry.segment_geojson(
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+    )
+    path = str(tmp_path / "out.geojson")
+    n = geojson.write_feature_collection(df, ["seg_id", "label"], geom, path)
+    assert n == 2
+    fc = json.loads(open(path).read())
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 2
+    feats = sorted(fc["features"], key=lambda f: f["properties"]["seg_id"])
+    assert feats[0]["geometry"]["coordinates"] == [[10, 20], [11, 21]]
+    assert feats[0]["properties"] == {"seg_id": 1, "label": "a"}
+
+
+# --- F1 datetime decoding --------------------------------------------------
+
+CASES = [
+    ("2024-03-05T10:11:12Z", (2024, 3, 5, 10, 11, 12)),
+    ("2024-03-05 10:11:12", (2024, 3, 5, 10, 11, 12)),
+    ("05/03/2024", (2024, 3, 5, 0, 0, 0)),  # dd/MM/yyyy (F5)
+    ("1709633472", (2024, 3, 5, 10, 11, 12)),  # epoch seconds
+    ("1709633472000", (2024, 3, 5, 10, 11, 12)),  # epoch millis
+    ("March 5th, 2024 10:11 AM", (2024, 3, 5, 10, 11, 0)),
+    ("Tue, 05 Mar 2024 10:11:12 +0000", (2024, 3, 5, 10, 11, 12)),
+    ("2024-03-05 05:11:12 EST", (2024, 3, 5, 10, 11, 12)),  # -5 -> UTC
+]
+
+
+def test_decode_datetime(spark):
+    df = spark.createDataFrame([(s,) for s, _ in CASES], ["raw"])
+    out = df.select("raw", datetimes.decode_datetime(F.col("raw")).alias("ts")).collect()
+    got = {r.raw: r.ts for r in out}
+    for raw, expect in CASES:
+        ts = got[raw]
+        assert ts is not None, raw
+        assert (ts.year, ts.month, ts.day, ts.hour, ts.minute, ts.second) == expect, raw
+
+
+def test_decode_datetime_null_on_garbage(spark):
+    df = spark.createDataFrame([("not a date",), (None,)], ["raw"])
+    out = df.select(datetimes.decode_datetime(F.col("raw")).alias("ts")).collect()
+    assert all(r.ts is None for r in out)
