@@ -1,0 +1,106 @@
+"""Griddap grid model (SURVEY §1.1, §2.1 S7, §2.3 P5, §2.7 T2, §7.4).
+
+Spark has no native tensor type; the idiomatic mapping for a
+``var[time, (alt), lat, lon]`` grid is the LONG FORM — one row per cell
+``(time, lat, lon, depth, var, value)`` — partitioned by time so
+hyperslab time selectors become partition pruning. The explosion factor
+SURVEY §7.4 warns about is contained by (a) pushing hyperslab predicates
+into the scan, (b) keeping measures as separate columns until a melt is
+requested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def melt_measures(df: DataFrame, dims: Sequence[str], measures: Sequence[str]) -> DataFrame:
+    """S7: wide measure columns -> long (var, value) pairs via ``stack``
+    (the NetCDF variable explode, JVM-side, no shuffle)."""
+    n = len(measures)
+    stack_args = ", ".join(f"'{m}', `{m}`" for m in measures)
+    return df.selectExpr(*dims, f"stack({n}, {stack_args}) AS (var, value)")
+
+
+def hyperslab(
+    df: DataFrame,
+    time_col: str,
+    lat_col: str,
+    lon_col: str,
+    time_range: tuple[str, str] | None = None,
+    lat_range: tuple[float, float] | None = None,
+    lon_range: tuple[float, float] | None = None,
+    time_stride: int = 1,
+    time_index: Column | None = None,
+) -> DataFrame:
+    """P5: the ``[(t0):stride:(t1)][(lat0):1:(lat1)][(lon0):1:(lon1)]``
+    selector as pushed range predicates plus a stride filter.
+
+    Stride semantics: keep every ``time_stride``-th time step. With a
+    known lattice, pass ``time_index`` (an arithmetic index column —
+    cheap, pushdown-friendly). Without one, a dense_rank over distinct
+    time values is used — correct anywhere but adds a shuffle; prefer an
+    arithmetic index at scale.
+    """
+    out = df
+    if time_range is not None:
+        out = out.filter(
+            F.col(time_col).between(
+                F.lit(time_range[0]).cast("timestamp"),
+                F.lit(time_range[1]).cast("timestamp"),
+            )
+        )
+    if lat_range is not None:
+        out = out.filter(F.col(lat_col).between(*lat_range))
+    if lon_range is not None:
+        out = out.filter(F.col(lon_col).between(*lon_range))
+    if time_stride > 1:
+        if time_index is not None:
+            out = out.filter(time_index % time_stride == 0)
+        else:
+            w = Window.orderBy(time_col)
+            steps = out.select(time_col).distinct().withColumn(
+                "__step", F.dense_rank().over(w) - 1
+            )
+            out = out.join(
+                F.broadcast(steps.filter(F.col("__step") % time_stride == 0)),
+                time_col,
+            ).drop("__step")
+    return out
+
+
+def first_altitude_slice(df: DataFrame, alt_col: str) -> DataFrame:
+    """Reference behavior: altitude selector pinned to the first level
+    (``[0]``, src/data_wrangler.py:410-421) — here the minimum level,
+    computed once and broadcast."""
+    mn = df.agg(F.min(alt_col).alias("__mn"))
+    return (
+        df.crossJoin(F.broadcast(mn))
+        .filter(F.col(alt_col) == F.col("__mn"))
+        .drop("__mn")
+    )
+
+
+def north_south_order(df: DataFrame, time_col: str, lat_col: str, lon_col: str) -> DataFrame:
+    """T2: normalize latitude to north->south within each time slice for
+    grid-file export (the reference reindexes the lat axis,
+    src/agol_wrangler.py:235-261). In long form this is a write-time
+    sort: repartition by time (file per slice), sort desc(lat), asc(lon).
+    """
+    return df.repartition(F.col(time_col)).sortWithinPartitions(
+        F.col(time_col), F.desc(lat_col), F.col(lon_col)
+    )
+
+
+def write_grid_partitioned(df: DataFrame, time_col: str, path: str) -> None:
+    """K5 stand-in: long-form grid to time-partitioned parquet — the
+    layout that makes hyperslab time selectors partition-prune."""
+    (
+        df.withColumn("grid_date", F.date_format(F.col(time_col), "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("grid_date")
+        .parquet(path)
+    )

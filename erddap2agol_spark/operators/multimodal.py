@@ -1,0 +1,121 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (BASELINE.json north star).
+
+The Spark-side plumbing is real — binary columns, format sniffing from
+magic bytes (pure Column algebra), Arrow-batched ``mapInPandas`` decode
+with a declared output schema and bounded batch size. The actual codec
+step is STUBBED (no image/audio libraries in this container): pass
+``fake=True`` for a deterministic stand-in, or get NotImplementedError
+pointing at the integration seam.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: magic-byte prefixes -> format label (hex, uppercase)
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("FFD8FF", "jpeg"),
+    ("89504E47", "png"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),  # wav/avi container
+    ("664C6143", "flac"),
+    ("494433", "mp3"),
+    ("1A45DFA3", "mkv"),
+    ("00000018667479", "mp4"),
+    ("25504446", "pdf"),
+)
+
+
+def sniff_format(bin_col: Column) -> Column:
+    """Format label from magic bytes — JVM-side, no decode."""
+    head = F.upper(F.hex(F.substring(bin_col, 1, 8)))
+    expr = F.lit("unknown")
+    for prefix, label in reversed(MAGIC_PREFIXES):
+        expr = F.when(head.startswith(prefix), F.lit(label)).otherwise(expr)
+    return expr
+
+
+def with_media_meta(df: DataFrame, bin_col: str) -> DataFrame:
+    """Attach the typed metadata struct every multimodal row carries:
+    byte length, sniffed format, content digest (dedup key)."""
+    b = F.col(bin_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.octet_length(b).alias("n_bytes"),
+            sniff_format(b).alias("format"),
+            F.md5(b).alias("digest"),
+        ),
+    )
+
+
+DECODE_SCHEMA = (
+    "media_id bigint, n_bytes bigint, format string, width int, height int, "
+    "n_channels int, duration_ms bigint"
+)
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    fake: bool = False,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Decode/feature-extract via ``mapInPandas`` — the real distribution
+    shape for codec work: Arrow batches in, bounded rows per batch (media
+    blobs are large; cap the batch so executor memory holds
+    ``batch_rows x blob``), typed rows out.
+
+    The codec itself is the stub: ``fake=True`` derives deterministic
+    pseudo-dimensions from the content digest (stable for tests);
+    otherwise NotImplementedError marks the integration point (swap in
+    PIL/ffmpeg in a real deployment — signature and plan unchanged).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                if not fake:
+                    raise NotImplementedError(
+                        "media codecs unavailable in this environment; "
+                        "pass fake=True or plug a decoder here"
+                    )
+                rows = []
+                for _, r in chunk.iterrows():
+                    blob = bytes(r[bin_col]) if r[bin_col] is not None else b""
+                    digest = hashlib.md5(blob).digest()
+                    rows.append(
+                        {
+                            "media_id": int(r[id_col]),
+                            "n_bytes": len(blob),
+                            "format": "fake",
+                            "width": 16 + digest[0] % 240,
+                            "height": 16 + digest[1] % 240,
+                            "n_channels": 1 + digest[2] % 3,
+                            "duration_ms": int.from_bytes(digest[3:5], "big"),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str, n_frames_col: str, every_n: int = 10
+) -> DataFrame:
+    """Frame-sampling as plan algebra: one output row per sampled frame
+    index (explode of a sequence — the downstream decode then seeks only
+    those frames). Keeps the selection declarative and pushdown-friendly.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))
+    return df.select(
+        F.col(id_col), F.explode(idx).alias("frame_index")
+    )

@@ -44,6 +44,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def _load_all() -> None:
     # import for registration side effects
+    from . import advanced_queries  # noqa: F401
     from . import converter_queries  # noqa: F401
     from . import dedup_queries  # noqa: F401
     from . import reference_core  # noqa: F401

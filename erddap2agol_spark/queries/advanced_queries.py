@@ -1,0 +1,293 @@
+"""Second-wave queries: ordered-analytics patterns (sessionization, as-of),
+grouping sets, and deeper dedup/text coverage — all oracle-checked.
+
+Every ``events.ts`` reference in oracles goes through
+``CAST(ts AS TIMESTAMP)`` (ns -> us truncation) so both engines compute
+on identical values — including inside window frames, where a raw-ns gap
+comparison could split sessions differently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.dsl import numeric_prefix_cast
+from ..operators import dedup
+from ..operators.text import lang_id, quality_score
+from ..sources.tables import load_table
+from . import register
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+@register(
+    "sessionization",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Sessionization: 30-min-gap sessions via lag + running sum — the "
+    "standard window recipe; one shuffle on the user key.",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (us - F.lag(us).over(w) > SESSION_GAP_US) | F.lag(us).over(w).isNull(), 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    SELECT event_id, ts, user_id, last_purchase_ts FROM (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_purchase_ts
+      FROM events
+    ) WHERE event_type = 'error'
+    """,
+    doc="As-of join expressed as a running conditional max — for each "
+    "error event, the most recent prior purchase by the same user. The "
+    "union-window form of as-of avoids any range-join blowup.",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn(
+            "last_purchase_ts",
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+        )
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "ts", "user_id", "last_purchase_ts")
+    )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all four rollup combinations in one pass).",
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_SIMHASH_CTE = """
+    toks AS (
+      SELECT doc_id AS doc, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc,
+             (instr('0123456789abcdef', h[1]) - 1) * 4096 + (instr('0123456789abcdef', h[2]) - 1) * 256 +
+             (instr('0123456789abcdef', h[3]) - 1) * 16   + (instr('0123456789abcdef', h[4]) - 1) AS th
+      FROM (SELECT doc, md5(tok) AS h FROM toks)
+    ),
+    votes AS (
+      SELECT doc, pos, sum(CASE WHEN (th >> pos) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS pos)
+      GROUP BY doc, pos
+    ),
+    sh AS (
+      SELECT doc, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc
+    )
+"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    doc="SimHash near-dup detection: pairs within Hamming distance 2 of "
+    "the 16-bit fingerprint (bit_count(xor)) — the cheap second stage "
+    "after fingerprinting.",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.simhash16(docs, "doc_id", "text")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+_SHINGLES_CTE = """
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
+    )
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    h AS (SELECT doc, md5('a:' || sh) AS h0, md5('b:' || sh) AS h1 FROM sh)
+    SELECT doc,
+           min(substr(h0, 1, 8))  AS m0, min(substr(h0, 9, 8))  AS m1,
+           min(substr(h0, 17, 8)) AS m2, min(substr(h0, 25, 8)) AS m3,
+           min(substr(h1, 1, 8))  AS m4, min(substr(h1, 9, 8))  AS m5,
+           min(substr(h1, 17, 8)) AS m6, min(substr(h1, 25, 8)) AS m7
+    FROM h GROUP BY doc
+    """,
+    doc="The MinHash signature table itself (8 perms, chunked-md5) — one "
+    "wide hash-aggregate row per document.",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("doc", "doc")
+
+
+@register(
+    "token_histogram",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+    SELECT tok, n, rk FROM (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM counts
+    ) WHERE rk <= 20
+    """,
+    doc="Corpus token histogram, top-20 — explode + count + rank, the "
+    "vocabulary profile pass of a curation pipeline.",
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.col("tok"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "numeric_prefix_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(regexp_extract(CAST(l_quantity AS VARCHAR) || 'kg', '^[0-9+\\-.]+', 0)
+                AS DOUBLE) AS parsed_qty
+    FROM lineitem
+    """,
+    doc="F9: numeric-prefix extraction + cast ('12.5kg' -> 12.5), the "
+    "converter's lenient numeric parser.",
+)
+def numeric_prefix_cast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = F.concat(F.col("l_quantity").cast("string"), F.lit("kg"))
+    return li.select(
+        "l_orderkey", "l_linenumber", numeric_prefix_cast(tagged).alias("parsed_qty")
+    )
+
+
+@register(
+    "corpus_curation",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text,
+             round(CAST(
+               (CASE WHEN len(regexp_split_to_array(lower(text), '\\s+'))
+                          BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], w)))
+                       AS DOUBLE)
+                     / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1) >= 0.05
+                THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN list_sum(list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                       w -> length(w)))
+                     / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1)
+                       BETWEEN 2.5 AND 10 THEN 0.3 ELSE 0.0 END)
+             AS DOUBLE), 2) AS quality
+      FROM documents
+    )
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+           count(*) AS n_copies, min(quality) AS quality
+    FROM scored WHERE quality >= 0.7
+    GROUP BY md5(text)
+    """,
+    doc="Composed curation pipeline: quality gate -> exact dedup with "
+    "deterministic keeper — filter before shuffle, hash-only shuffle key.",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", quality_score(F.col("text")).alias("quality")
+    ).filter(F.col("quality") >= 0.7)
+    return (
+        scored.select(F.md5("text").alias("content_hash"), "doc_id", "quality")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("quality").alias("quality"),
+        )
+    )

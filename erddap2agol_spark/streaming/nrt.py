@@ -1,0 +1,222 @@
+"""NRT refresh / incremental semantics (SURVEY §2.9 ST1-ST6).
+
+The reference's NRT loop re-downloads a 7-day window per dataset and
+overwrites an AGOL feature service, guarded by three change-detection
+gates (Last-Modified, CRC, publication date) and wrapped in ~1000 lines
+of backup/restore because AGOL overwrite is not atomic
+(src/core.py:806-880; OverwriteFS.py:1744-2688).
+
+Spark-first translation:
+- the 7-day window is an event-time filter (W2);
+- Last-Modified/pubDate gates collapse into a HIGH-WATER MARK on the
+  event-time column, persisted next to the sink (ST2/ST4);
+- the CRC gate is a content fingerprint compare (ST3) — an md5 aggregate,
+  not a byte-stream checksum of a temp file;
+- non-atomic overwrite + A/B service swap (K6/K7) become an A/B
+  directory pair with an atomically-renamed pointer file — readers
+  resolve the pointer, so they never observe a partial write. On a real
+  cluster this is exactly what Delta/Iceberg commits do; the pointer
+  pattern needs no extra dependency and keeps the observable contract
+  testable (SURVEY §7.4).
+- Structured Streaming (:func:`windowed_counts_stream`) covers the
+  continuous form: watermark + tumbling window over the same event
+  schema (ST1/ST5 late-data handling).
+
+State is tiny (one timestamp/hash per dataset) but keyed, so the same
+pattern scales to millions of datasets as a state table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# High-water-mark state (ST2/ST4)
+# ---------------------------------------------------------------------------
+
+
+def _state_path(sink_dir: str) -> str:
+    return os.path.join(sink_dir, "_nrt_state.json")
+
+
+def load_state(sink_dir: str) -> dict:
+    p = _state_path(sink_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def save_state(sink_dir: str, state: dict) -> None:
+    os.makedirs(sink_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=sink_dir)
+    with os.fdopen(fd, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, _state_path(sink_dir))  # atomic on POSIX
+
+
+def newer_than_watermark(df: DataFrame, ts_col: str, sink_dir: str) -> DataFrame:
+    """ST2/ST4: keep only rows with event time strictly above the stored
+    high-water mark — the 'source not newer -> skip' gate as a pushed
+    predicate (the filter reaches the scan, so unchanged partitions are
+    never read when data is time-partitioned)."""
+    hwm = load_state(sink_dir).get("high_water_mark")
+    if hwm is None:
+        return df
+    return df.filter(F.col(ts_col) > F.lit(hwm).cast("timestamp"))
+
+
+def advance_watermark(df: DataFrame, ts_col: str, sink_dir: str) -> str | None:
+    """Record max(ts) of the just-committed batch. Returns the new HWM."""
+    row = df.agg(F.max(ts_col).alias("mx")).first()
+    if row["mx"] is None:
+        return None
+    state = load_state(sink_dir)
+    hwm = row["mx"].strftime("%Y-%m-%d %H:%M:%S.%f")
+    state["high_water_mark"] = hwm
+    save_state(sink_dir, state)
+    return hwm
+
+
+# ---------------------------------------------------------------------------
+# Content fingerprint gate (ST3)
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprint(df: DataFrame) -> str:
+    """Order-insensitive content hash: md5 per row (over a canonical JSON
+    rendering), combined by bit_xor per 16-hex half — one aggregate, no
+    sort, no driver-side byte stream. The ST3 'CRC equal -> skip' analog.
+    """
+    hashed = df.select(
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns]))).alias("h")
+    )
+    row = (
+        hashed.select(
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring("h", 17, 15), 16, 10).cast("long").alias("b"),
+        )
+        .agg(
+            F.expr("bit_xor(a)").alias("xa"),
+            F.expr("bit_xor(b)").alias("xb"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    return f"{row['xa']:x}-{row['xb']:x}-{row['n']}"
+
+
+def content_changed(df: DataFrame, sink_dir: str) -> bool:
+    """True when the batch's fingerprint differs from the stored one;
+    stores the new fingerprint when changed."""
+    fp = content_fingerprint(df)
+    state = load_state(sink_dir)
+    if state.get("content_fingerprint") == fp:
+        return False
+    state["content_fingerprint"] = fp
+    save_state(sink_dir, state)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Atomic overwrite via A/B swap (K6/K7/ST6)
+# ---------------------------------------------------------------------------
+
+_POINTER = "_CURRENT"
+
+
+def current_data_dir(sink_dir: str) -> str | None:
+    p = os.path.join(sink_dir, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return os.path.join(sink_dir, f.read().strip())
+
+
+def atomic_overwrite(df: DataFrame, sink_dir: str, fmt: str = "parquet") -> str:
+    """K6/K7: write the new snapshot to the idle side of an A/B pair,
+    then atomically repoint readers — the blue/green service swap with
+    the 500 lines of backup/restore deleted. Readers resolving through
+    :func:`read_current` never see a partial write."""
+    os.makedirs(sink_dir, exist_ok=True)
+    current = current_data_dir(sink_dir)
+    side = "b" if (current or "").endswith("a") else "a"
+    target_name = f"data_{side}"
+    target = os.path.join(sink_dir, target_name)
+    df.write.mode("overwrite").format(fmt).save(target)
+    fd, tmp = tempfile.mkstemp(dir=sink_dir)
+    with os.fdopen(fd, "w") as f:
+        f.write(target_name)
+    os.replace(tmp, os.path.join(sink_dir, _POINTER))  # the swap
+    return target
+
+
+def read_current(spark: SparkSession, sink_dir: str, fmt: str = "parquet") -> DataFrame:
+    cur = current_data_dir(sink_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot in {sink_dir}")
+    return spark.read.format(fmt).load(cur)
+
+
+# ---------------------------------------------------------------------------
+# The NRT refresh (ST1): window + gates + atomic publish
+# ---------------------------------------------------------------------------
+
+
+def refresh(
+    df: DataFrame,
+    ts_col: str,
+    sink_dir: str,
+    window_days: int = 7,
+    now: str | None = None,
+) -> dict:
+    """One NRT refresh cycle: trailing-window filter (W2) -> freshness
+    gate (ST2/ST4) -> content gate (ST3) -> atomic overwrite (ST6).
+    Returns a report of what happened (published / skipped and why)."""
+    from ..operators.filters import freshness_window
+
+    windowed = freshness_window(df, ts_col, days=window_days, now=now)
+    fresh = newer_than_watermark(windowed, ts_col, sink_dir)
+    if fresh.limit(1).count() == 0:
+        return {"published": False, "reason": "no rows newer than high-water mark"}
+    if not content_changed(windowed, sink_dir):
+        return {"published": False, "reason": "content fingerprint unchanged"}
+    target = atomic_overwrite(windowed, sink_dir)
+    hwm = advance_watermark(windowed, ts_col, sink_dir)
+    return {"published": True, "target": target, "high_water_mark": hwm}
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming form (ST1/ST5)
+# ---------------------------------------------------------------------------
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+):
+    """readStream -> watermark -> tumbling-window counts. The watermark
+    bounds state for late data (ST5); callers attach a sink
+    (memory sink in tests, foreachBatch(atomic_overwrite) in production).
+    """
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            key_col,
+            "n",
+        )
+    )

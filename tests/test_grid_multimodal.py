@@ -1,0 +1,159 @@
+"""Grid model (S7/P5/T2) and multimodal column tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from erddap2agol_spark.operators import grid, multimodal
+
+
+@pytest.fixture(scope="module")
+def lattice(spark):
+    """Synthetic sst_grid (FIXTURES.md §4): 12 times x 5 lats x 4 lons x
+    2 depths, lat ascending, two measures."""
+    return (
+        spark.range(12 * 5 * 4 * 2)
+        .select(
+            (F.col("id") % 12).alias("t_idx"),
+            ((F.col("id") / 12).cast("long") % 5).alias("lat_idx"),
+            ((F.col("id") / 60).cast("long") % 4).alias("lon_idx"),
+            ((F.col("id") / 240).cast("long") % 2).alias("d_idx"),
+        )
+        .select(
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(hours=F.col("t_idx") * 6)
+            ).alias("time"),
+            "t_idx",
+            (18.0 + F.col("lat_idx") * 2).alias("latitude"),
+            (-98.0 + F.col("lon_idx") * 3).alias("longitude"),
+            (F.col("d_idx") * 10.0).alias("depth"),
+            (20.0 + F.col("t_idx") + F.col("lat_idx")).alias("sst"),
+            (F.col("lon_idx") * 0.1).alias("sst_anomaly"),
+        )
+    )
+
+
+def test_melt_measures(spark, lattice):
+    long = grid.melt_measures(
+        lattice, ["time", "latitude", "longitude", "depth"], ["sst", "sst_anomaly"]
+    )
+    assert long.columns == ["time", "latitude", "longitude", "depth", "var", "value"]
+    assert long.count() == lattice.count() * 2
+    assert set(r.var for r in long.select("var").distinct().collect()) == {
+        "sst",
+        "sst_anomaly",
+    }
+
+
+def test_hyperslab_ranges_and_arithmetic_stride(spark, lattice):
+    out = grid.hyperslab(
+        lattice,
+        "time",
+        "latitude",
+        "longitude",
+        time_range=("2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+        lat_range=(20.0, 24.0),
+        lon_range=(-98.0, -92.0),
+        time_stride=2,
+        time_index=F.col("t_idx"),
+    )
+    rows = out.collect()
+    assert all(r.t_idx % 2 == 0 for r in rows)
+    assert all(20.0 <= r.latitude <= 24.0 for r in rows)
+    # 3 kept time steps (0,2,4 within the day) x 3 lats x 3 lons x 2 depths
+    assert len(rows) == 3 * 3 * 3 * 2
+
+
+def test_hyperslab_rank_stride_matches_arithmetic(spark, lattice):
+    a = grid.hyperslab(
+        lattice, "time", "latitude", "longitude", time_stride=3,
+        time_index=F.col("t_idx"),
+    )
+    b = grid.hyperslab(lattice, "time", "latitude", "longitude", time_stride=3)
+    assert a.count() == b.count()
+    assert a.select("time").distinct().count() == 4  # steps 0,3,6,9
+
+
+def test_first_altitude_slice(spark, lattice):
+    out = grid.first_altitude_slice(lattice, "depth")
+    assert out.select("depth").distinct().collect()[0].depth == 0.0
+    assert out.count() == lattice.count() / 2
+
+
+def test_north_south_order(spark, lattice):
+    ordered = grid.north_south_order(lattice, "time", "latitude", "longitude")
+    pdf = ordered.toPandas()
+    # within each time slice latitude must run north -> south
+    for _, g in pdf.groupby("time"):
+        lats = g["latitude"].tolist()
+        assert lats == sorted(lats, reverse=True) or len(set(lats)) < len(lats)
+        # first row of each slice is the northernmost latitude
+        assert g["latitude"].iloc[0] == max(lats)
+
+
+def test_write_grid_partitioned_prunes(spark, lattice, tmp_path):
+    path = str(tmp_path / "grid")
+    grid.write_grid_partitioned(lattice, "time", path)
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("grid_date") == "2024-01-02")
+    assert one_day.count() == lattice.filter(
+        F.date_format("time", "yyyy-MM-dd") == "2024-01-02"
+    ).count()
+    # partition pruning visible in the physical plan
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "grid_date" in plan
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, bytes.fromhex("FFD8FF") + b"fakejpegbody"),
+        (2, bytes.fromhex("89504E47") + b"fakepngbody!!"),
+        (3, b"RIFFxxxxWAVE" + b"\x00" * 5),
+        (4, b"plain text bytes here"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, ["media_id", "payload"])
+
+
+def test_media_meta_sniffing(spark, media):
+    out = multimodal.with_media_meta(media, "payload").collect()
+    meta = {r.media_id: r.media_meta for r in out}
+    assert meta[1]["format"] == "jpeg"
+    assert meta[2]["format"] == "png"
+    assert meta[3]["format"] == "riff"
+    assert meta[4]["format"] == "unknown"
+    assert meta[1]["n_bytes"] == 15
+    assert meta[5]["n_bytes"] is None
+
+
+def test_decode_media_fake_deterministic(spark, media):
+    out1 = multimodal.decode_media(media, "media_id", "payload", fake=True)
+    assert out1.count() == 5
+    r1 = {r.media_id: (r.width, r.height, r.n_channels) for r in out1.collect()}
+    r2 = {
+        r.media_id: (r.width, r.height, r.n_channels)
+        for r in multimodal.decode_media(media, "media_id", "payload", fake=True).collect()
+    }
+    assert r1 == r2  # deterministic stub
+    assert all(16 <= w <= 255 for w, _, _ in r1.values())
+
+
+def test_decode_media_stub_raises_without_fake(spark, media):
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_media(media, "media_id", "payload", fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 25), (2, 5), (3, 0)], ["media_id", "n_frames"])
+    out = multimodal.frame_sample_plan(df, "media_id", "n_frames", every_n=10)
+    got = sorted((r.media_id, r.frame_index) for r in out.collect())
+    assert got == [(1, 0), (1, 10), (1, 20), (2, 0), (3, 0)]
