@@ -22,14 +22,21 @@ HEADLINE = [
     "tumbling_daily",
     "track_segments",
     "topk_per_group",
+    "sessionization",
+    "asof_last_purchase",
+    "cube_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "simhash_hamming_pairs",
     "ann_bruteforce_topk",
     "ann_sign_lsh",
     "text_quality",
     "text_langid",
+    "token_histogram",
     "doc_fingerprint",
+    "corpus_curation",
+    "glider_features",
 ]
 
 

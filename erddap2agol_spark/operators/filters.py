@@ -14,12 +14,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_ns(ts: str) -> int:
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(ts).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+
+
 def time_range(
     df: DataFrame, col: str, start: str | None = None, end: str | None = None
 ) -> DataFrame:
     """P4 — ``time>=start & time<=end`` pushdown
-    (reference src/data_wrangler.py:354-375)."""
+    (reference src/data_wrangler.py:354-375).
+
+    When the table carries a raw-nanos shadow column (``{col}__ns``, see
+    sources.tables.NANOS_TS_COLS), predicates compile against the RAW
+    int64 column so they reach the parquet scan as pushed filters — the
+    converted timestamp is a function of the stored column and would
+    block pushdown. Literal bounds are whole microseconds, so raw-ns and
+    truncated-µs comparison admit exactly the same rows.
+    """
+    ns_col = f"{col}__ns"
     out = df
+    if ns_col in df.columns:
+        if start is not None:
+            out = out.filter(F.col(ns_col) >= F.lit(_epoch_ns(start)))
+        if end is not None:
+            # end-inclusive at µs precision: admit the whole microsecond
+            out = out.filter(F.col(ns_col) < F.lit(_epoch_ns(end) + 1000))
+        return out
     if start is not None:
         out = out.filter(F.col(col) >= F.lit(start).cast("timestamp"))
     if end is not None:

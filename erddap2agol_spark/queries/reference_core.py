@@ -148,7 +148,8 @@ def metadata_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
     FROM events
-    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-17 00:00:00'
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-17 00:00:00'
     """,
     doc="P4: time-range predicate pushed to the parquet scan.",
 )

@@ -59,7 +59,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # keep the RAW nanos column: predicates on the converted
+            # timestamp wrap it in a function and lose parquet pushdown;
+            # operators.filters.time_range pushes on `{c}__ns` instead
+            df = df.withColumn(f"{c}__ns", F.col(c)).withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
     return df
 
 

@@ -1,0 +1,155 @@
+"""Catalog wire format (S2/S3/J2/T3), feed ingestion (S12/S13), and the
+publish sink (K3/K4/K6/F18/U5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from erddap2agol_spark.sinks import publish
+from erddap2agol_spark.sources import catalog, feeds
+
+TABLE_JSON = json.dumps(
+    {
+        "table": {
+            "columnNames": ["datasetID", "title", "tabledap", "griddap", "minTime (UTC)", "maxTime (UTC)"],
+            "rows": [
+                ["allDatasets", "all", "x", "", "2020-01-01T00:00:00Z", "2024-01-01T00:00:00Z"],
+                ["buoy_1", "Gulf Buoy Watch", "url", "", "2021-05-01T00:00:00Z", "2024-06-01T00:00:00Z"],
+                ["ship_2", "Ship Track NRT", "url", "", "2024-01-01T00:00:00Z", "2024-06-10T00:00:00Z"],
+                ["grid_3", "SST Grid", "", "url", "2019-01-01T00:00:00Z", "2024-06-01T00:00:00Z"],
+                ["blank_4", "No protocol", "", "", None, None],
+            ],
+        }
+    }
+)
+
+
+def test_catalog_parse_filter_search(spark):
+    df = catalog.parse_table_json(spark, TABLE_JSON)
+    assert df.columns[:4] == ["dataset_id", "title", "tabledap", "griddap"]
+    ds = catalog.catalog_datasets(df)  # tabledap protocol
+    ids = {r.dataset_id for r in ds.collect()}
+    assert ids == {"buoy_1", "ship_2"}  # self-row, grid, blank filtered
+    hits = catalog.search(ds, ["buoy", "gulf"])
+    assert [r.dataset_id for r in hits.collect()] == ["buoy_1"]
+
+
+def test_date_cache_restore(spark):
+    cat = catalog.parse_table_json(spark, TABLE_JSON)
+    cache = catalog.build_date_cache(catalog.catalog_datasets(cat))
+    # search results arrive with missing dates
+    results = spark.createDataFrame(
+        [("buoy_1", None, None), ("new_9", None, None)],
+        schema="dataset_id string, min_time timestamp, max_time timestamp",
+    )
+    restored = {r.dataset_id: r.min_time for r in catalog.restore_dates(results, cache).collect()}
+    assert restored["buoy_1"].year == 2021  # cache value restored
+    assert restored["new_9"] is None  # unknown id stays null
+
+
+def test_paginate_and_cart(spark):
+    cat = catalog.catalog_datasets(catalog.parse_table_json(spark, TABLE_JSON))
+    page1 = catalog.paginate(cat, page=1, page_size=1)
+    assert page1.count() == 1
+    cart = catalog.add_to_cart(page1, page1)  # double add dedups
+    assert cart.count() == 1
+
+
+RSS = """<?xml version="1.0"?>
+<rss version="2.0" xmlns:georss="http://www.georss.org/georss">
+ <channel><title>alerts</title>
+  <item><title>A1</title><link>http://x/1</link><pubDate>Tue, 05 Mar 2024 10:11:12 +0000</pubDate>
+   <georss:point>27.9 -93.6</georss:point><guid>g1</guid><severity>high</severity></item>
+  <item><title>A2</title><description>d2</description>
+   <georss:box>18 -98 31 -76</georss:box><guid>g2</guid></item>
+ </channel></rss>"""
+
+ATOM = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+ <title>f</title>
+ <entry><title>E1</title><id>e1</id><updated>2024-03-05T10:00:00Z</updated></entry>
+</feed>"""
+
+
+def test_feed_parse_rss_and_atom(spark):
+    src = spark.createDataFrame([("rss1", RSS), ("atom1", ATOM)], ["path", "content"])
+    items = feeds.feeds_to_dataframe(spark, src)
+    rows = {(r.source, r.item_index): r for r in items.collect()}
+    assert len(rows) == 3
+    a1 = rows[("rss1", 0)]
+    assert a1.title == "A1" and a1.georss_point == "27.9 -93.6"
+    assert json.loads(a1.extras)["severity"] == "high"
+    assert rows[("rss1", 1)].georss_box == "18 -98 31 -76"
+    e1 = rows[("atom1", 0)]
+    assert e1.guid == "e1" and e1.pub_date == "2024-03-05T10:00:00Z"
+
+
+def test_feed_parse_skips_malformed(spark):
+    src = spark.createDataFrame(
+        [("bad", "<rss><item><title>x</title>"), ("ok", ATOM)], ["path", "content"]
+    )
+    items = feeds.feeds_to_dataframe(spark, src)
+    assert [r.source for r in items.collect()] == ["ok"]
+
+
+def test_json_root_detection(spark):
+    doc1 = json.dumps({"meta": 1, "features": [{"a": 1}, {"a": 2}], "other": [1]})
+    doc2 = json.dumps({"small": [1], "big": [{"b": i} for i in range(3)]})
+    df = feeds.json_docs_to_dataframe(spark, [doc1, doc2])
+    assert df.count() == 5  # 2 features + 3 big items
+
+
+def test_publish_overwrite_preserves_properties(spark, tmp_path):
+    portal = str(tmp_path / "portal")
+    df = spark.range(10).withColumn("v", F.col("id") * 2.0)
+    props = publish.item_properties_from_metadata(
+        {
+            "title": "Gulf Buoy Watch",
+            "summary": "Buoy obs",
+            "institution": "GCOOS",
+            "license": "CC0",
+            "keywords": "buoy, sst, latitude",
+        },
+        "buoy_1",
+        nrt=True,
+    )
+    item = publish.publish(df, portal, props)
+    assert item == "Gulf_Buoy_Watch"  # sanitized title (F7)
+    got = publish.item_properties(portal, item)
+    assert got["tags"][:3] == ["erddap2agol_spark", "buoy_1", "e2a_nrt"]
+    assert "latitude" not in got["tags"]  # reserved tag dropped (U5)
+    assert got["license_info"] == "CC0"
+
+    # overwrite with fresh data keeps the original sidecar (K8 contract)
+    publish.publish(df.limit(3), portal, publish.ItemProperties(title="Gulf Buoy Watch"),
+                    overwrite=True)
+    assert publish.read_item(spark, portal, item).count() == 3
+    assert publish.item_properties(portal, item)["snippet"] == "Buoy obs"
+
+
+def test_publish_collision_rename_and_append(spark, tmp_path):
+    portal = str(tmp_path / "portal")
+    df = spark.range(5)
+    p = publish.ItemProperties(title="Same Name")
+    first = publish.publish(df, portal, p)
+    second = publish.publish(df, portal, p)  # 409 -> rename
+    assert (first, second) == ("Same_Name", "Same_Name_2")
+    publish.append(spark.range(5, 8), portal, first)  # K4
+    assert publish.read_item(spark, portal, first).count() == 8
+
+
+def test_search_items_by_tag(spark, tmp_path):
+    portal = str(tmp_path / "portal")
+    publish.publish(
+        spark.range(1), portal, publish.ItemProperties(title="A", tags=["e2a_nrt"])
+    )
+    publish.publish(spark.range(1), portal, publish.ItemProperties(title="B", tags=["x"]))
+    assert publish.search_items(portal, "e2a_nrt") == ["A"]
+
+
+def test_flatten_and_clean_tags():
+    assert publish.flatten_tags(["a", ["b", ["c"]], None]) == ["a", "b", "c"]
+    assert publish.clean_tags(["A", "mask", "A", ["NC_GLOBAL", "ok"]]) == ["A", "ok"]

@@ -1,0 +1,127 @@
+"""Physical-plan assertions (SURVEY §4): predicate pushdown, column
+pruning, broadcast joins, partial aggregation — the plan-snapshot analog
+of the reference's golden-URL tests. A correct answer with the wrong
+plan fails here: at 100 TB the plan IS the product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from erddap2agol_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = REGISTRY[name].spark(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_time_filter_pushdown(spark):
+    plan = _plan(spark, "time_filter")
+    # events.ts reads as int64 nanos; the range predicates must reach the
+    # parquet scan as pushed filters on the RAW ns column (a predicate on
+    # the converted timestamp would block pushdown)
+    # pushed filters resolve back to the stored column name `ts`
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
+
+
+def test_metadata_projection_prunes_scan(spark):
+    plan = _plan(spark, "metadata_projection")
+    # only the 4 kept columns may appear in ReadSchema — QC columns pruned
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_discount" not in read_schema and "l_tax" not in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_bbox_filter_pushdown(spark):
+    plan = _plan(spark, "bbox_filter")
+    assert "GreaterThanOrEqual(l_quantity,10" in plan.replace(".0", "")
+
+
+def test_enrichment_joins_broadcast(spark):
+    import re
+
+    plan = _plan(spark, "enrich_revenue_by_region")
+    # formatted explain: one "(N) BroadcastHashJoin" detail block per join
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_semi_joins_broadcast(spark):
+    for q in ("anti_join_new", "semi_join_existing"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_pricing_summary_partial_agg(spark):
+    plan = _plan(spark, "pricing_summary")
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in plan or "Partial" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_row_range_uses_topk_operator(spark):
+    # offset+limit over a sort compiles to TakeOrderedAndProject — the
+    # top-K physical operator (no global sort materialized)
+    plan = _plan(spark, "row_range")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_track_segments_single_shuffle(spark):
+    import re
+
+    plan = _plan(spark, "track_segments")
+    # one exchange for the window partition key, nothing else
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_lsh_join_is_equi_on_bucket(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    # candidate join must be an equi-join (hash or broadcast), never a
+    # nested-loop over the full pair space
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE hides codegen ids until execution; disable it for the snapshot
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for q in ("pricing_summary", "text_quality", "extraction_dsl"):
+            assert "[codegen id :" in _plan(spark, q), q
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_entry_schema_stable(spark):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    m = importlib.import_module("__spark_entry__")
+    df = m.entry(spark)
+    assert df.columns == [
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
+    ]
+    assert df.count() > 0
