@@ -34,6 +34,32 @@ def semi_join_existing(
     return incoming.join(F.broadcast(existing.select(*keys).distinct()), keys, "left_semi")
 
 
+def match_by_name_or_ordinal(
+    left: DataFrame,
+    right: DataFrame,
+    name_col: str,
+    by_order: bool = False,
+    order_col: str | None = None,
+) -> DataFrame:
+    """J5 — the layer-swap correlation: pair rows by ``name_col``, or by
+    ordinal position when ``by_order`` (the reference's ``byLayerOrder``
+    option, OverwriteFS.py:1284-1743). Ordinal pairing materializes a
+    row_number per side over a deterministic order — an as-of-by-position
+    join. Right-side columns are suffixed ``_right``."""
+    from pyspark.sql import Window
+
+    r = right.select(
+        *[F.col(c).alias(c if c == name_col else f"{c}_right") for c in right.columns]
+    )
+    if not by_order:
+        return left.join(F.broadcast(r), name_col, "inner")
+    lkey = order_col or name_col
+    rkey = lkey if lkey == name_col else f"{lkey}_right"
+    l2 = left.withColumn("__ord", F.row_number().over(Window.orderBy(F.col(lkey))))
+    r2 = r.withColumn("__ord", F.row_number().over(Window.orderBy(F.col(rkey))))
+    return l2.join(F.broadcast(r2.drop(name_col)), "__ord", "inner").drop("__ord")
+
+
 def enrich(
     facts: DataFrame,
     dim: DataFrame,

@@ -106,6 +106,91 @@ def sign_bucket(vec: Column, bits: int = 8) -> Column:
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) partitioning: KMeans centroids
+    over the corpus, each vector assigned to its nearest cell; a query
+    probes only its ``n_probe`` nearest cells and ranks exactly inside
+    them.
+
+    The cell equi-join replaces the cross join (like sign-LSH) but the
+    cells follow the data distribution, so recall at equal probe cost is
+    typically higher. Centroids are a tiny broadcast model; assignment is
+    one ml-transform pass. Recall < 1 by construction; raise ``n_probe``
+    to trade cost for recall.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from .dedup import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    as_vec = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(as_vec)
+    assigned = model.transform(as_vec).select(
+        "id", "vec", F.col("prediction").alias("cell")
+    )
+    c = with_norm(assigned, "id", "vec").join(
+        assigned.select("id", "cell"), "id"
+    )
+
+    # query-side: distance to every centroid (tiny broadcast), keep n_probe
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    sess = queries.sparkSession
+    cdf = sess.createDataFrame(centroids, schema="cell int, centroid array<double>")
+    q = with_norm(queries, id_col, vec_col)
+    qc = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec"),
+                    F.col("centroid"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    wprobe = Window.partitionBy("id").orderBy("dist2", "cell")
+    probed = (
+        qc.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= n_probe)
+        .select(F.col("id"), F.col("vec"), F.col("nrm"), F.col("cell"))
+    )
+
+    a = probed.alias("q")
+    b = c.alias("c")
+    scored = a.join(
+        b, (F.col("q.cell") == F.col("c.cell")) & (F.col("q.id") != F.col("c.id"))
+    ).select(
+        F.col("q.id").alias("query_id"),
+        F.col("c.id").alias("neighbor_id"),
+        cosine("q", "c").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def sign_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

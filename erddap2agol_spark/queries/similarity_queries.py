@@ -47,6 +47,21 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf",
+    oracle=None,  # KMeans cell assignment is not SQL-expressible -> rows-only
+    doc="ANN top-5 via IVF: KMeans(seed=42) cells over the corpus, "
+    "2-probe query routing, exact cosine rank inside probed cells — the "
+    "distribution-aware scale path beside sign-LSH.",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2
+    )
+
+
+@register(
     "ann_sign_lsh",
     oracle=f"""
     WITH {_VEC_CTE},

@@ -1,0 +1,78 @@
+"""Similarity operators: brute-force vs LSH vs IVF recall, by-ordinal
+join (J5), and operator unit coverage not reached via queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from erddap2agol_spark.operators import joins, similarity
+from erddap2agol_spark.operators.filters import nonnull_columns
+from erddap2agol_spark.operators.windows import with_row_number
+from erddap2agol_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _topk_sets(df):
+    rows = df.collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5))
+    ivf = _topk_sets(
+        similarity.ivf_topk(queries, emb, "vec_id", "embedding", k=5, n_centroids=4, n_probe=2)
+    )
+    # probing half the cells must recover a meaningful share of true top-5
+    hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5
+    # every IVF result ranks correctly (rk 1..5, unique)
+    for q, s in ivf.items():
+        assert len(s) <= 5
+
+
+def test_sign_lsh_subset_of_bucketmates(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    lsh = similarity.sign_lsh_topk(queries, emb, "vec_id", "embedding", k=3, bits=4)
+    rows = lsh.collect()
+    assert all(r.rk <= 3 for r in rows)
+    assert all(r.cos_sim <= 1.0 for r in rows)
+
+
+def test_match_by_name(spark):
+    left = spark.createDataFrame([("a", 1), ("b", 2)], ["name", "lv"])
+    right = spark.createDataFrame([("b", 20), ("a", 10)], ["name", "rv"])
+    out = joins.match_by_name_or_ordinal(left, right, "name")
+    assert {(r.name, r.lv, r.rv_right) for r in out.collect()} == {("a", 1, 10), ("b", 2, 20)}
+
+
+def test_match_by_ordinal(spark):
+    left = spark.createDataFrame([("x", 1), ("y", 2)], ["name", "lv"])
+    right = spark.createDataFrame([("q", 20), ("p", 10)], ["name", "rv"])
+    out = joins.match_by_name_or_ordinal(left, right, "name", by_order=True)
+    # position pairing after per-side name sort: (x,p), (y,q)
+    assert {(r.name, r.rv_right) for r in out.collect()} == {("x", 10), ("y", 20)}
+
+
+def test_nonnull_columns_probe(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, None)], schema="x int, dead string, half string"
+    )
+    assert nonnull_columns(df, ["x", "dead", "half"]) == ["x", "half"]
+
+
+def test_with_row_number(spark):
+    df = spark.createDataFrame([("b",), ("a",)], ["v"])
+    out = with_row_number(df, ["v"])
+    assert [(r.v, r.rowid) for r in out.orderBy("rowid").collect()] == [("a", 1), ("b", 2)]
