@@ -123,6 +123,11 @@ def lsh_candidate_pairs(
     if n_perm % rows_per_band:
         raise ValueError("n_perm must be divisible by rows_per_band")
     sig = minhash_signatures(df, id_col, text_col, n_perm, shingle_n)
+    # the band self-join scans the signature table twice; persist it so the
+    # shingle explode + md5 pipeline runs once (signatures are tiny:
+    # n_docs x n_perm hashes). The broadcast side materializes first and
+    # fills the cache; the probe side then reads it.
+    sig = sig.persist()
     n_bands = n_perm // rows_per_band
     stack_args = ", ".join(
         f"{b}, concat_ws('|', {', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
@@ -197,10 +202,11 @@ def ngram_jaccard_pairs(
     drop ultra-frequent shingles first for web-scale corpora).
     """
     src = ensure_parallelism(df)
+    # persisted: the pair self-join scans the shingle explode twice
     sh = src.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    ).persist()
     # shingle-set sizes straight off the array — no second explode+agg
     sizes = src.select(
         F.col(id_col).alias("doc"),
