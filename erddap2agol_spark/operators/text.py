@@ -81,6 +81,21 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+def tfidf_features(df, id_col: str, text_col: str, n_features: int = 1 << 12):
+    """TF-IDF feature vectors via pyspark.ml (HashingTF + IDF) — the
+    SURVEY §7.2 text-analysis scale path: hashing keeps the vocabulary
+    unbounded-safe (no global dictionary to build), IDF is one small
+    aggregate broadcast back. Returns (id, features ml-vector)."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__words")
+    tf = HashingTF(inputCol="__words", outputCol="__tf", numFeatures=n_features)
+    words = tok.transform(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    tfed = tf.transform(words)
+    idf = IDF(inputCol="__tf", outputCol="features").fit(tfed)
+    return idf.transform(tfed).select("id", "features")
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 over normalized text
     (lowercased, whitespace-collapsed) — the rolling-hash analog used for

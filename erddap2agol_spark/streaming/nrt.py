@@ -191,6 +191,39 @@ def refresh(
     return {"published": True, "target": target, "high_water_mark": hwm}
 
 
+def refresh_many(
+    datasets: dict[str, DataFrame],
+    ts_col: str,
+    sink_root: str,
+    window_days: int = 7,
+    now: str | None = None,
+    max_workers: int = 4,
+) -> dict[str, dict]:
+    """ST1 across a fleet of datasets — the reference's
+    ``ProcessPoolExecutor(max_workers=4)`` NRT loop (core.py:832-855).
+
+    Spark jobs are submitted from ``max_workers`` threads (job submission
+    is thread-safe; tasks from concurrent jobs interleave on the
+    executors, which is exactly what the reference's process pool was
+    approximating). Per-dataset failures are isolated into the report,
+    not raised — one bad dataset never kills the fleet (O13).
+    """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item: tuple[str, DataFrame]) -> tuple[str, dict]:
+        ds, df = item
+        try:
+            return ds, refresh(
+                df, ts_col, _os.path.join(sink_root, ds), window_days, now
+            )
+        except Exception as e:  # noqa: BLE001 — isolate per-dataset failure
+            return ds, {"published": False, "reason": f"error: {e}"}
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return dict(pool.map(one, datasets.items()))
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming form (ST1/ST5)
 # ---------------------------------------------------------------------------
