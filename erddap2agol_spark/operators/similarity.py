@@ -128,7 +128,7 @@ def ivf_topk(
     to trade cost for recall.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     from .dedup import ensure_parallelism
 

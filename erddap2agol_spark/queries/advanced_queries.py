@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dsl import numeric_prefix_cast
 from ..operators import dedup
-from ..operators.text import lang_id, quality_score
+from ..operators.text import quality_score
 from ..sources.tables import load_table
 from . import register
 

@@ -8,7 +8,6 @@ corpus has planted near-duplicates (jaccard >= 0.5 isolates them).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..sources.tables import load_table

@@ -372,6 +372,50 @@ def tumbling_week_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tumbling_month_label",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%b-%Y') AS bucket_label,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="W3: calendar-month buckets with the reference's 'Jan-2025' "
+    "labels (griddapDivider, src/data_wrangler.py:190-221).",
+)
+def tumbling_month_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = windows.tumbling(_t(spark, sf_dir, "events"), "ts", "month", label=True)
+    return ev.groupBy("bucket_label").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+@register(
+    "coord_cleaning",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, lat, lon FROM (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity < 5 THEN CAST('NaN' AS DOUBLE) ELSE l_quantity END AS lat,
+             CASE WHEN l_discount > 0.09 THEN NULL ELSE l_extendedprice END AS lon
+      FROM lineitem
+    ) WHERE NOT isnan(lat) AND lon IS NOT NULL
+    """,
+    doc="P9/F8: invalid-coordinate cleaning — NaN normalized to null, "
+    "rows with missing coordinates dropped (the glider pre-filter).",
+)
+def coord_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 5, F.lit(float("nan")))
+        .otherwise(F.col("l_quantity"))
+        .alias("lat"),
+        F.when(F.col("l_discount") > 0.09, F.lit(None))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("lon"),
+    )
+    return filters.drop_invalid_coords(li, ["lat", "lon"])
+
+
+@register(
     "chunk_plan",
     oracle="""
     SELECT chunk_id, count(*) AS n, min(ts) AS chunk_start, max(ts) AS chunk_end

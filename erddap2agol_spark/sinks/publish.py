@@ -19,7 +19,6 @@ import re
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..streaming.nrt import atomic_overwrite, read_current
 

@@ -22,7 +22,7 @@ Semantics reproduced (from reference behavior, not code):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime, timedelta
 
 ISO_Z = "%Y-%m-%dT%H:%M:%SZ"
