@@ -689,3 +689,32 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sanitize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     return p.select("p_partkey", sanitize_name(F.col("p_name")).alias("safe_name"))
+
+
+@register(
+    "connector_scan",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+    doc="S6/O1-O5 through the erddap_sim Python Data Source: time-slice "
+    "partitions planned from parquet footer stats, the range predicate "
+    "pushed via pushFilters pruning whole slices before any read.",
+)
+def connector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import erddap_source
+
+    erddap_source.register(spark)
+    df = (
+        spark.read.format("erddap_sim")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("time_col", "ts")
+        .option("chunk_size", "2000")
+        .load()
+    )
+    return df.filter(
+        (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+    ).select("event_id", "ts", "event_type", "value")

@@ -45,6 +45,8 @@ def get_spark(
         # driver test tables carry TIMESTAMP(NANOS) columns; read as int64
         # nanos and convert (see sources.tables.NANOS_TS_COLS)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python Data Source filter pushdown (sources.erddap_source)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     if master:

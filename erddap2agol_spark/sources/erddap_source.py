@@ -1,0 +1,217 @@
+"""ERDDAP-simulator data source — the custom connector SURVEY §4 calls
+the genuinely new Spark work (O1-O4), built on PySpark 4's Python Data
+Source API.
+
+What the reference does imperatively, this source does declaratively
+inside Spark's scan planning:
+
+- O4 metadata-only planning: row count and the time column's min/max are
+  read from the parquet FOOTER (statistics), never the data — the
+  ``ncHeader``/DAS-actual_range analog.
+- O5/W4 chunked scan: the time range splits into
+  ``ceil(row_count / chunk_size)`` equal-duration slices, one
+  ``InputPartition`` per slice — the reference's chunk URLs become scan
+  partitions (one task each).
+- O2/P4 predicate pushdown: time-range filters arrive via
+  ``pushFilters``; consumed filters both PRUNE partitions (slices wholly
+  outside the range never run) and filter rows inside ``read``.
+- Arrow-native read path: ``read`` yields pyarrow RecordBatches.
+
+In production this same class shape would issue HTTP range requests to a
+real ERDDAP server per partition; here each partition reads its slice of
+a local parquet file — identical planning, local I/O.
+
+Usage::
+
+    spark.dataSource.register(ErddapSimDataSource)
+    df = (spark.read.format("erddap_sim")
+          .option("path", ".../events.parquet")
+          .option("time_col", "ts").option("chunk_size", "100000").load())
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql import types as T
+
+DEFAULT_CHUNK_SIZE = 100_000
+
+
+def _ts_to_ns(v) -> int:
+    """datetime (or raw int ns) -> epoch nanoseconds, integer arithmetic
+    throughout (``datetime.timestamp()`` floats lose sub-us precision at
+    2024-scale epochs: ulp ~ 0.4 us)."""
+    import calendar
+    import datetime as _dt
+
+    if isinstance(v, (int, float)):
+        return int(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        sec = calendar.timegm(v.timetuple())
+        return sec * 1_000_000_000 + v.microsecond * 1000
+    raise TypeError(f"unsupported time literal {v!r}")
+
+
+@dataclass
+class TimeSlicePartition(InputPartition):
+    start_ns: int  # inclusive
+    end_ns: int  # exclusive
+
+
+class ErddapSimDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "erddap_sim"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+
+        path = self.options["path"]
+        schema = pq.read_schema(path)
+        fields = []
+        for f in schema:
+            t = str(f.type)
+            if t.startswith("timestamp"):
+                fields.append(T.StructField(f.name, T.TimestampType()))
+            elif t == "int64":
+                fields.append(T.StructField(f.name, T.LongType()))
+            elif t == "int32":
+                fields.append(T.StructField(f.name, T.IntegerType()))
+            elif t == "double":
+                fields.append(T.StructField(f.name, T.DoubleType()))
+            elif t == "float":
+                fields.append(T.StructField(f.name, T.FloatType()))
+            elif t == "string" or t == "large_string":
+                fields.append(T.StructField(f.name, T.StringType()))
+            else:
+                raise TypeError(f"erddap_sim: unmapped arrow type {t} for {f.name}")
+        return T.StructType(fields)
+
+    def reader(self, schema) -> "ErddapSimReader":
+        return ErddapSimReader(self.options, schema)
+
+
+class ErddapSimReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.time_col = options.get("time_col", "time")
+        self.chunk_size = int(options.get("chunk_size", DEFAULT_CHUNK_SIZE))
+        self.schema = schema
+        # pushed time bounds (ns, inclusive start / exclusive end)
+        self.lo_ns: int | None = None
+        self.hi_ns: int | None = None
+
+    # -- O2: predicate pushdown -------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            col = f.attribute[0] if isinstance(f.attribute, tuple) else f.attribute
+            if col != self.time_col:
+                yield f  # not ours: Spark applies it after the scan
+                continue
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = _ts_to_ns(f.value) + (1 if isinstance(f, GreaterThan) else 0)
+                self.lo_ns = lo if self.lo_ns is None else max(self.lo_ns, lo)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                hi = _ts_to_ns(f.value) + (1 if isinstance(f, LessThanOrEqual) else 0)
+                self.hi_ns = hi if self.hi_ns is None else min(self.hi_ns, hi)
+            elif isinstance(f, EqualTo):
+                v = _ts_to_ns(f.value)
+                self.lo_ns = v if self.lo_ns is None else max(self.lo_ns, v)
+                self.hi_ns = v + 1 if self.hi_ns is None else min(self.hi_ns, v + 1)
+            elif isinstance(f, IsNotNull):
+                pass  # subsumed by the range read
+            else:
+                yield f
+                continue
+            # consumed: do NOT yield
+
+    # -- O4/O5: metadata-only chunk planning ------------------------------
+    def _footer_stats(self) -> tuple[int, int, int]:
+        """(row_count, min_ns, max_ns) from parquet footer statistics."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.path)
+        md = pf.metadata
+        idx = pf.schema_arrow.get_field_index(self.time_col)
+        lo = None
+        hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("erddap_sim: time column lacks footer stats")
+            mn, mx = _ts_to_ns(st.min), _ts_to_ns(st.max)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        # footer statistics surface ns timestamps truncated to us; pad the
+        # exclusive upper bound by a full microsecond so the true max row
+        # (sub-us digits > 0) stays inside the final slice
+        return md.num_rows, lo, hi + 1000
+
+    def partitions(self) -> list[TimeSlicePartition]:
+        import math
+
+        row_count, data_lo, data_hi = self._footer_stats()
+        lo = data_lo if self.lo_ns is None else max(data_lo, self.lo_ns)
+        hi = data_hi if self.hi_ns is None else min(data_hi, self.hi_ns)
+        if lo >= hi:
+            # fully pruned; Spark still expects >=1 partition object
+            return [TimeSlicePartition(0, 0)]
+        k = max(1, math.ceil(row_count / self.chunk_size))
+        span = data_hi - data_lo
+        out = []
+        for i in range(k):
+            s = data_lo + span * i // k
+            e = data_hi if i == k - 1 else data_lo + span * (i + 1) // k
+            # partition pruning: slice must intersect the pushed range
+            if e <= lo or s >= hi:
+                continue
+            out.append(TimeSlicePartition(max(s, lo), min(e, hi)))
+        return out
+
+    # -- the per-partition scan -------------------------------------------
+    def read(self, partition: TimeSlicePartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(self.path)
+        tcol = table[self.time_col]
+        ns = pc.cast(tcol, pa.int64())
+        mask = pc.and_(
+            pc.greater_equal(ns, pa.scalar(partition.start_ns)),
+            pc.less(ns, pa.scalar(partition.end_ns)),
+        )
+        sliced = table.filter(mask)
+        # normalize ns -> us so the Spark-facing type is TimestampType
+        cols = []
+        for name in sliced.column_names:
+            c = sliced[name]
+            if str(c.type).startswith("timestamp[ns"):
+                c = pc.cast(
+                    pc.floor_temporal(c, unit="microsecond"), pa.timestamp("us")
+                )
+            cols.append(c)
+        out = pa.table(dict(zip(sliced.column_names, cols)))
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def register(spark) -> None:
+    # pushFilters requires the python filter-pushdown flag (runtime conf)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ErddapSimDataSource)
