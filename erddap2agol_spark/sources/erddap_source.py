@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql import types as T
 
@@ -105,6 +106,9 @@ class ErddapSimDataSource(DataSource):
 
     def reader(self, schema) -> "ErddapSimReader":
         return ErddapSimReader(self.options, schema)
+
+    def simpleStreamReader(self, schema) -> "ErddapSimStreamReader":
+        return ErddapSimStreamReader(self.options, schema)
 
 
 class ErddapSimReader(DataSourceReader):
@@ -209,6 +213,104 @@ class ErddapSimReader(DataSourceReader):
             cols.append(c)
         out = pa.table(dict(zip(sliced.column_names, cols)))
         yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class ErddapSimStreamReader(SimpleDataSourceStreamReader):
+    """ST1/S11 as a custom STREAMING source: each microbatch polls the
+    dataset directory and emits only rows with event time past the last
+    committed offset — the reference's NRT 'download the window, skip if
+    not newer' loop expressed as a streaming offset protocol. Offsets are
+    the high-water mark in ns; exactly-once comes from Spark's offset
+    log + the downstream sink commit.
+    """
+
+    def __init__(self, options, schema):
+        self.dir = options["path"]
+        self.time_col = options.get("time_col", "time")
+        self.schema_ = schema
+
+    def initialOffset(self) -> dict:
+        return {"hwm_ns": -(1 << 62)}
+
+    def _scan(self, after_ns: int):
+        import glob
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        paths = (
+            sorted(glob.glob(os.path.join(self.dir, "*.parquet")))
+            if os.path.isdir(self.dir)
+            else [self.dir]
+        )
+        tables = []
+        hwm = after_ns
+        for p in paths:
+            t = pq.read_table(p)
+            ns = pc.cast(t[self.time_col], pa.int64())
+            mask = pc.greater(ns, pa.scalar(after_ns))
+            t = t.filter(mask)
+            if t.num_rows:
+                hwm = max(hwm, pc.max(pc.cast(t[self.time_col], pa.int64())).as_py())
+                tables.append(t)
+        return tables, hwm
+
+    def read(self, start: dict):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        after = start["hwm_ns"]
+        tables, hwm = self._scan(after)
+        rows: list[tuple] = []
+        for t in tables:
+            cols = []
+            for name in t.column_names:
+                c = t[name]
+                if str(c.type).startswith("timestamp[ns"):
+                    c = pc.cast(
+                        pc.floor_temporal(c, unit="microsecond"), pa.timestamp("us")
+                    )
+                cols.append(c)
+            rows.extend(pa.table(dict(zip(t.column_names, cols))).to_pylist())
+        field_names = [f.name for f in self.schema_.fields]
+        # iter(list): the prefetch cache needs an ITERATOR it can also
+        # copy.copy() — generators can't be copied, bare lists can't next()
+        return iter([tuple(r[n] for n in field_names) for r in rows]), {"hwm_ns": hwm}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import glob
+        import os
+
+        paths = (
+            sorted(glob.glob(os.path.join(self.dir, "*.parquet")))
+            if os.path.isdir(self.dir)
+            else [self.dir]
+        )
+        rows: list[tuple] = []
+        field_names = [f.name for f in self.schema_.fields]
+        for p in paths:
+            t = pq.read_table(p)
+            ns = pc.cast(t[self.time_col], pa.int64())
+            mask = pc.and_(
+                pc.greater(ns, pa.scalar(start["hwm_ns"])),
+                pc.less_equal(ns, pa.scalar(end["hwm_ns"])),
+            )
+            t = t.filter(mask)
+            cols = []
+            for name in t.column_names:
+                c = t[name]
+                if str(c.type).startswith("timestamp[ns"):
+                    c = pc.cast(
+                        pc.floor_temporal(c, unit="microsecond"), pa.timestamp("us")
+                    )
+                cols.append(c)
+            rows.extend(pa.table(dict(zip(t.column_names, cols))).to_pylist())
+        return [tuple(r[n] for n in field_names) for r in rows]
 
 
 def register(spark) -> None:

@@ -71,3 +71,64 @@ def test_nontime_filters_still_applied(spark, sim):
         (F.col("event_type") == "error") & (F.col("ts") >= "2024-01-15")
     )
     assert df.count() == native.count() > 0
+
+
+def test_streaming_nrt_polling(spark, tmp_path):
+    """The streaming form: each microbatch emits only rows past the last
+    committed high-water mark; new files appearing in the dataset dir
+    are the reference's 'new NRT data arrived' condition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "nrt_ds")
+    import os
+
+    os.makedirs(src)
+
+    def write_batch(fname, ids, day):
+        tb = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [day * 86_400_000_000_000 + i * 1000 for i in ids],
+                    pa.timestamp("ns"),
+                ),
+                "v": pa.array([float(i) for i in ids], pa.float64()),
+            }
+        )
+        pq.write_table(tb, f"{src}/{fname}.parquet")
+
+    write_batch("b1", [1, 2, 3], day=1)
+
+    erddap_source.register(spark)
+    stream = (
+        spark.readStream.format("erddap_sim")
+        .option("path", src)
+        .option("time_col", "ts")
+        .schema("event_id bigint, ts timestamp, v double")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nrt_sim")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = sorted(r.event_id for r in spark.sql("SELECT * FROM nrt_sim").collect())
+        assert got1 == [1, 2, 3]
+        # new file with LATER timestamps -> only those arrive
+        write_batch("b2", [4, 5], day=2)
+        q.processAllAvailable()
+        got2 = sorted(r.event_id for r in spark.sql("SELECT * FROM nrt_sim").collect())
+        assert got2 == [1, 2, 3, 4, 5]
+        # re-delivering the same files adds nothing (high-water mark gate)
+        q.processAllAvailable()
+        assert (
+            sorted(r.event_id for r in spark.sql("SELECT * FROM nrt_sim").collect())
+            == got2
+        )
+    finally:
+        q.stop()
