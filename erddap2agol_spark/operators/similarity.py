@@ -92,6 +92,76 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_matrix(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k, matrix form — the high-throughput variant of
+    :func:`brute_force_topk` for wide vectors / large corpora.
+
+    The (small, by contract) query set collects to a normalized numpy
+    matrix and broadcasts; each corpus partition computes one
+    ``Q @ C.T`` GEMM per Arrow batch and emits only its LOCAL top-k per
+    query (<= n_queries x k rows per partition); a final tiny window
+    merges partials into the global top-k. Identical results to the
+    zip_with form (ties broken on rounded cosine then neighbor id).
+
+    Scale shape: one broadcast of n_q x dim doubles, zero shuffle of the
+    corpus, and the reduce input is n_partitions x n_q x k candidate
+    rows — independent of corpus size.
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((qids, qn))
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = np.round(q_mat @ cm.T, round_to)  # (n_q, batch)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                mask = cids != q_ids[qi]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                # local top-k by (cos desc, neighbor id asc)
+                order = np.lexsort((cids[idx], -row[idx]))[:k]
+                sel = idx[order]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_n.extend(cids[sel].tolist())
+                out_s.extend(row[sel].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        partials.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """Projection-sign LSH bucket key: the sign bits of the first ``bits``
     vector components, as a string key. Deterministic, engine-portable.

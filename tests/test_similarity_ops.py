@@ -76,3 +76,12 @@ def test_with_row_number(spark):
     df = spark.createDataFrame([("b",), ("a",)], ["v"])
     out = with_row_number(df, ["v"])
     assert [(r.v, r.rowid) for r in out.orderBy("rowid").collect()] == [("a", 1), ("b", 2)]
+
+
+def test_matrix_topk_matches_zipwith(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+    b = similarity.brute_force_topk_matrix(queries, emb, "vec_id", "embedding", k=5)
+    ra = sorted((r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in a.collect())
+    rb = sorted((r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in b.collect())
+    assert ra == rb
