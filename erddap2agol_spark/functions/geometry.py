@@ -105,6 +105,42 @@ def box_geojson(corners: Column, lat_first: bool = True) -> Column:
     return F.concat(F.lit('{"type":"Polygon","coordinates":[['), ring, F.lit("]]}"))
 
 
+def _triple(x: Column, y: Column, z: Column) -> Column:
+    return F.concat(
+        F.lit("["), _fmt(x), F.lit(","), _fmt(y), F.lit(","), _fmt(z), F.lit("]")
+    )
+
+
+def point3d_geojson(
+    x: Column,
+    y: Column,
+    z: Column,
+    z_factor: float = 1.0,
+    z_offset: float = 0.0,
+) -> Column:
+    """F17 Z ordinates: 3-D Point with the reference's zFactor/zOffset
+    scaling (Converters/Json2GeoJSON.py:72-86, 349-376). ``strip-Z`` is
+    simply using :func:`point_from_xy` instead."""
+    zz = z.cast("double") * z_factor + z_offset
+    return F.concat(
+        F.lit('{"type":"Point","coordinates":'), _triple(x, y, zz), F.lit("}")
+    )
+
+
+def segment3d_geojson(
+    x1: Column, y1: Column, z1: Column, x2: Column, y2: Column, z2: Column,
+    z_factor: float = 1.0, z_offset: float = 0.0,
+) -> Column:
+    """Two-point LineString with elevation (the reference's addElevation
+    recursively appends Z to every coordinate; for fixed-arity shapes
+    that is plain column algebra)."""
+    s1 = _triple(x1, y1, z1.cast("double") * z_factor + z_offset)
+    s2 = _triple(x2, y2, z2.cast("double") * z_factor + z_offset)
+    return F.concat(
+        F.lit('{"type":"LineString","coordinates":['), s1, F.lit(","), s2, F.lit("]}")
+    )
+
+
 def segment_geojson(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     """Two-point LineString — the glider consecutive-point segment (W1)."""
     return F.concat(

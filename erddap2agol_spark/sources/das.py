@@ -158,6 +158,22 @@ def grid_measure_variables(meta: DataFrame) -> DataFrame:
     )
 
 
+def find_time_variables(meta: DataFrame) -> DataFrame:
+    """Time-variable detection from metadata (reference: variables named
+    ``time`` OR carrying ``ioos_category=Time`` OR epoch-seconds units —
+    the ``datecollec``/``date_gmt`` alternates of src/das_client.py).
+    Output: (dataset_id, variable)."""
+    named = meta.filter(F.col("variable") == "time").select("dataset_id", "variable")
+    categorized = meta.filter(
+        (F.col("attr") == "ioos_category") & (F.col("value") == "Time")
+    ).select("dataset_id", "variable")
+    epoch_units = meta.filter(
+        (F.col("attr") == "units")
+        & F.col("value").startswith("seconds since 1970")
+    ).select("dataset_id", "variable")
+    return named.unionByName(categorized).unionByName(epoch_units).distinct()
+
+
 def time_extent_from_meta(
     meta: DataFrame, now: datetime | None = None
 ) -> DataFrame:

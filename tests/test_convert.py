@@ -191,3 +191,16 @@ def test_decode_datetime_null_on_garbage(spark):
     df = spark.createDataFrame([("not a date",), (None,)], ["raw"])
     out = df.select(datetimes.decode_datetime(F.col("raw")).alias("ts")).collect()
     assert all(r.ts is None for r in out)
+
+
+def test_point3d_and_segment3d(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 5.0, 3.0, 4.0, 7.0)],
+                               ["x1", "y1", "z1", "x2", "y2", "z2"])
+    p = df.select(geometry.point3d_geojson(
+        F.col("x1"), F.col("y1"), F.col("z1"), z_factor=2.0, z_offset=1.0
+    ).alias("g")).first().g
+    assert json.loads(p)["coordinates"] == [1, 2, 11]
+    s = df.select(geometry.segment3d_geojson(
+        F.col("x1"), F.col("y1"), F.col("z1"),
+        F.col("x2"), F.col("y2"), F.col("z2")).alias("g")).first().g
+    assert json.loads(s)["coordinates"] == [[1, 2, 5], [3, 4, 7]]

@@ -151,3 +151,26 @@ def test_geographic_range(spark):
         for r in das.geographic_range_from_meta(_meta(spark)).collect()
     }
     assert geo["buoy"] == (27.9, 27.9, -93.6, -93.6)
+
+
+def test_find_time_variables(spark):
+    extra = """Attributes {
+ datecollec {
+  String units "seconds since 1970-01-01T00:00:00Z";
+ }
+ date_gmt {
+  String ioos_category "Time";
+ }
+ temp {
+  Float64 actual_range 1.0, 2.0;
+ }
+}
+"""
+    meta = das.das_to_dataframe(spark, {"buoy": DAS_BUOY, "alt": extra})
+    got = {
+        (r.dataset_id, r.variable)
+        for r in das.find_time_variables(meta).collect()
+    }
+    assert ("buoy", "time") in got
+    assert ("alt", "datecollec") in got and ("alt", "date_gmt") in got
+    assert ("alt", "temp") not in got
