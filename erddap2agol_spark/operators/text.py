@@ -81,6 +81,43 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 32,
+    overlap: int = 8,
+):
+    """Split documents into overlapping token-bounded chunks — the
+    training-data windowing op (context-length packing). Pure array
+    algebra: token array -> start-index sequence -> explode -> slice.
+    One output row per chunk; no shuffle (map-side explode only).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("start"), max_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.size(F.col("__toks")) - F.col("start") + 1, F.lit(max_tokens)
+            ).cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def tfidf_features(df, id_col: str, text_col: str, n_features: int = 1 << 12):
     """TF-IDF feature vectors via pyspark.ml (HashingTF + IDF) — the
     SURVEY §7.2 text-analysis scale path: hashing keeps the vocabulary

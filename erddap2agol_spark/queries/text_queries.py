@@ -113,3 +113,30 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS start,
+             generate_subscripts(generate_series(1, greatest(len(t) - 8, 1), 24), 1) AS pos
+      FROM toks
+    )
+    SELECT doc_id, CAST(pos - 1 AS INTEGER) AS chunk_idx,
+           array_to_string(t[start:start+31], ' ') AS chunk_text,
+           CAST(least(len(t) - start + 1, 32) AS INTEGER) AS n_chunk_tokens
+    FROM starts
+    """,
+    doc="Context-length packing: overlapping 32-token chunks with 8-token "
+    "overlap — one explode, no shuffle; the training-data windowing op.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.chunk_documents(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_tokens=32, overlap=8,
+    )
