@@ -458,3 +458,30 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "time_steps",
+    oracle="""
+    WITH seq AS (
+      SELECT o_orderkey,
+             unnest([o_orderdate + i * INTERVAL 1 MONTH
+                     for i in generate_series(0, 2)]) AS step_ts
+      FROM orders WHERE o_orderkey < 100
+    )
+    SELECT o_orderkey, step_ts FROM seq
+    """,
+    doc="F4: interval time stepping (the reference's iterateTime) — "
+    "sequence(start, end, interval) exploded to one row per step. "
+    "NOTE: Spark sequence() is multiplicative from the start "
+    "(Aug31 + 2M = Oct31); DuckDB generate_series clamps cumulatively "
+    "(Aug31 -> Sep30 -> Oct30), so the oracle uses start + i*interval.",
+)
+def time_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    steps = F.sequence(
+        F.col("o_orderdate"),
+        F.col("o_orderdate") + F.expr("INTERVAL 2 MONTHS"),
+        F.expr("INTERVAL 1 MONTH"),
+    )
+    return o.select("o_orderkey", F.explode(steps).alias("step_ts"))

@@ -91,3 +91,31 @@ def test_structured_streaming_windowed_counts(spark, tmp_path):
         assert days == ev.select(F.date_trunc("day", "ts")).distinct().count()
     finally:
         q.stop()
+
+
+def test_foreachbatch_atomic_publish(spark, tmp_path):
+    """ST1 end-to-end: streaming windowed counts committed through the
+    atomic A/B sink per microbatch — readers always see a complete
+    snapshot of the latest aggregate state."""
+    src = str(tmp_path / "src")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.parquet(src)
+    sink = str(tmp_path / "agg_sink")
+    agg = nrt.windowed_counts_stream(spark, src, ev.schema, window="1 day")
+
+    def commit(batch_df, epoch_id):
+        nrt.atomic_overwrite(batch_df, sink)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(commit)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = nrt.read_current(spark, sink)
+    assert out.agg(F.sum("n")).first()[0] == ev.count()
+    assert set(out.columns) == {"bucket_start", "event_type", "n"}
