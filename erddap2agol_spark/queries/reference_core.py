@@ -718,3 +718,31 @@ def connector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
         & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
     ).select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "array_ops",
+    oracle="""
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+    SELECT p_partkey,
+           len(w) AS n_words,
+           array_to_string(list_sort(list_distinct(w)), ',') AS distinct_sorted,
+           w[1] AS first_word,
+           w[-1] AS last_word,
+           array_to_string(list_reverse(w), ' ') AS reversed_name
+    FROM t
+    """,
+    doc="F13/U5-class array algebra: split, distinct, sort, first/last "
+    "element, reverse — the tag-hygiene primitive set, JVM-side.",
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(w).alias("n_words"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(w))).alias("distinct_sorted"),
+        F.element_at(w, 1).alias("first_word"),
+        F.element_at(w, -1).alias("last_word"),
+        F.concat_ws(" ", F.reverse(w)).alias("reversed_name"),
+    )

@@ -132,3 +132,60 @@ def test_feed_to_geojson_lifecycle(spark, tmp_path):
     assert n == 2
     coords = sorted(f["geometry"]["coordinates"] for f in fc["features"])
     assert coords == [[-93.6, 27.9], [-90.1, 28.4]]
+
+
+def test_glider_spaced_column_names(spark, tmp_path):
+    """FIXTURES.md §3: real glider tables have spaced/parenthesized
+    column names ('longitude (degrees_east)') — the full segment ->
+    GeoJSON path must survive them, including ~2% null coordinates."""
+    from erddap2agol_spark.operators.filters import drop_invalid_coords
+    from erddap2agol_spark.operators.windows import track_segments
+
+    rows = [
+        ("g1", "2024-01-01 00:00:00", -93.6, 27.9, 22.5),
+        ("g1", "2024-01-01 01:00:00", -93.5, 28.0, 22.7),
+        ("g1", "2024-01-01 02:00:00", None, None, 23.0),  # dropped point
+        ("g1", "2024-01-01 03:00:00", -93.4, 28.1, 23.1),
+        ("g2", "2024-01-01 00:30:00", -90.0, 25.0, 25.0),
+        ("g2", "2024-01-01 01:30:00", -90.1, 25.1, 25.2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema=[
+            "glider_id",
+            "time",
+            "longitude (degrees_east)",
+            "latitude (degrees_north)",
+            "temperature",
+        ],
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    clean = drop_invalid_coords(
+        df, ["longitude (degrees_east)", "latitude (degrees_north)"]
+    )
+    assert clean.count() == 5
+    segs = track_segments(
+        clean,
+        "glider_id",
+        "time",
+        "longitude (degrees_east)",
+        "latitude (degrees_north)",
+        carry_cols=["temperature"],
+    )
+    got = {(r.glider_id, r.x1, r.x2, r.temperature) for r in segs.collect()}
+    # null point removed -> g1 pairs (p0,p1) and (p1,p3); properties from
+    # the SECOND point of each segment
+    assert got == {
+        ("g1", -93.6, -93.5, 22.7),
+        ("g1", -93.5, -93.4, 23.1),
+        ("g2", -90.0, -90.1, 25.2),
+    }
+    path = str(tmp_path / "gliders.geojson")
+    n = write_feature_collection(
+        segs,
+        ["glider_id", "temperature"],
+        geometry.segment_geojson(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
+        path,
+    )
+    fc = json.load(open(path))
+    assert n == 3 and len(fc["features"]) == 3
+    assert all(f["properties"]["glider_id"] in ("g1", "g2") for f in fc["features"])

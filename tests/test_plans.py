@@ -125,3 +125,21 @@ def test_entry_schema_stable(spark):
         "count_order",
     ]
     assert df.count() > 0
+
+
+def test_auto_broadcast_without_hint(spark):
+    """Catalyst's statistics-based broadcast: joining the 25-row nation
+    dim with NO explicit hint must still pick BroadcastHashJoin (CBO
+    reads parquet sizes) — the free O4 upgrade."""
+    from erddap2agol_spark.sources.tables import load_table
+
+    import contextlib
+    import io
+
+    cust = load_table(spark, SF, "customer")
+    nation = load_table(spark, SF, "nation")
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
