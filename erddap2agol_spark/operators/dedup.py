@@ -233,6 +233,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list: (node, component) with the
+    component labeled by its minimum node id.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the scale path for
+    cluster formation after LSH/Jaccard pair generation. Each round is two
+    hash shuffles on the node id; the edge set provably contracts toward
+    star graphs in O(log^2 n) rounds (in practice a handful), so a 100 TB
+    pair list never needs a driver-side union-find. Per-round state is
+    persisted and the previous round freed, keeping lineage flat.
+
+    Isolated nodes don't appear in ``edges`` and so don't appear in the
+    output; callers wanting singleton clusters left-join and coalesce to
+    the node's own id (see the ``dedup_clusters`` query).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u")
+    # symmetric undirected form
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(e.select("v", "u")).distinct().persist()
+    for _ in range(max_iter):
+        # large-star: every neighbor larger than u links to
+        # min(N(u) ∪ {u}); output is directed big → small
+        m = F.least(F.min("v").over(w), F.col("u"))
+        large = (
+            e.withColumn("m", m)
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over directed edges (v <= u): u and all its small
+        # neighbors link to the minimum of the closed neighborhood
+        small = (
+            large.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("edge")
+            )
+            .select("edge.u", "edge.v")
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nxt = small.union(small.select("v", "u")).persist()
+        # both are distinct sets: equal iff same size and nxt ⊆ e
+        converged = nxt.count() == e.count() and nxt.exceptAll(e).isEmpty()
+        e.unpersist()
+        e = nxt
+        if converged:
+            break
+    # converged: stars pointing at the component min. Roots label themselves.
+    comp = (
+        e.where(F.col("v") < F.col("u"))
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("component"))
+    )
+    roots = comp.select(F.col("component").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str,

@@ -124,6 +124,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+      WHERE round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    root AS (SELECT u AS node, least(min(v), u) AS root FROM reach GROUP BY u),
+    lab AS (
+      SELECT d.doc_id, coalesce(r.root, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN root r ON d.doc_id = r.node
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """,
+    doc="Near-dup CLUSTER formation: Jaccard>=0.5 pairs -> connected "
+    "components (alternating large-star/small-star, Kiveris et al. "
+    "SoCC'14) -> every document labeled with its component's min doc_id "
+    "(singletons label themselves). The oracle computes the same "
+    "components via a recursive transitive closure — fine at sf0.01, "
+    "while the Spark side is the O(log n)-round algorithm that survives "
+    "100 TB pair lists.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    # no broadcast hint: at web scale the label table is every doc that
+    # appears in any pair — AQE picks broadcast when it is in fact small
+    lab = docs.select("doc_id").join(
+        comp, docs.doc_id == comp.node, "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+    return lab.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+
+
 _VEC_CTE = """
     v AS (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,

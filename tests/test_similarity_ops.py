@@ -85,3 +85,25 @@ def test_matrix_topk_matches_zipwith(spark, emb):
     ra = sorted((r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in a.collect())
     rb = sorted((r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in b.collect())
     assert ra == rb
+
+
+def test_connected_components_shapes(spark):
+    """Chains, a triangle, and a 2-node component must each collapse to
+    their min id; isolated nodes never appear in the output."""
+    from erddap2agol_spark.operators.dedup import connected_components
+
+    pairs = [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+             (20, 21), (5, 6), (6, 7), (7, 8), (8, 9)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = sorted((r.node, r.component) for r in connected_components(df).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 5),
+                   (8, 5), (9, 5), (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)]
+
+
+def test_connected_components_empty_and_single(spark):
+    from erddap2agol_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    one = spark.createDataFrame([(7, 3)], ["doc_a", "doc_b"])
+    assert sorted(map(tuple, connected_components(one).collect())) == [(3, 3), (7, 3)]
