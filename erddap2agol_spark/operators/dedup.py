@@ -158,29 +158,106 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Per token: a 16-bit hash (first 4 hex chars of md5). Per bit position:
     sum of ±1 votes over tokens; fingerprint sets bits with positive vote.
-    Expressed as explode → bit-position cross product (16 small rows per
-    token) → two hash aggregates. Near-dup detection then compares
+    All 16 per-bit vote sums run as ONE hash aggregate with 16 columns —
+    map-side combine reduces each partition to one row per doc before the
+    exchange, so the shuffle carries n_docs x 16 longs, not
+    n_tokens x 16 exploded rows. Near-dup detection then compares
     fingerprints by Hamming distance — ``bit_count(a XOR b)``.
     """
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("th", _hex4_to_int(F.md5(F.col("tok"))))
-    bits = toks.select(
-        "doc",
-        "th",
-        F.explode(F.array(*[F.lit(i) for i in range(16)])).alias("pos"),
-    ).withColumn(
-        # shiftright() in the Python API wants a literal bit count; the SQL
-        # form accepts a column expression
-        "vote",
-        F.when(F.expr("(shiftright(th, pos) & 1) = 1"), 1).otherwise(-1),
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(th, {i}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(16)
+        ]
     )
-    votes = bits.groupBy("doc", "pos").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0)
-        ).alias("simhash")
+    fp: Column = F.lit(0).cast("bigint")
+    for i in range(16):
+        fp = fp + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return votes.select("doc", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sh: DataFrame,
+    max_hamming: int = 2,
+    n_bits: int = 16,
+    id_col: str = "doc",
+    fp_col: str = "simhash",
+    strategy: str = "auto",
+    cross_threshold: int = 20_000,
+) -> DataFrame:
+    """All (doc_a < doc_b) pairs within ``max_hamming`` of their SimHash.
+
+    Two physical strategies, same result:
+
+    - ``cross``: theta self-join (broadcast nested loop) + hamming filter.
+      Zero shuffle; wins while n^2/2 comparisons fit the cluster
+      (fingerprints are 8 bytes, the compare is two codegen'd ALU ops).
+    - ``banded``: split the fingerprint into ``max_hamming + 1`` disjoint
+      bit bands — by pigeonhole, two fingerprints differing in
+      <= max_hamming bits agree on at least one whole band — equi-join on
+      (band, band_bits), verify with ``bit_count(xor)``. Candidates only
+      meet inside a band bucket: this is what survives a
+      billion-document corpus, where the cross product never runs.
+
+    ``auto`` counts the (usually persisted, tiny) fingerprint table and
+    picks cross below ``cross_threshold`` docs — the count is one cheap
+    aggregate, nothing next to either join.
+    """
+    if strategy == "auto":
+        strategy = "cross" if sh.count() <= cross_threshold else "banded"
+    if strategy == "cross":
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.bit_count(
+                    F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    n_bands = max_hamming + 1
+    base, extra = divmod(n_bits, n_bands)
+    offsets, off = [], 0
+    for i in range(n_bands):
+        size = base + (1 if i < extra else 0)
+        offsets.append((off, size))
+        off += size
+    stack_args = ", ".join(
+        f"{i}, (shiftright({fp_col}, {o}) & {(1 << s) - 1})"
+        for i, (o, s) in enumerate(offsets)
+    )
+    bands = sh.selectExpr(
+        f"{id_col} AS doc",
+        fp_col,
+        f"stack({n_bands}, {stack_args}) AS (band, band_bits)",
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

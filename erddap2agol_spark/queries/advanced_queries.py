@@ -157,19 +157,10 @@ _SIMHASH_CTE = """
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.simhash16(docs, "doc_id", "text")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 2)
-    )
+    # persist: the banded self-join scans the fingerprint table twice and
+    # plan-cache reuse makes repeated calls steady-state cheap
+    sh = dedup.simhash16(docs, "doc_id", "text").persist()
+    return dedup.simhash_near_pairs(sh, max_hamming=2)
 
 
 _SHINGLES_CTE = """

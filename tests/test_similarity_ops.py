@@ -107,3 +107,15 @@ def test_connected_components_empty_and_single(spark):
     assert connected_components(empty).count() == 0
     one = spark.createDataFrame([(7, 3)], ["doc_a", "doc_b"])
     assert sorted(map(tuple, connected_components(one).collect())) == [(3, 3), (7, 3)]
+
+
+def test_simhash_near_pairs_strategies_agree(spark):
+    """Banded pigeonhole join and the cross join are physical strategies
+    over the same algebra — identical pair sets, hamming included."""
+    from erddap2agol_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    sh = dedup.simhash16(docs, "doc_id", "text").persist()
+    cross = {tuple(r) for r in dedup.simhash_near_pairs(sh, 2, strategy="cross").collect()}
+    banded = {tuple(r) for r in dedup.simhash_near_pairs(sh, 2, strategy="banded").collect()}
+    assert cross == banded and cross
