@@ -275,30 +275,39 @@ def ngram_jaccard_pairs(
     The join key is the shingle, so only docs sharing at least one shingle
     ever pair up (common-shingle fan-out is the skew risk at scale —
     drop ultra-frequent shingles first for web-scale corpora).
+
+    Each shingle row carries its doc's set size (one int, constant per
+    doc), which buys two things: the length-ratio prune
+    ``t*n_b <= n_a AND t*n_a <= n_b`` — implied by jaccard >= t because
+    J <= min/max — runs INSIDE the join before any pair is aggregated,
+    and the final jaccard needs no size-lookup joins at all (sizes ride
+    the group key).
     """
     src = ensure_parallelism(df)
     # persisted: the pair self-join scans the shingle explode twice
+    grams = word_shingles(F.col(text_col), shingle_n)
     sh = src.select(
         F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        F.size(grams).alias("n_sh"),
+        F.explode(grams).alias("sh"),
     ).persist()
-    # shingle-set sizes straight off the array — no second explode+agg
-    sizes = src.select(
-        F.col(id_col).alias("doc"),
-        F.size(word_shingles(F.col(text_col), shingle_n)).alias("n_sh"),
-    )
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
             F.round(
