@@ -1,0 +1,85 @@
+"""Deterministic sampling and dataset-split operators.
+
+Training-data pipelines need reproducible row selection that is stable
+across runs, engines, and cluster sizes — ``rand()`` is none of those.
+Everything here derives its decision from an md5 bucket of the row's id:
+a pure narrow map (no shuffle, no state), so a 100 TB split is exactly as
+parallel as the scan that feeds it, and re-running on a grown corpus
+keeps every previously-assigned row in the same split (the property that
+keeps eval sets uncontaminated as the corpus is refreshed).
+
+md5 (not xxhash) for the same reason as the dedup operators: identical
+in every engine, so splits are oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16-bit bucket space: granular enough for percent-level rates while
+# keeping the hex->int conversion cheap and mirrorable in ANSI SQL
+N_BUCKETS = 1 << 16
+
+
+def hash_bucket(id_col: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, 65536): first 4 hex chars of
+    md5('<salt>:' || id). Changing the salt draws an independent split."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows (bucket < rate*N).
+
+    Unlike ``df.sample``, membership is a pure function of the id: stable
+    under retries, partition changes, and incremental corpus growth.
+    """
+    return df.filter(hash_bucket(F.col(id_col), salt) < int(rate * N_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by cumulative bucket ranges.
+
+    ``splits`` maps name -> fraction (must sum to ~1.0); assignment is the
+    half-open bucket interval scheme, so the same row always lands in the
+    same split and fractions hold in expectation over the id hash.
+    """
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    b = hash_bucket(F.col(id_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = b < int(acc * N_BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, out)
+
+
+def quota_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, keep_col: str = "rn"
+) -> DataFrame:
+    """At most ``k`` rows per group, deterministically: rank by
+    (order_col, and the order column must be made unique by the caller if
+    ties matter) and keep rank <= k. One hash shuffle on the group key —
+    the standard cap-per-domain / cap-per-cluster downsampling primitive.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn(keep_col, F.row_number().over(w))
+        .filter(F.col(keep_col) <= k)
+        .drop(keep_col)
+    )

@@ -46,6 +46,7 @@ def _load_all() -> None:
     # import for registration side effects
     from . import advanced_queries  # noqa: F401
     from . import converter_queries  # noqa: F401
+    from . import curation_queries  # noqa: F401
     from . import dedup_queries  # noqa: F401
     from . import reference_core  # noqa: F401
     from . import similarity_queries  # noqa: F401

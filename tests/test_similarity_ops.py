@@ -119,3 +119,61 @@ def test_simhash_near_pairs_strategies_agree(spark):
     cross = {tuple(r) for r in dedup.simhash_near_pairs(sh, 2, strategy="cross").collect()}
     banded = {tuple(r) for r in dedup.simhash_near_pairs(sh, 2, strategy="banded").collect()}
     assert cross == banded and cross
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 60, 40), (2, 80, 120), (3, 50, 25)])
+def test_connected_components_vs_union_find(spark, seed, n_nodes, n_edges):
+    """Randomized graphs: the distributed star-contraction must agree
+    with a driver-side union-find on every node's component min."""
+    import random
+
+    from erddap2agol_spark.operators.dedup import connected_components
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    expect = sorted((x, find(x)) for x in touched)
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = sorted((r.node, r.component) for r in connected_components(df).collect())
+    assert got == expect
+
+
+def test_quota_per_group_and_hash_split_validation(spark):
+    from erddap2agol_spark.operators import sampling
+
+    rows = [(g, i) for g in ("a", "b") for i in range(5)]
+    df = spark.createDataFrame(rows, ["grp", "ord"])
+    capped = sampling.quota_per_group(df, "grp", "ord", 3)
+    got = sorted((r.grp, r.ord) for r in capped.collect())
+    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 0), ("b", 1), ("b", 2)]
+
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, "ord", {"train": 0.5, "test": 0.1})
+
+
+def test_hash_split_stable_under_growth(spark):
+    """The defining property: adding rows never moves an existing row's
+    split assignment (hash-of-id, not position or rand)."""
+    from erddap2agol_spark.operators import sampling
+
+    small = spark.range(100)
+    big = spark.range(1000)
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s = {r.id: r.split for r in sampling.hash_split(small, "id", frac).collect()}
+    b = {r.id: r.split for r in sampling.hash_split(big, "id", frac).collect()}
+    assert all(b[i] == v for i, v in s.items())
