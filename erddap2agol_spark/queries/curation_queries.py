@@ -93,3 +93,80 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(emb, "vec_id", "embedding")
+
+
+@register(
+    "corpus_keep_list",
+    oracle=f"""
+    WITH RECURSIVE
+    ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    d AS (SELECT dd.doc_id, dd.text FROM documents dd JOIN ex ON dd.doc_id = ex.doc_id),
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM d)
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+      WHERE round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    root AS (SELECT u AS node, least(min(v), u) AS root FROM reach GROUP BY u),
+    keep AS (
+      SELECT d.doc_id FROM d LEFT JOIN root r ON d.doc_id = r.node
+      WHERE r.root IS NULL OR r.root = d.doc_id
+    ),
+    b AS (
+      SELECT doc_id,
+             (instr('{_HEX}', h[1]) - 1) * 4096 + (instr('{_HEX}', h[2]) - 1) * 256 +
+             (instr('{_HEX}', h[3]) - 1) * 16   + (instr('{_HEX}', h[4]) - 1) AS bucket
+      FROM (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM keep)
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 52428 THEN 'train'
+                WHEN bucket < 58982 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="The end-to-end corpus build: exact dedup (hash-only shuffle) -> "
+    "near-dup clustering on the survivors (Jaccard>=0.5 pairs -> "
+    "large-star/small-star components) -> keep each cluster's min doc -> "
+    "deterministic train/val/test assignment. Exact dedup runs FIRST so "
+    "identical texts never reach the pair join; the keep decision and "
+    "split are both reproducible functions of content and id.",
+)
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = docs.join(keepers, "doc_id", "left_semi")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    keep = (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .where(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+    return sampling.hash_split(keep, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
