@@ -80,3 +80,60 @@ def enrich(
             dim_col
         )
     return joined
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    on: Sequence[str] = (),
+    bin_width: float | None = None,
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Point-in-interval join: rows of ``points`` matched to rows of
+    ``intervals`` where ``lo <= point < hi`` (half-open; a NULL ``hi``
+    means unbounded above).
+
+    Spark has no native range join, and the naive theta join degenerates
+    to a nested-loop cross product. Two scale strategies, picked by what
+    the data offers:
+
+    - ``on`` keys present: plain hash equi-join on the keys with the
+      range predicate as a join residual — the shuffle is keyed, the
+      range check rides along at zero extra cost. Set
+      ``broadcast_intervals`` when the interval side is a small dim.
+    - keyless + ``bin_width``: each interval explodes into the coarse
+      bins it overlaps (``sequence(floor(lo/w), floor(hi/w))``) and each
+      point maps to exactly ONE bin, so the equi-join on the bin meets
+      every qualifying pair exactly once — no post-join dedup — and the
+      pair space shrinks from |P|x|I| to per-bin occupancy. Pick
+      ``bin_width`` near the typical interval length: wider bins raise
+      false candidates, narrower raise the explode factor.
+    """
+    rng = F.col(point_col) >= F.col(lo_col)
+    rng &= F.col(hi_col).isNull() | (F.col(point_col) < F.col(hi_col))
+    if on:
+        iv = F.broadcast(intervals) if broadcast_intervals else intervals
+        cond = rng
+        for k in on:
+            cond = (points[k] == iv[k]) & cond
+        return points.join(iv, cond).drop(*[iv[k] for k in on])
+    if bin_width is None:
+        raise ValueError("keyless interval_join requires bin_width")
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                # NULL hi would make the sequence unbounded; keyless
+                # unbounded-above intervals need the keyed strategy
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    return p.join(iv, (p["__bin"] == iv["__bin"]) & rng).drop("__bin")

@@ -476,3 +476,62 @@ def time_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("INTERVAL 1 MONTH"),
     )
     return o.select("o_orderkey", F.explode(steps).alias("step_ts"))
+
+
+@register(
+    "value_decile_bands",
+    oracle="""
+    WITH bs AS (
+      SELECT event_type,
+             quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+      FROM events GROUP BY event_type
+    ),
+    bands AS (
+      SELECT event_type, i AS band,
+             CASE WHEN i = 0 THEN CAST('-infinity' AS DOUBLE) ELSE q[i] END AS lo,
+             CASE WHEN i = 9 THEN NULL ELSE q[i + 1] END AS hi
+      FROM bs CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS i)
+    )
+    SELECT e.event_type, b.band, count(*) AS n_events
+    FROM events e JOIN bands b ON e.event_type = b.event_type
+      AND e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
+    GROUP BY 1, 2
+    """,
+    doc="Data-driven histogram: per-type decile boundaries (one tiny "
+    "percentile aggregate) become a broadcast interval dim, and every "
+    "event lands in its band through a keyed interval join — the range "
+    "check is a join residual on a hash equi-join, never a nested-loop "
+    "cross product. Half-open bands; quantile_cont/percentile "
+    "interpolation matches across engines.",
+)
+def value_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    qs = [i / 10 for i in range(1, 10)]
+    bs = events.groupBy("event_type").agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("q")
+    )
+    structs = []
+    for i in range(10):
+        lo = F.lit(float("-inf")) if i == 0 else F.col("q")[i - 1]
+        hi = F.lit(None).cast("double") if i == 9 else F.col("q")[i]
+        structs.append(
+            F.struct(F.lit(i).alias("band"), lo.alias("lo"), hi.alias("hi"))
+        )
+    bands = bs.select("event_type", F.explode(F.array(*structs)).alias("b")).select(
+        "event_type", "b.band", "b.lo", "b.hi"
+    )
+    return (
+        interval_join(
+            events.select("event_id", "event_type", "value"),
+            bands,
+            "value",
+            "lo",
+            "hi",
+            on=["event_type"],
+            broadcast_intervals=True,
+        )
+        .groupBy("event_type", "band")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -177,3 +177,29 @@ def test_hash_split_stable_under_growth(spark):
     s = {r.id: r.split for r in sampling.hash_split(small, "id", frac).collect()}
     b = {r.id: r.split for r in sampling.hash_split(big, "id", frac).collect()}
     assert all(b[i] == v for i, v in s.items())
+
+
+def test_interval_join_keyed_and_binned_agree(spark):
+    from erddap2agol_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.5, 1.0, 2.5, 7.0, 9.99, 10.0])],
+        ["pid", "x"],
+    )
+    ivs = spark.createDataFrame(
+        [(100, 0.0, 1.0), (200, 0.5, 3.0), (300, 9.0, None), (400, 2.5, 2.5)],
+        "iid long, lo double, hi double",
+    )
+    # keyless binned strategy can't express unbounded-above: bound it for
+    # the comparison and check the NULL-hi row only via the keyed path
+    keyed = interval_join(
+        pts.withColumn("k", F.lit(1)), ivs.withColumn("k", F.lit(1)),
+        "x", "lo", "hi", on=["k"],
+    )
+    got_keyed = sorted((r.pid, r.iid) for r in keyed.collect())
+    assert got_keyed == [(0, 100), (0, 200), (1, 200), (2, 200), (4, 300), (5, 300)]
+
+    bounded = ivs.fillna({"hi": 100.0})
+    binned = interval_join(pts, bounded, "x", "lo", "hi", bin_width=2.0)
+    got_binned = sorted((r.pid, r.iid) for r in binned.collect())
+    assert got_binned == got_keyed
