@@ -83,3 +83,67 @@ def quota_per_group(
         .filter(F.col(keep_col) <= k)
         .drop(keep_col)
     )
+
+
+def pack_index(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    context_len: int,
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Packed-dataset index: concatenate documents (in a deterministic
+    hash order) and cut every ``context_len`` tokens — the standard
+    pretraining packing — WITHOUT materializing any concatenation.
+
+    Output: one row per (document x context chunk it overlaps):
+    ``(id, shard, chunk, tok_begin, tok_end, pos_begin)`` — take the
+    doc's tokens [tok_begin, tok_end) and place them at ``pos_begin``
+    in chunk ``chunk`` of ``shard``. Long docs straddle chunk
+    boundaries exactly as concat-and-cut would split them.
+
+    Scale shape: the order is (hash, id) WITHIN each hash shard, so the
+    cumulative-offset window runs per shard — n_shards independent
+    partitions, no global sort, no single-partition window. Chunk spans
+    are array algebra (sequence/explode). Everything is a deterministic
+    function of ids and lengths: re-runs and task retries produce the
+    identical packing.
+    """
+    from pyspark.sql import Window
+
+    hv = hash_bucket(F.col(id_col), salt)
+    base = df.select(
+        F.col(id_col),
+        F.col(len_col).cast("long").alias("n_tok"),
+        hv.alias("hv"),
+        (hv % n_shards).alias("shard"),
+    ).where(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("hv", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = base.withColumn(
+        "s", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    ).withColumn("e", F.col("s") + F.col("n_tok"))
+    L = F.lit(context_len)
+    spans = off.withColumn(
+        "chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / L).cast("long"),
+                F.floor((F.col("e") - 1) / L).cast("long"),
+            )
+        ),
+    )
+    lo = F.greatest(F.col("s"), F.col("chunk") * L)
+    hi = F.least(F.col("e"), (F.col("chunk") + 1) * L)
+    return spans.select(
+        F.col(id_col),
+        "shard",
+        "chunk",
+        (lo - F.col("s")).alias("tok_begin"),
+        (hi - F.col("s")).alias("tok_end"),
+        (lo - F.col("chunk") * L).alias("pos_begin"),
+    )

@@ -170,3 +170,50 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return sampling.hash_split(keep, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@register(
+    "doc_pack_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(text), '\\s+')) AS n_tok,
+             (instr('{_HEX}', h[1]) - 1) * 4096 + (instr('{_HEX}', h[2]) - 1) * 256 +
+             (instr('{_HEX}', h[3]) - 1) * 16   + (instr('{_HEX}', h[4]) - 1) AS hv
+      FROM (SELECT doc_id, text, md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
+    ),
+    base AS (SELECT doc_id, n_tok, hv, hv % 4 AS shard FROM t WHERE n_tok > 0),
+    off AS (
+      SELECT doc_id, n_tok, shard,
+             coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY hv, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM base
+    ),
+    spans AS (
+      SELECT doc_id, shard, s, s + n_tok AS e,
+             unnest(generate_series(CAST(floor(s / 512) AS BIGINT),
+                                    CAST(floor((s + n_tok - 1) / 512) AS BIGINT))) AS chunk
+      FROM off
+    )
+    SELECT doc_id, shard, chunk,
+           greatest(s, chunk * 512) - s AS tok_begin,
+           least(e, (chunk + 1) * 512) - s AS tok_end,
+           greatest(s, chunk * 512) - chunk * 512 AS pos_begin
+    FROM spans
+    """,
+    doc="Pretraining sequence packing as an INDEX, never a materialized "
+    "concat: docs ordered by (hash, id) within each of 4 shards, "
+    "per-shard window cumsum gives token offsets, and each doc explodes "
+    "into the 512-token context chunks it overlaps (straddling docs "
+    "split exactly as concat-and-cut would). Deterministic under "
+    "retries; no global sort anywhere.",
+)
+def doc_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_len = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    return sampling.pack_index(
+        with_len, "doc_id", "n_tok", context_len=512, n_shards=4
+    )

@@ -203,3 +203,37 @@ def test_interval_join_keyed_and_binned_agree(spark):
     binned = interval_join(pts, bounded, "x", "lo", "hi", bin_width=2.0)
     got_binned = sorted((r.pid, r.iid) for r in binned.collect())
     assert got_binned == got_keyed
+
+
+def test_pack_index_invariants(spark):
+    """Packing invariants: spans tile every doc exactly; every chunk
+    except each shard's last is filled to exactly context_len with
+    non-overlapping position ranges."""
+    from collections import defaultdict
+
+    from erddap2agol_spark.operators.sampling import pack_index
+    from erddap2agol_spark.operators.text import token_count
+    from erddap2agol_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    with_len = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    lens = {r.doc_id: r.n_tok for r in with_len.collect()}
+    rows = pack_index(with_len, "doc_id", "n_tok", 512, n_shards=4).collect()
+
+    per_doc = defaultdict(list)
+    per_chunk = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append((r.tok_begin, r.tok_end))
+        per_chunk[(r.shard, r.chunk)].append((r.pos_begin, r.pos_begin + r.tok_end - r.tok_begin))
+    for d, spans in per_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0 and spans[-1][1] == lens[d]
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    last_chunk = {}
+    for (sh, c) in per_chunk:
+        last_chunk[sh] = max(last_chunk.get(sh, -1), c)
+    for (sh, c), spans in per_chunk.items():
+        spans.sort()
+        assert spans[0][0] == 0 and all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        filled = spans[-1][1]
+        assert filled == 512 or c == last_chunk[sh]
