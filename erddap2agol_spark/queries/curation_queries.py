@@ -217,3 +217,21 @@ def doc_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_index(
         with_len, "doc_id", "n_tok", context_len=512, n_shards=4
     )
+
+
+@register(
+    "docs_quota_per_lang",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+    doc="Cap-per-group downsampling: at most 50 docs per language, "
+    "deterministically ranked by doc_id — one hash shuffle on the group "
+    "key, the language-balance primitive for corpus mixing.",
+)
+def docs_quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.quota_per_group(docs, "lang", "doc_id", 50)
