@@ -143,3 +143,22 @@ def test_auto_broadcast_without_hint(spark):
     with contextlib.redirect_stdout(buf):
         joined.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_interval_join_is_hash_join_with_residual(spark):
+    """The keyed interval join must compile to a (Broadcast)HashJoin on
+    the equi key with the range predicate as a join residual — never a
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    import contextlib
+    import io
+
+    from erddap2agol_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    df = REGISTRY["value_decile_bands"].spark(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
