@@ -119,3 +119,39 @@ def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.sign_lsh_topk(queries, emb, "vec_id", "embedding", k=5, bits=8)
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH fv AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings WHERE label = 3
+    ),
+    {_VEC_CTE},
+    scored AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM (SELECT * FROM v WHERE id < 10) q
+      JOIN fv c ON q.id <> c.id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="Filtered ANN (the RAG pattern): metadata predicate label=3 "
+    "PRE-filters the corpus — the predicate reaches the parquet scan, "
+    "candidates are generated only from the filtered set, and every "
+    "query still gets a full k results (post-filtering would rank first "
+    "and come up short).",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("label") == 3)
+    return similarity.brute_force_topk(queries, corpus, "vec_id", "embedding", k=5)
