@@ -343,21 +343,32 @@ def connected_components(
     from pyspark.sql import Window
 
     w = Window.partitionBy("u")
-    # symmetric undirected form
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = e.union(e.select("v", "u")).distinct().persist()
+    # canonical directed form (u > v): half the rows of the symmetric
+    # representation — persist, distinct, and the convergence compare all
+    # run on the halved set; symmetrization happens lazily inside each
+    # round (a narrow union feeding the window shuffle)
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    n_e = e.count()
     for _ in range(max_iter):
+        sym = e.union(e.select("v", "u"))
         # large-star: every neighbor larger than u links to
-        # min(N(u) ∪ {u}); output is directed big → small
+        # min(N(u) ∪ {u}); output (v, m) has v > m — already canonical
         m = F.least(F.min("v").over(w), F.col("u"))
         large = (
-            e.withColumn("m", m)
+            sym.withColumn("m", m)
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
         # small-star over directed edges (v <= u): u and all its small
-        # neighbors link to the minimum of the closed neighborhood
+        # neighbors link to the minimum of the closed neighborhood;
+        # every emitted (x, m) has x > m — canonical again
         small = (
             large.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
             .select(
@@ -372,19 +383,16 @@ def connected_components(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        nxt = small.union(small.select("v", "u")).persist()
+        nxt = small.persist()
+        n_new = nxt.count()
         # both are distinct sets: equal iff same size and nxt ⊆ e
-        converged = nxt.count() == e.count() and nxt.exceptAll(e).isEmpty()
+        converged = n_new == n_e and nxt.exceptAll(e).isEmpty()
         e.unpersist()
-        e = nxt
+        e, n_e = nxt, n_new
         if converged:
             break
     # converged: stars pointing at the component min. Roots label themselves.
-    comp = (
-        e.where(F.col("v") < F.col("u"))
-        .groupBy(F.col("u").alias("node"))
-        .agg(F.min("v").alias("component"))
-    )
+    comp = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
     roots = comp.select(F.col("component").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
