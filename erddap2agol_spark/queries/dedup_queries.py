@@ -210,3 +210,72 @@ _VEC_CTE = """
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "dedup_lsh_rescored",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    h AS (SELECT doc, md5('a:' || sh) AS h0, md5('b:' || sh) AS h1 FROM sh),
+    sig AS (
+      SELECT doc,
+             min(substr(h0, 1, 8))  AS m0, min(substr(h0, 9, 8))  AS m1,
+             min(substr(h0, 17, 8)) AS m2, min(substr(h0, 25, 8)) AS m3,
+             min(substr(h1, 1, 8))  AS m4, min(substr(h1, 9, 8))  AS m5,
+             min(substr(h1, 17, 8)) AS m6, min(substr(h1, 25, 8)) AS m7
+      FROM h GROUP BY doc
+    ),
+    bands AS (
+      SELECT doc, 0 AS band, m0 || '|' || m1 AS band_sig FROM sig UNION ALL
+      SELECT doc, 1, m2 || '|' || m3 FROM sig UNION ALL
+      SELECT doc, 2, m4 || '|' || m5 FROM sig UNION ALL
+      SELECT doc, 3, m6 || '|' || m7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+    ),
+    arr AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sa
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
+      WHERE len(t) >= 3
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(x.sa, y.sa)) AS DOUBLE)
+                 / (len(x.sa) + len(y.sa) - len(list_intersect(x.sa, y.sa))), 6) AS jaccard
+    FROM cand JOIN arr x ON doc_a = x.doc JOIN arr y ON doc_b = y.doc
+    WHERE round(CAST(len(list_intersect(x.sa, y.sa)) AS DOUBLE)
+                / (len(x.sa) + len(y.sa) - len(list_intersect(x.sa, y.sa))), 6) >= 0.5
+    """,
+    doc="THE two-stage scale pipeline: MinHash-LSH recall stage generates "
+    "candidates through band buckets, then the exact-Jaccard verify "
+    "stage computes array_intersect only on candidate pairs — the "
+    "corpus-wide shingle self-join never runs. At 100 TB this is the "
+    "only shape where exact scoring is affordable: cost is "
+    "O(candidates), not O(shared-shingle pairs).",
+)
+def dedup_lsh_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(docs, "doc_id", "text", n_perm=8, rows_per_band=2)
+    grams = dedup.word_shingles(F.col("text"), 3)
+    arr = docs.select(F.col("doc_id").alias("doc"), grams.alias("sa")).where(
+        F.size("sa") > 0
+    )
+    inter = F.size(F.array_intersect(F.col("x.sa"), F.col("y.sa")))
+    return (
+        cand.join(arr.alias("x"), F.col("doc_a") == F.col("x.doc"))
+        .join(arr.alias("y"), F.col("doc_b") == F.col("y.doc"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter / (F.size(F.col("x.sa")) + F.size(F.col("y.sa")) - inter), 6
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
