@@ -147,3 +147,18 @@ def pack_index(
         (hi - F.col("s")).alias("tok_end"),
         (lo - F.col("chunk") * L).alias("pos_begin"),
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: str, salt: str = "wsample"
+) -> DataFrame:
+    """Keep each row with probability equal to its weight in [0, 1] —
+    deterministically: row survives iff its md5 bucket falls under
+    floor(weight * N_BUCKETS). The quality-weighted corpus sampling
+    primitive; same narrow-map, retry-stable properties as hash_sample,
+    and floor() keeps the threshold engine-portable.
+    """
+    return df.filter(
+        hash_bucket(F.col(id_col), salt)
+        < F.floor(F.col(weight_col) * F.lit(N_BUCKETS))
+    )

@@ -235,3 +235,45 @@ def doc_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return sampling.quota_per_group(docs, "lang", "doc_id", 50)
+
+
+@register(
+    "docs_quality_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             round(CAST(
+               (CASE WHEN len(regexp_split_to_array(lower(text), '\\s+'))
+                          BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], w)))
+                       AS DOUBLE)
+                     / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1) >= 0.05
+                THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN list_sum(list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                       w -> length(w)))
+                     / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1)
+                       BETWEEN 2.5 AND 10 THEN 0.3 ELSE 0.0 END)
+             AS DOUBLE), 2) AS quality
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, quality,
+             (instr('{_HEX}', h[1]) - 1) * 4096 + (instr('{_HEX}', h[2]) - 1) * 256 +
+             (instr('{_HEX}', h[3]) - 1) * 16   + (instr('{_HEX}', h[4]) - 1) AS bucket
+      FROM (SELECT doc_id, quality, md5('wsample:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM scored)
+    )
+    SELECT doc_id, quality FROM b WHERE bucket < floor(quality * 65536)
+    """,
+    doc="Quality-weighted deterministic sampling: each doc survives with "
+    "probability equal to its quality score, decided by a pure md5 "
+    "function of the id — upweights clean text in the mix without any "
+    "rand() (stable under retries and corpus growth).",
+)
+def docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return sampling.weighted_hash_sample(scored, "doc_id", "quality")
