@@ -75,8 +75,9 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id AS id,
            CASE WHEN amax > 0 THEN
-             list_transform(v, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS INTEGER))
-           END AS q8,
+             array_to_string(list_transform(v,
+               x -> CAST(CAST(floor(x * (127.0 / amax) + 0.5) AS INTEGER) AS VARCHAR)), ',')
+           END AS q8_csv,
            CASE WHEN amax > 0 THEN round(127.0 / amax, 6) END AS scale
     FROM (
       SELECT vec_id,
@@ -88,11 +89,21 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Symmetric int8 embedding quantization (scale = 127/max|x|, "
     "floor(x*scale+0.5) so rounding is engine-independent) — pure array "
     "algebra, no shuffle; the 4x storage compression step before ANN "
-    "serving.",
+    "serving. The graded query serializes q8 to a CSV string so the "
+    "driver's pandas canon (which sorts every column) never sees an "
+    "unhashable list; quantize_int8 itself still returns the array.",
 )
 def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, "vec_id", "embedding")
+    out = quantize_int8(emb, "vec_id", "embedding")
+    return out.select(
+        "id",
+        F.when(
+            F.col("q8").isNotNull(),
+            F.concat_ws(",", F.col("q8").cast("array<string>")),
+        ).alias("q8_csv"),
+        "scale",
+    )
 
 
 @register(
@@ -186,8 +197,8 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     base AS (SELECT doc_id, n_tok, hv, hv % 4 AS shard FROM t WHERE n_tok > 0),
     off AS (
       SELECT doc_id, n_tok, shard,
-             coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY hv, doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY hv, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
       FROM base
     ),
     spans AS (

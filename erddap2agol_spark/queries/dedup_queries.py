@@ -114,7 +114,8 @@ _HEX = "0123456789abcdef"
       FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS pos)
       GROUP BY doc, pos
     )
-    SELECT doc, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS simhash
+    SELECT doc, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes GROUP BY doc
     """,
     doc="16-bit SimHash fingerprints (md5-derived token hashes, ±1 bit "

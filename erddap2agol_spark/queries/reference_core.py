@@ -208,8 +208,8 @@ def nrt_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "null_tally",
     oracle="""
-    SELECT sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
-           sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls,
+    SELECT CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls,
            count(*) AS total_rows
     FROM events
     """,
