@@ -123,21 +123,42 @@ class ErddapSimReader(DataSourceReader):
 
     # -- O2: predicate pushdown -------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        # Spark compares µs-truncated values (read() floors ns -> µs), so a
+        # CONSUMED bound must reproduce the comparison against trunc(t),
+        # not raw file ns: every file value in [v, v+1000) is the same
+        # Spark-visible microsecond as the literal v.  Bounds therefore
+        # align to whole truncation buckets — e.g. t > v keeps buckets
+        # strictly after v's, i.e. t_ns >= v+1000, and t <= v keeps
+        # t_ns < v+1000.  Literals from Spark are datetimes (µs-aligned);
+        # raw-int literals with sub-µs digits are aligned the same way.
         for f in filters:
             col = f.attribute[0] if isinstance(f.attribute, tuple) else f.attribute
             if col != self.time_col:
                 yield f  # not ours: Spark applies it after the scan
                 continue
             if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                lo = _ts_to_ns(f.value) + (1 if isinstance(f, GreaterThan) else 0)
+                v = _ts_to_ns(f.value)
+                if isinstance(f, GreaterThan):
+                    lo = (v // 1000) * 1000 + 1000  # trunc(t) > v
+                else:
+                    lo = -(-v // 1000) * 1000  # trunc(t) >= v
                 self.lo_ns = lo if self.lo_ns is None else max(self.lo_ns, lo)
             elif isinstance(f, (LessThan, LessThanOrEqual)):
-                hi = _ts_to_ns(f.value) + (1 if isinstance(f, LessThanOrEqual) else 0)
+                v = _ts_to_ns(f.value)
+                if isinstance(f, LessThan):
+                    hi = -(-v // 1000) * 1000  # trunc(t) < v
+                else:
+                    hi = (v // 1000) * 1000 + 1000  # trunc(t) <= v
                 self.hi_ns = hi if self.hi_ns is None else min(self.hi_ns, hi)
             elif isinstance(f, EqualTo):
                 v = _ts_to_ns(f.value)
-                self.lo_ns = v if self.lo_ns is None else max(self.lo_ns, v)
-                self.hi_ns = v + 1 if self.hi_ns is None else min(self.hi_ns, v + 1)
+                b = (v // 1000) * 1000
+                if v == b:  # trunc(t) == v  <=>  t_ns in [v, v+1000)
+                    lo, hi = b, b + 1000
+                else:  # sub-µs literal: no truncated value can equal it
+                    lo, hi = b + 1000, b
+                self.lo_ns = lo if self.lo_ns is None else max(self.lo_ns, lo)
+                self.hi_ns = hi if self.hi_ns is None else min(self.hi_ns, hi)
             elif isinstance(f, IsNotNull):
                 pass  # subsumed by the range read
             else:
@@ -188,14 +209,41 @@ class ErddapSimReader(DataSourceReader):
             out.append(TimeSlicePartition(max(s, lo), min(e, hi)))
         return out
 
+    def _prune_row_groups(self, pf, start_ns: int, end_ns: int) -> list[int]:
+        """Row-group pruning: with k time-slice partitions a whole-file
+        read per partition is k× I/O amplification — keep only groups
+        whose footer [min, max] intersects [start_ns, end_ns) (stats are
+        µs-truncated, so pad the upper edge a full µs)."""
+        idx = pf.schema_arrow.get_field_index(self.time_col)
+        groups = []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                groups.append(rg)
+                continue
+            mn = _ts_to_ns(st.min)
+            mx = _ts_to_ns(st.max) + 1000
+            if mx > start_ns and mn < end_ns:
+                groups.append(rg)
+        return groups
+
     # -- the per-partition scan -------------------------------------------
     def read(self, partition: TimeSlicePartition):
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        table = pq.read_table(self.path)
+        if partition.start_ns >= partition.end_ns:
+            return  # fully-pruned sentinel partition
+        pf = pq.ParquetFile(self.path)
+        groups = self._prune_row_groups(pf, partition.start_ns, partition.end_ns)
+        if not groups:
+            return
+        wanted = [f.name for f in self.schema.fields]
+        table = pf.read_row_groups(groups, columns=wanted)
         tcol = table[self.time_col]
+        if not str(tcol.type).startswith("timestamp[ns"):
+            tcol = pc.cast(tcol, pa.timestamp("ns"))
         ns = pc.cast(tcol, pa.int64())
         mask = pc.and_(
             pc.greater_equal(ns, pa.scalar(partition.start_ns)),

@@ -73,6 +73,109 @@ def test_nontime_filters_still_applied(spark, sim):
     assert df.count() == native.count() > 0
 
 
+def _write_subus(path: str):
+    """5 rows whose ns timestamps straddle µs-truncation buckets around
+    base+1µs: trunc values are [0, 0.5->0? no:] ids 1..5 at offsets
+    [0ns, 500ns, 1µs, 1µs+500ns, 2µs] -> Spark-visible (µs) offsets
+    [0, 0, 1, 1, 2]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000_000  # µs-aligned epoch ns
+    offs = [0, 500, 1_000, 1_500, 2_000]
+    tb = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([base + o for o in offs], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(tb, path)
+    return base
+
+
+def test_pushdown_subus_truncation_boundaries(spark, tmp_path):
+    """Consumed time filters must compare against the µs-TRUNCATED value
+    Spark sees, not raw file ns (ADVICE r1-high): t > X must exclude rows
+    whose sub-µs remainder lands inside X's microsecond, and t <= X /
+    t == X must include them."""
+    import datetime as dt
+
+    p = str(tmp_path / "subus.parquet")
+    base = _write_subus(p)
+    erddap_source.register(spark)
+    df = (
+        spark.read.format("erddap_sim")
+        .option("path", p)
+        .option("time_col", "ts")
+        .load()
+    )
+    x = dt.datetime.utcfromtimestamp(base // 1_000_000_000).replace(
+        microsecond=(base % 1_000_000_000) // 1000 + 1
+    )  # base + 1µs, µs precision — what a Spark literal carries
+
+    def ids(cond):
+        return sorted(r.event_id for r in df.filter(cond).collect())
+
+    # µs-visible offsets: id1->0, id2->0, id3->1, id4->1, id5->2
+    assert ids(F.col("ts") > F.lit(x)) == [5]
+    assert ids(F.col("ts") >= F.lit(x)) == [3, 4, 5]
+    assert ids(F.col("ts") < F.lit(x)) == [1, 2]
+    assert ids(F.col("ts") <= F.lit(x)) == [1, 2, 3, 4]
+    assert ids(F.col("ts") == F.lit(x)) == [3, 4]
+
+
+def test_row_group_pruning(spark, tmp_path):
+    """read() must touch only row groups whose footer stats intersect the
+    partition slice (VERDICT r1 #5: whole-file read per partition is k×
+    I/O amplification)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from erddap2agol_spark.sources.erddap_source import (
+        ErddapSimReader,
+        TimeSlicePartition,
+    )
+
+    p = str(tmp_path / "rg.parquet")
+    n = 1000
+    base = 1_700_000_000_000_000_000
+    tb = pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": pa.array(
+                [base + i * 1_000_000_000 for i in range(n)], pa.timestamp("ns")
+            ),
+        }
+    )
+    pq.write_table(tb, p, row_group_size=100)  # 10 row groups, ts-sorted
+    pf = pq.ParquetFile(p)
+    assert pf.metadata.num_row_groups == 10
+
+    reader = ErddapSimReader({"path": p, "time_col": "ts"}, None)
+    # a slice covering rows [150, 250) must touch exactly groups 1 and 2
+    s = base + 150 * 1_000_000_000
+    e = base + 250 * 1_000_000_000
+    assert reader._prune_row_groups(pf, s, e) == [1, 2]
+    # and the partition read returns exactly those rows
+    reader.schema = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp"
+    ).schema
+    got = []
+    for batch in reader.read(TimeSlicePartition(s, e)):
+        got.extend(batch.column("event_id").to_pylist())
+    assert sorted(got) == list(range(150, 250))
+    # end-to-end through Spark: counts still correct on the multi-group file
+    erddap_source.register(spark)
+    df = (
+        spark.read.format("erddap_sim")
+        .option("path", p)
+        .option("time_col", "ts")
+        .option("chunk_size", "100")
+        .load()
+    )
+    assert df.count() == n
+
+
 def test_streaming_nrt_polling(spark, tmp_path):
     """The streaming form: each microbatch emits only rows past the last
     committed high-water mark; new files appearing in the dataset dir
