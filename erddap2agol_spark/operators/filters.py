@@ -15,10 +15,17 @@ from pyspark.sql import functions as F
 
 
 def _epoch_ns(ts: str) -> int:
+    import calendar
     from datetime import datetime, timezone
 
-    dt = datetime.fromisoformat(ts).replace(tzinfo=timezone.utc)
-    return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+    dt = datetime.fromisoformat(ts)
+    if dt.tzinfo is not None:
+        # explicit offset: convert, never reinterpret-as-UTC (a bare
+        # replace() would silently shift the bound by the offset)
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    # integer epoch math: datetime.timestamp() floats lose sub-µs at
+    # 2024-scale epochs
+    return calendar.timegm(dt.timetuple()) * 1_000_000_000 + dt.microsecond * 1000
 
 
 def time_range(

@@ -119,21 +119,28 @@ def brute_force_topk_matrix(
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qm, axis=1)
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((qids, qn))
+    bc = sc.broadcast((qids, qm, qnorm))
 
     def score(batches):
         import pandas as pd
 
-        q_ids, q_mat = bc.value
+        q_ids, q_mat, q_norm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = np.round(q_mat @ cm.T, round_to)  # (n_q, batch)
+            cnorm = np.linalg.norm(cm, axis=1)
+            # dot/(na*nb) in the oracle's exact op order — normalizing the
+            # matrices BEFORE the GEMM changes float summation order and
+            # can drift the last ulp; then HALF-UP rounding to match
+            # round()/DuckDB round (np.round is half-to-even and flips a
+            # hash bit on a 1e-6 midpoint)
+            raw = (q_mat @ cm.T) / (q_norm[:, None] * cnorm[None, :])
+            scale = 10.0 ** round_to
+            sims = np.floor(raw * scale + 0.5) / scale
             out_q, out_n, out_s = [], [], []
             for qi in range(sims.shape[0]):
                 row = sims[qi]

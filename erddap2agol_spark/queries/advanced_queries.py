@@ -215,10 +215,13 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k + driver merge) — a global rank window here would drag the
+    # entire distinct-token table onto one partition.  rk is recomputed
+    # AFTER the limit, where the window input is 20 rows.
+    top = counts.orderBy(F.desc("n"), F.col("tok")).limit(20)
     w = Window.orderBy(F.desc("n"), F.col("tok"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
-    )
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 @register(

@@ -16,9 +16,41 @@ from ..sources.tables import load_table
 from . import register
 
 
+_FMT_X1 = """CASE WHEN x1 = trunc(x1) THEN CAST(CAST(trunc(x1) AS BIGINT) AS VARCHAR)
+             ELSE CAST(x1 AS VARCHAR) END"""
+_FMT_X2 = """CASE WHEN x2 = trunc(x2) THEN CAST(CAST(trunc(x2) AS BIGINT) AS VARCHAR)
+             ELSE CAST(x2 AS VARCHAR) END"""
+
+
 @register(
     "glider_features",
-    oracle=None,  # JSON string rendering is engine-specific -> rows-only
+    # feature strings ARE cross-engine renderable: functions.geometry._fmt
+    # pins float formatting (integers render without '.0', fractions via
+    # shortest-roundtrip, identical in JVM and DuckDB for these
+    # magnitudes), so the oracle rebuilds the exact JSON with string
+    # concatenation.  trunc() mirrors Spark's cast-to-long truncation
+    # (a bare DuckDB CAST(DOUBLE AS BIGINT) ROUNDS).
+    oracle=f"""
+    WITH s AS (
+      SELECT o_custkey AS track_id, o_orderkey AS k1,
+             o_totalprice AS x1,
+             CAST(o_custkey AS DOUBLE) AS y1,
+             lead(o_totalprice) OVER w AS x2,
+             lead(CAST(o_custkey AS DOUBLE)) OVER w AS y2,
+             lead(o_orderpriority) OVER w AS priority
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT track_id, k1,
+           '{{"type":"Feature","properties":{{"track_id":' || track_id ||
+           ',"priority":"' || priority ||
+           '"}},"geometry":{{"type":"LineString","coordinates":[[' ||
+           {_FMT_X1} || ',' || CAST(CAST(track_id AS BIGINT) AS VARCHAR) ||
+           '],[' ||
+           {_FMT_X2} || ',' || CAST(CAST(track_id AS BIGINT) AS VARCHAR) ||
+           ']]}}}}' AS feature
+    FROM s WHERE x2 IS NOT NULL
+    """,
     doc="W1+F17+K2 composed: consecutive-point segments -> two-point "
     "LineString GeoJSON features with properties from the second point "
     "(the reference's glider workflow, SURVEY §3.3, as pure Column algebra).",

@@ -45,17 +45,29 @@ def write_feature_collection(
     property_cols: Sequence[str],
     geometry_json: Column,
     path: str,
+    order_by: Sequence[str] | None = None,
 ) -> int:
     """Assemble and write one FeatureCollection file; returns the feature
-    count. Feature rendering is distributed; the final concatenation runs
+    count. Feature rendering is distributed; only the final framing runs
     on one writer because the output is a single JSON document (same
     constraint the reference has — it's the format, not the engine).
+
+    ``order_by`` pins feature order (the reference writes features in
+    record order; without it the order depends on partitioning).  The
+    body is STREAMED via ``toLocalIterator`` — partitions arrive in
+    order, one at a time — so no single JVM string (2 GB cap) and no
+    whole-result ``collect`` ever materializes.
     """
+    if order_by:
+        df = df.orderBy(*[F.col(c) for c in order_by])
     feats = features_df(df, property_cols, geometry_json)
-    parts = feats.coalesce(1).agg(
-        F.concat_ws(",", F.collect_list("feature")).alias("body"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
+    n = 0
     with open(path, "w") as f:
-        f.write(HEADER + (parts["body"] or "") + FOOTER)
-    return parts["n"]
+        f.write(HEADER)
+        for row in feats.toLocalIterator():
+            if n:
+                f.write(",")
+            f.write(row["feature"])
+            n += 1
+        f.write(FOOTER)
+    return n

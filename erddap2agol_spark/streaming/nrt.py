@@ -113,7 +113,9 @@ def content_fingerprint(df: DataFrame) -> str:
 
 def content_changed(df: DataFrame, sink_dir: str) -> bool:
     """True when the batch's fingerprint differs from the stored one;
-    stores the new fingerprint when changed."""
+    stores the new fingerprint when changed.  Standalone gate only —
+    :func:`refresh` deliberately does NOT use this: it must not record a
+    fingerprint until the snapshot actually commits."""
     fp = content_fingerprint(df)
     state = load_state(sink_dir)
     if state.get("content_fingerprint") == fp:
@@ -184,10 +186,24 @@ def refresh(
     fresh = newer_than_watermark(windowed, ts_col, sink_dir)
     if fresh.limit(1).count() == 0:
         return {"published": False, "reason": "no rows newer than high-water mark"}
-    if not content_changed(windowed, sink_dir):
+    # Gate WITHOUT mutating state: the stored fingerprint must keep
+    # describing the last COMMITTED snapshot until the pointer swap below
+    # succeeds — recording it early would make a failed write look
+    # already-published and silently skip every retry until the data
+    # changes again.
+    fp = content_fingerprint(windowed)
+    if load_state(sink_dir).get("content_fingerprint") == fp:
         return {"published": False, "reason": "content fingerprint unchanged"}
     target = atomic_overwrite(windowed, sink_dir)
-    hwm = advance_watermark(windowed, ts_col, sink_dir)
+    # commit fingerprint + high-water mark together, after the swap
+    row = windowed.agg(F.max(ts_col).alias("mx")).first()
+    state = load_state(sink_dir)
+    state["content_fingerprint"] = fp
+    hwm = None
+    if row["mx"] is not None:
+        hwm = row["mx"].strftime("%Y-%m-%d %H:%M:%S.%f")
+        state["high_water_mark"] = hwm
+    save_state(sink_dir, state)
     return {"published": True, "target": target, "high_water_mark": hwm}
 
 

@@ -105,6 +105,39 @@ def test_whole_stage_codegen_active(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_token_histogram_topk_not_global_rank(spark):
+    """The corpus top-20 must compile to TakeOrderedAndProject (per-
+    partition top-k + driver merge); a global rank window would move the
+    whole distinct-token table to one partition (VERDICT r1 #4)."""
+    plan = _plan(spark, "token_histogram")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_global_window_in_graded_queries(spark):
+    """No graded query may contain a Window with an EMPTY partition spec
+    over unbounded input — the single-partition shuffle is the classic
+    scale killer.  A global window is allowed only above a limit
+    (TakeOrderedAndProject / (Global)Limit), where its input is already
+    a driver-sized top-k."""
+    import re
+
+    from erddap2agol_spark.queries import all_queries
+
+    graded = list(all_queries())[:50]
+    offenders = []
+    for name in graded:
+        plan = _plan(spark, name)
+        # formatted-explain Window block: Arguments: [fns], [part], [ord]
+        blocks = re.findall(r"^\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)$",
+                            plan, re.M)
+        for args in blocks:
+            if re.search(r"\], \[\], \[", args):  # empty partition spec
+                if "TakeOrderedAndProject" in plan or "GlobalLimit" in plan:
+                    continue  # post-limit rank over tiny input
+                offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_entry_schema_stable(spark):
     import importlib
     import sys
