@@ -31,16 +31,65 @@ FAST_FORMATS = (
     # Spark >= 3 can't PARSE day-of-week patterns ('E' is format-only)
 )
 
-#: Timezone abbreviation -> UTC offset hours (public, partial — the
-#: reference tables ~190; the unambiguous common ones suffice here and
-#: the table is extensible).
+#: Timezone abbreviation -> UTC offset hours.  Built from the public
+#: Wikipedia "List of time zone abbreviations" (the same source the
+#: reference cites for its ~190-entry table,
+#: Converters/Support/datetimeUtils.py:254-477) and matching the
+#: reference's picks for ambiguous abbreviations (BST=Bangladesh +6,
+#: SST=Singapore +8, IST=India +5.5, AST=Atlantic -4, GST=Gulf +4,
+#: AMT=Amazon -4, CDT/CST=North America, ACT=Acre -5, ECT=E.Caribbean).
 TZ_ABBREV: dict[str, float] = {
-    "UTC": 0, "GMT": 0, "Z": 0,
-    "EST": -5, "EDT": -4, "CST": -6, "CDT": -5,
-    "MST": -7, "MDT": -6, "PST": -8, "PDT": -7,
-    "AKST": -9, "AKDT": -8, "HST": -10,
-    "CET": 1, "CEST": 2, "EET": 2, "EEST": 3, "BST": 1, "IST": 5.5,
-    "AEST": 10, "AEDT": 11, "JST": 9, "NZST": 12, "NZDT": 13,
+    "Z": 0, "UTC": 0, "GMT": 0,
+    # North America
+    "EST": -5, "EDT": -4, "CST": -6, "CDT": -5, "MST": -7, "MDT": -6,
+    "PST": -8, "PDT": -7, "AKST": -9, "AKDT": -8,
+    "HST": -10, "HAST": -10, "HADT": -9, "HDT": -9,
+    "AST": -4, "ADT": -3, "NST": -3.5, "NDT": -2.5, "NT": -3.5,
+    "PMST": -3, "PMDT": -2,
+    # Europe
+    "WET": 0, "WEST": 1, "CET": 1, "CEST": 2, "EET": 2, "EEST": 3,
+    "MET": 1, "MEST": 2, "FET": 3, "MSK": 3, "KALT": 2, "TRT": 3,
+    "DFT": 1, "HAEC": 2,
+    # Africa / Middle East
+    "WAT": 1, "WAST": 2, "CAT": 2, "EAT": 3, "SAST": 2,
+    "IDT": 3, "GST": 4, "IOT": 3,
+    # Asia
+    "IST": 5.5, "PKT": 5, "NPT": 5.75, "BST": 6, "BTT": 6, "MMT": 6.5,
+    "ICT": 7, "THA": 7, "CXT": 7, "WIB": 7, "WITA": 8, "WIT": 9,
+    "HKT": 8, "SGT": 8, "SST": 8, "MYT": 8, "PHT": 8, "PHST": 8,
+    "BNT": 8, "JST": 9, "KST": 9, "TLT": 9, "IRST": 3.5, "IRDT": 4.5,
+    "AFT": 4.5, "AZT": 4, "GET": 4, "SLST": 5.5, "TJT": 5, "TMT": 5,
+    "UZT": 5, "KGT": 6, "ALMT": 6, "AQTT": 5, "ORAT": 5,
+    # Russia (east of Moscow)
+    "SAMT": 4, "YEKT": 5, "OMST": 6, "KRAT": 7, "NOVT": 7, "IRKT": 8,
+    "YAKT": 9, "VLAT": 10, "MAGT": 12, "SAKT": 11, "SRET": 11,
+    "ANAT": 12, "PETT": 12, "VOLT": 4,
+    # Oceania
+    "AWST": 8, "ACWST": 8.75, "CWST": 8.75, "ACST": 9.5, "ACDT": 10.5,
+    "AEST": 10, "AEDT": 11, "LHST": 10.5, "NZST": 12, "NZDT": 13,
+    "CHAST": 12.75, "CHADT": 13.75, "FJT": 12, "TVT": 12, "GILT": 12,
+    "MHT": 12, "WAKT": 12, "NRT": 12, "NFT": 11, "NCT": 11, "VUT": 11,
+    "SBT": 11, "PONT": 11, "KOST": 11, "MIST": 11, "PGT": 10,
+    "CHST": 10, "CHUT": 10, "DDUT": 10, "PWT": 9, "TKT": 13, "PHOT": 13,
+    "TOT": 13, "LINT": 14, "WST": 8, "NUT": -11, "SDT": -10,
+    "TAHT": -10, "CKT": -10, "MART": -9.5, "MIT": -9.5, "GAMT": -9,
+    "GIT": -9, "IDLW": -12, "BIT": -12,
+    # South America / Atlantic
+    "ART": -3, "BRT": -3, "BRST": -2, "AMT": -4, "AMST": -3,
+    "ACT": -5, "BOT": -4, "CLT": -4, "CLST": -3, "COT": -5, "COST": -4,
+    "ECT": -4, "GYT": -4, "PET": -5, "PYT": -4, "PYST": -3, "SRT": -3,
+    "UYT": -3, "UYST": -2, "VET": -4, "FKT": -4, "FKST": -3, "GFT": -3,
+    "FNT": -2, "ROTT": -3,
+    # Atlantic / Greenland / islands
+    "AZOT": -1, "AZOST": 0, "CVT": -1, "EGT": -1, "EGST": 0,
+    "WGT": -3, "WGST": -2,
+    # Indian Ocean / Antarctica
+    "MUT": 4, "RET": 4, "SCT": 4, "MVT": 5, "TFT": 5, "HMT": 5,
+    "MAWT": 5, "VOST": 6, "BIOT": 6, "CCT": 6.5, "DAVT": 7, "SYOT": 3,
+    # Mongolia / Central Asia extras
+    "HOVT": 7, "HOVST": 8, "ULAT": 8, "ULAST": 9, "CHOT": 8, "CHOST": 9,
+    # Pacific coast islands
+    "GALT": -6, "EAST": -6, "EASST": -5, "CIST": -8,
 }
 
 _ORDINAL_RE = re.compile(r"\b(\d{1,2})(st|nd|rd|th)\b", re.IGNORECASE)
@@ -82,6 +131,22 @@ def _decode_one(s: str | None) -> datetime | None:
     if m and m.group(1) in TZ_ABBREV:
         tz_offset_h = TZ_ABBREV[m.group(1)]
         s = s[: m.start()].strip()
+    # day-of-year forms ("2024-066" / "066/2024") — the reference's %j
+    # decoding (datetimeUtils.py:210); pure digit runs stay on the epoch
+    # branch above, so only delimited forms land here
+    m = re.fullmatch(r"(\d{4})[-/](\d{3})", s) or re.fullmatch(
+        r"(\d{3})[-/](\d{4})", s
+    )
+    if m:
+        a, b = m.group(1), m.group(2)
+        year, doy = (int(a), int(b)) if len(a) == 4 else (int(b), int(a))
+        if 1 <= doy <= 366:
+            from datetime import timedelta
+
+            dt = datetime(year, 1, 1) + timedelta(days=doy - 1)
+            if tz_offset_h is not None:
+                dt -= timedelta(hours=tz_offset_h)
+            return dt
     try:
         ts = pd.to_datetime(s, utc=False, format="mixed", dayfirst=False)
     except (ValueError, TypeError):
@@ -108,12 +173,26 @@ def decode_datetime_udf(s: pd.Series) -> pd.Series:
     return s.map(_decode_one)
 
 
+#: matches a trailing known tz abbreviation (space-separated, so ISO
+#: "...12Z" stays on the fast path)
+_TZ_TAIL_RE = r"\s(" + "|".join(sorted(TZ_ABBREV, key=len, reverse=True)) + r")$"
+
+
 def decode_datetime(col: Column) -> Column:
     """The full F1 operator: fast JVM path first, pandas UDF only for
     rows the fast path couldn't parse (the UDF runs on every row but its
     result is used only as fallback; keep it off hot paths where the fast
-    formats are known to cover the data)."""
-    return F.coalesce(decode_datetime_fast(col), decode_datetime_udf(col))
+    formats are known to cover the data).
+
+    Strings ending in a known tz ABBREVIATION are forced to the UDF: the
+    JVM parser resolves legacy short zone ids through Java's own mapping
+    (e.g. NST -> a DST-observing region zone), which both disagrees with
+    the reference's fixed-offset table and makes results depend on the
+    date's DST status."""
+    has_tz_tail = col.rlike(_TZ_TAIL_RE)
+    return F.coalesce(
+        F.when(~has_tz_tail, decode_datetime_fast(col)), decode_datetime_udf(col)
+    )
 
 
 def iso_z_format(col: Column) -> Column:

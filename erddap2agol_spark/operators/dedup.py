@@ -110,6 +110,7 @@ def lsh_candidate_pairs(
     n_perm: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    n_salts: int = 1,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, bucket-join on
     (band, band_signature), emit distinct (doc_a < doc_b) pairs.
@@ -117,6 +118,17 @@ def lsh_candidate_pairs(
     The join is equi on the band key — Spark hash-partitions both sides by
     the bucket, so only same-bucket docs are compared. At 100 TB this is
     the only dedup strategy that doesn't quadratically explode.
+
+    ``n_salts > 1`` splits HOT BAND BUCKETS (boilerplate corpora collapse
+    many docs into one (band, band_sig) bucket, and that one reducer gets
+    the quadratic blow-up): the left side is salted by a deterministic
+    hash of the doc id, the right side replicated once per salt, and the
+    join key becomes (band, band_sig, salt) — every pair still meets
+    exactly once (in the left doc's salt cell), so the result is
+    IDENTICAL for any ``n_salts``; only the partitioning of the hot
+    bucket changes.  Replication multiplies the probe side rows by
+    ``n_salts`` — keep it single digits and reach for it only when a
+    bucket histogram shows heat.
     """
     if n_perm % rows_per_band:
         raise ValueError("n_perm must be divisible by rows_per_band")
@@ -134,15 +146,26 @@ def lsh_candidate_pairs(
     bands = sig.selectExpr(
         "doc", f"stack({n_bands}, {stack_args}) AS (band, band_sig)"
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_sig") == F.col("b.band_sig"))
+        & (F.col("a.doc") < F.col("b.doc"))
+    )
+    if n_salts > 1:
+        from .skew import deterministic_salt
+
+        a = bands.withColumn("__salt", deterministic_salt(F.col("doc"), n_salts))
+        b = bands.select(
+            "*",
+            F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("__salt"),
         )
+        cond = cond & (F.col("a.__salt") == F.col("b.__salt"))
+        a, b = a.alias("a"), b.alias("b")
+    else:
+        a = bands.alias("a")
+        b = bands.alias("b")
+    return (
+        a.join(b, cond)
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
@@ -267,14 +290,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word n-gram Jaccard similarity.
 
     jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|), computed with one
     explode + self-equi-join on the shingle + a pair-count aggregate.
     The join key is the shingle, so only docs sharing at least one shingle
-    ever pair up (common-shingle fan-out is the skew risk at scale —
-    drop ultra-frequent shingles first for web-scale corpora).
+    ever pair up — common-shingle fan-out is the skew risk at scale.
+
+    ``max_doc_freq`` is the web-scale knob for that risk: shingles
+    appearing in more than this many documents (site boilerplate,
+    licence headers) are dropped BEFORE the self-join, capping any one
+    shingle's pair fan-out at ``max_doc_freq^2``.  Set sizes ``n_sh``
+    are computed BEFORE the drop, so the Jaccard denominator stays
+    exact; the intersection count can only lose ultra-frequent shingles,
+    making the score a conservative LOWER bound (a pair reported >= t
+    truly is; pairs overlapping ONLY in boilerplate disappear — which is
+    the point).  The doc-frequency pass itself is a hash aggregate on
+    the shingle: partial map-side combines absorb the hot keys.
 
     Each shingle row carries its doc's set size (one int, constant per
     doc), which buys two things: the length-ratio prune
@@ -290,7 +324,16 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.size(grams).alias("n_sh"),
         F.explode(grams).alias("sh"),
-    ).persist()
+    )
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
+    sh = sh.persist()
     a = sh.alias("a")
     b = sh.alias("b")
     return (

@@ -174,6 +174,14 @@ CASES = [
     ("March 5th, 2024 10:11 AM", (2024, 3, 5, 10, 11, 0)),
     ("Tue, 05 Mar 2024 10:11:12 +0000", (2024, 3, 5, 10, 11, 12)),
     ("2024-03-05 05:11:12 EST", (2024, 3, 5, 10, 11, 12)),  # -5 -> UTC
+    ("2024-03-05 02:11:12 PST", (2024, 3, 5, 10, 11, 12)),  # -8 -> UTC
+    ("2024-03-05 16:11:12 BST", (2024, 3, 5, 10, 11, 12)),  # Bangladesh +6
+    ("2024-03-05 15:41:12 IST", (2024, 3, 5, 10, 11, 12)),  # India +5:30
+    ("2024-03-05 13:11:12 MSK", (2024, 3, 5, 10, 11, 12)),  # Moscow +3
+    ("2024-03-05 06:41:12 NST", (2024, 3, 5, 10, 11, 12)),  # Nfld -3:30
+    ("2024-066", (2024, 3, 6, 0, 0, 0)),  # day-of-year (leap year)
+    ("066/2024", (2024, 3, 6, 0, 0, 0)),
+    ("03/05/24 10:11", (2024, 3, 5, 10, 11, 0)),  # 2-digit year, US order
 ]
 
 

@@ -125,3 +125,71 @@ def test_tfidf_features(spark):
     assert len(rows) == 50
     assert all(r.features.size == 1 << 12 for r in rows)
     assert any(r.features.numNonzeros() > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Dedup skew knobs (VERDICT r1 #7): frequent-shingle cap + band salting
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """40 distinct docs that all share one planted boilerplate sentence
+    (the hot shingle) plus per-doc unique content; docs 0/1 and 2/3 are
+    true near-dups of each other."""
+    rows = []
+    boiler = "all rights reserved copyright two thousand site inc"
+    for i in range(40):
+        base = i - 1 if i in (1, 3) else i  # near-dups copy the PREVIOUS body
+        toks = [f"u{base}w{j}" for j in range(10)]
+        if i in (1, 3):
+            toks[-1] = "CHANGED"  # one token differs from the original
+        rows.append((i, " ".join(toks) + " " + boiler))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_jaccard_max_doc_freq_drops_boilerplate_pairs(spark, boilerplate_docs):
+    from erddap2agol_spark.operators import dedup
+
+    # without the cap: every doc pair shares the boilerplate shingles ->
+    # pair fan-out is all-pairs even though almost none pass the threshold
+    uncapped = dedup.ngram_jaccard_pairs(
+        boilerplate_docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+    got_uncapped = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    # with the cap: boilerplate shingles (df=40 > 8) never enter the join;
+    # the true near-dup pairs still surface through their unique shingles
+    capped = dedup.ngram_jaccard_pairs(
+        boilerplate_docs, "doc_id", "text", shingle_n=3, threshold=0.2,
+        max_doc_freq=8,
+    )
+    got_capped = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (0, 1) in got_capped and (2, 3) in got_capped
+    # no boilerplate-only pair survives the cap
+    assert all(b - a == 1 and a in (0, 2) for a, b in got_capped)
+    # and the capped jaccard is a lower bound: every capped pair's score
+    # <= the uncapped score for the same pair
+    unc = {(r.doc_a, r.doc_b): r.jaccard for r in uncapped.collect()}
+    cap = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    for p, j in cap.items():
+        if p in unc:
+            assert j <= unc[p] + 1e-9
+
+
+def test_lsh_band_salting_result_invariant(spark, boilerplate_docs):
+    from erddap2agol_spark.operators import dedup
+
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            boilerplate_docs, "doc_id", "text", n_perm=8, rows_per_band=2
+        ).collect()
+    }
+    salted = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(
+            boilerplate_docs, "doc_id", "text", n_perm=8, rows_per_band=2,
+            n_salts=4,
+        ).collect()
+    }
+    assert base == salted and base  # identical pairs, non-empty
