@@ -30,15 +30,21 @@ def _pair(x: Column, y: Column) -> Column:
     return F.concat(F.lit("["), _fmt(x), F.lit(","), _fmt(y), F.lit("]"))
 
 
-def point_geojson(lat_lon: Column) -> Column:
-    """GeoRSS point: input "lat lon" string -> lon/lat GeoJSON Point
-    (the reference reorders, Xml2GeoJSON.py:893-896)."""
+def point_geojson(lat_lon: Column, const_z: Column | None = None) -> Column:
+    """GeoRSS point: input "lat lon [alt]" string -> lon/lat[/alt] GeoJSON
+    Point (the reference reorders and keeps an optional third ordinate,
+    Xml2GeoJSON.py:893-896).  ``const_z`` supplies elevation when the
+    string itself carries only two ordinates (georss:elev sidecar)."""
     parts = F.split(F.trim(lat_lon), r"\s+")
     lat = F.element_at(parts, 1).cast("double")
     lon = F.element_at(parts, 2).cast("double")
-    return F.concat(
-        F.lit('{"type":"Point","coordinates":'), _pair(lon, lat), F.lit("}")
-    )
+    # F.get is 0-based and NULL-safe out of bounds (element_at raises
+    # under ANSI mode when the third ordinate is absent)
+    z = F.get(parts, 2).cast("double")
+    if const_z is not None:
+        z = F.coalesce(z, const_z.cast("double"))
+    body = F.when(z.isNotNull(), _triple(lon, lat, z)).otherwise(_pair(lon, lat))
+    return F.concat(F.lit('{"type":"Point","coordinates":'), body, F.lit("}"))
 
 
 def point_from_xy(x: Column, y: Column) -> Column:
@@ -47,8 +53,16 @@ def point_from_xy(x: Column, y: Column) -> Column:
     )
 
 
-def _coords_from_flat(flat: Column, srs_dim: int = 2, lat_first: bool = True) -> Column:
-    """Flat ordinate list "a b a b ..." -> array of "[lon,lat]" strings."""
+def _coords_from_flat(
+    flat: Column,
+    srs_dim: int = 2,
+    lat_first: bool = True,
+    const_z: Column | None = None,
+) -> Column:
+    """Flat ordinate list "a b a b ..." -> array of "[lon,lat]" strings.
+    ``srs_dim=3`` consumes a third ordinate per point; ``const_z`` appends
+    the same elevation to every 2-D point (the reference's addElevation,
+    Xml2GeoJSON.py:923-930)."""
     nums = F.transform(F.split(F.trim(flat), r"\s+"), lambda s: s.cast("double"))
     n_pts = (F.size(nums) / srs_dim).cast("int")
     idx = F.sequence(F.lit(0), n_pts - 1)
@@ -56,14 +70,26 @@ def _coords_from_flat(flat: Column, srs_dim: int = 2, lat_first: bool = True) ->
     def pt(i: Column) -> Column:
         a = F.element_at(nums, i * srs_dim + 1)
         b = F.element_at(nums, i * srs_dim + 2)
-        return _pair(b, a) if lat_first else _pair(a, b)
+        x, y = (b, a) if lat_first else (a, b)
+        if srs_dim >= 3:
+            return _triple(x, y, F.element_at(nums, i * srs_dim + 3))
+        if const_z is not None:
+            cz = const_z.cast("double")
+            # per-row: only rows that actually carry an elevation get Z
+            return F.when(cz.isNotNull(), _triple(x, y, cz)).otherwise(_pair(x, y))
+        return _pair(x, y)
 
     return F.transform(idx, pt)
 
 
-def line_geojson(flat: Column, srs_dim: int = 2, lat_first: bool = True) -> Column:
+def line_geojson(
+    flat: Column,
+    srs_dim: int = 2,
+    lat_first: bool = True,
+    const_z: Column | None = None,
+) -> Column:
     """GeoRSS/GML line: flat "lat lon lat lon ..." -> LineString."""
-    coords = _coords_from_flat(flat, srs_dim, lat_first)
+    coords = _coords_from_flat(flat, srs_dim, lat_first, const_z)
     return F.concat(
         F.lit('{"type":"LineString","coordinates":['),
         F.concat_ws(",", coords),
@@ -72,11 +98,15 @@ def line_geojson(flat: Column, srs_dim: int = 2, lat_first: bool = True) -> Colu
 
 
 def polygon_geojson(
-    flat: Column, srs_dim: int = 2, lat_first: bool = True, reverse: bool = False
+    flat: Column,
+    srs_dim: int = 2,
+    lat_first: bool = True,
+    reverse: bool = False,
+    const_z: Column | None = None,
 ) -> Column:
     """GeoRSS/GML polygon ring -> Polygon; ``reverse=True`` flips winding
     (the reference's CCW reversal). The ring is closed if not already."""
-    coords = _coords_from_flat(flat, srs_dim, lat_first)
+    coords = _coords_from_flat(flat, srs_dim, lat_first, const_z)
     if reverse:
         coords = F.reverse(coords)
     closed = F.when(
@@ -111,17 +141,117 @@ def _triple(x: Column, y: Column, z: Column) -> Column:
     )
 
 
+def _z_transform(
+    z: Column, z_factor: float = 1.0, z_offset: float = 0.0, z_absolute: bool = False
+) -> Column:
+    """The reference's Z pipeline (Json2GeoJSON.py:368-374): abs() first
+    when zAbsolute, then scale by zFactor, then shift by zOffset."""
+    zz = z.cast("double")
+    if z_absolute:
+        zz = F.abs(zz)
+    return zz * z_factor + z_offset
+
+
+def point_zm_geojson(
+    x: Column,
+    y: Column,
+    z: Column | None = None,
+    m: Column | None = None,
+    *,
+    z_factor: float = 1.0,
+    z_offset: float = 0.0,
+    z_absolute: bool = False,
+    z_output: bool = True,
+    m_output: bool = True,
+) -> Column:
+    """F17 full ordinate surface: Point with optional Z and M, honoring
+    the reference's switches (Json2GeoJSON.py:72-86, 349-376):
+
+    - ``z_output=False`` strips Z — unless M is kept, in which case the
+      Z slot is emitted as ``null`` (a 4-ordinate coordinate needs its
+      third position);
+    - ``m_output=False`` strips the measure;
+    - Z, when kept, runs abs -> *zFactor -> +zOffset.
+    """
+    ords: list[Column] = [_fmt(x), _fmt(y)]
+    zz = (
+        _fmt(_z_transform(z, z_factor, z_offset, z_absolute))
+        if (z is not None and z_output)
+        else None
+    )
+    if m is not None and m_output:
+        ords.append(zz if zz is not None else F.lit("null"))
+        ords.append(_fmt(m.cast("double")))
+    elif zz is not None:
+        ords.append(zz)
+    return F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        F.concat_ws(",", *ords),
+        F.lit("]}"),
+    )
+
+
+def measured_line_geojson(
+    flat: Column,
+    srs_dim: int = 2,
+    lat_first: bool = True,
+    *,
+    z_factor: float = 1.0,
+    z_offset: float = 0.0,
+    z_absolute: bool = False,
+    z_output: bool = True,
+    m_increment: float | None = None,
+) -> Column:
+    """LineString from a flat ordinate list with the reference's Z/M
+    post-processing (Json2GeoJSON.py:349-376): per-point Z (when
+    ``srs_dim=3``) is scaled or stripped; ``m_increment`` appends a
+    running measure ordinate (0, inc, 2*inc, ... — the reference's
+    per-coordinate counter), with the Z slot defaulting to 0 (then
+    scaled) or ``null`` when Z output is off."""
+    nums = F.transform(F.split(F.trim(flat), r"\s+"), lambda s: s.cast("double"))
+    n_pts = (F.size(nums) / srs_dim).cast("int")
+    idx = F.sequence(F.lit(0), n_pts - 1)
+
+    def pt(i: Column) -> Column:
+        a = F.element_at(nums, i * srs_dim + 1)
+        b = F.element_at(nums, i * srs_dim + 2)
+        x, y = (b, a) if lat_first else (a, b)
+        z = F.element_at(nums, i * srs_dim + 3) if srs_dim >= 3 else F.lit(0.0)
+        zz = (
+            _fmt(_z_transform(z, z_factor, z_offset, z_absolute))
+            if z_output
+            else None
+        )
+        parts: list[Column] = [_fmt(x), _fmt(y)]
+        if m_increment is not None:
+            parts.append(zz if zz is not None else F.lit("null"))
+            parts.append(_fmt(i.cast("double") * m_increment))
+        elif z_output and srs_dim >= 3:
+            parts.append(zz)
+        return F.concat(F.lit("["), F.concat_ws(",", *parts), F.lit("]"))
+
+    coords = F.transform(idx, pt)
+    return F.concat(
+        F.lit('{"type":"LineString","coordinates":['),
+        F.concat_ws(",", coords),
+        F.lit("]}"),
+    )
+
+
 def point3d_geojson(
     x: Column,
     y: Column,
     z: Column,
     z_factor: float = 1.0,
     z_offset: float = 0.0,
+    z_absolute: bool = False,
 ) -> Column:
-    """F17 Z ordinates: 3-D Point with the reference's zFactor/zOffset
-    scaling (Converters/Json2GeoJSON.py:72-86, 349-376). ``strip-Z`` is
-    simply using :func:`point_from_xy` instead."""
-    zz = z.cast("double") * z_factor + z_offset
+    """F17 Z ordinates: 3-D Point with the reference's zAbsolute/zFactor/
+    zOffset pipeline (Converters/Json2GeoJSON.py:72-86, 349-376).
+    ``strip-Z`` is simply using :func:`point_from_xy` instead; the full
+    switch surface (M ordinates, null-Z-with-M) is
+    :func:`point_zm_geojson`."""
+    zz = _z_transform(z, z_factor, z_offset, z_absolute)
     return F.concat(
         F.lit('{"type":"Point","coordinates":'), _triple(x, y, zz), F.lit("}")
     )
@@ -129,13 +259,13 @@ def point3d_geojson(
 
 def segment3d_geojson(
     x1: Column, y1: Column, z1: Column, x2: Column, y2: Column, z2: Column,
-    z_factor: float = 1.0, z_offset: float = 0.0,
+    z_factor: float = 1.0, z_offset: float = 0.0, z_absolute: bool = False,
 ) -> Column:
     """Two-point LineString with elevation (the reference's addElevation
     recursively appends Z to every coordinate; for fixed-arity shapes
     that is plain column algebra)."""
-    s1 = _triple(x1, y1, z1.cast("double") * z_factor + z_offset)
-    s2 = _triple(x2, y2, z2.cast("double") * z_factor + z_offset)
+    s1 = _triple(x1, y1, _z_transform(z1, z_factor, z_offset, z_absolute))
+    s2 = _triple(x2, y2, _z_transform(z2, z_factor, z_offset, z_absolute))
     return F.concat(
         F.lit('{"type":"LineString","coordinates":['), s1, F.lit(","), s2, F.lit("]}")
     )

@@ -30,6 +30,7 @@ FEED_ITEM_SCHEMA = (
     "description string, pub_date string, guid string, "
     "georss_point string, georss_line string, georss_polygon string, "
     "georss_box string, geo_lat string, geo_lon string, "
+    "georss_elev string, geo_dims int, "
     "extras string"
 )
 
@@ -57,6 +58,55 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1].lower()
 
 
+def _norm_coords(val: str) -> tuple[str, int | None]:
+    """ATOM/CAP coordinate normalization (Xml2GeoJSON.py:1050-1056):
+    comma-separated tuples ("lat1,lon1 lat2,lon2") carry their dimension
+    in the first tuple's comma count; commas then become spaces so every
+    form is one flat ordinate list."""
+    if "," in val:
+        dims = val.split(" ", 1)[0].count(",") + 1
+        return val.replace(",", " "), dims
+    return val, None
+
+
+def _parse_gml_where(el, row: dict) -> None:
+    """GML GeoRSS ("georss:where" wrapping gml:Point/LineString/Polygon/
+    Envelope, srsDimension-aware — Xml2GeoJSON.py:1075-1140): route the
+    posList/pos/corners into the same flat georss_* columns."""
+    kind = None
+    lower = upper = None
+    for g in el.iter():
+        gname = _local(g.tag)
+        sd = g.attrib.get("srsDimension", "")
+        if sd.isnumeric():
+            row["geo_dims"] = int(sd)
+        text = (g.text or "").strip()
+        if gname == "point":
+            kind = "point"
+        elif gname in ("linestring", "line", "curve"):
+            kind = "line"
+        elif gname == "polygon":
+            kind = "polygon"
+        elif gname == "envelope":
+            kind = "box"
+        elif gname in ("pos", "poslist", "coordinates") and text:
+            val, dims = _norm_coords(text)
+            if dims:
+                row.setdefault("geo_dims", dims)
+            if kind == "point" or (kind is None and gname == "pos"):
+                row["georss_point"] = val
+            elif kind == "polygon":
+                row["georss_polygon"] = val
+            else:
+                row["georss_line"] = val
+        elif gname == "lowercorner":
+            lower = text
+        elif gname == "uppercorner":
+            upper = text
+    if lower and upper:
+        row["georss_box"] = f"{lower} {upper}"
+
+
 def parse_feed_xml(text: str, source: str = "") -> list[dict]:
     """One XML feed -> item dicts. Root autodetect: any ``item`` elements
     -> RSS; else ``entry`` -> ATOM/CAP."""
@@ -81,13 +131,25 @@ def parse_feed_xml(text: str, source: str = "") -> list[dict]:
             elif name in ("guid", "id"):
                 row.setdefault("guid", val)
             elif name == "point":
-                row["georss_point"] = val
-            elif name == "line":
-                row["georss_line"] = val
-            elif name == "polygon":
-                row["georss_polygon"] = val
-            elif name == "box":
-                row["georss_box"] = val
+                row["georss_point"], d = _norm_coords(val)
+                if d:
+                    row["geo_dims"] = d
+            elif name in ("line", "linestring"):
+                row["georss_line"], d = _norm_coords(val)
+                if d:
+                    row["geo_dims"] = d
+            elif name == "polygon":  # also CAP "lat1,lon1 lat2,lon2 ..."
+                row["georss_polygon"], d = _norm_coords(val)
+                if d:
+                    row["geo_dims"] = d
+            elif name in ("box", "envelope"):
+                row["georss_box"], d = _norm_coords(val)
+                if d:
+                    row["geo_dims"] = d
+            elif name == "elev":
+                row["georss_elev"] = val
+            elif name == "where":
+                _parse_gml_where(child, row)
             elif name == "lat":
                 row["geo_lat"] = val
             elif name == "long":
@@ -135,6 +197,69 @@ def feeds_to_dataframe(
             )
 
     return feeds.mapInPandas(run, schema=FEED_ITEM_SCHEMA)
+
+
+def with_feed_geometry(items: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """S12 end-to-end: attach a GeoJSON geometry string built from the
+    parsed feed columns, routing each shape through the
+    :mod:`..functions.geometry` constructors with the reference's
+    conventions (lat-first input reordered to lon/lat; polygons reversed
+    to CCW exterior winding, Xml2GeoJSON.py:902-908; georss:elev adds a
+    constant Z to every coordinate; srsDimension=3 consumes a third
+    ordinate per point).  Pure Column algebra — rides codegen, NULL when
+    an item carries no recognizable shape."""
+    from pyspark.sql import functions as F
+
+    from ..functions import geometry as G
+
+    elev = F.col("georss_elev").cast("double")
+    elev_or_null = F.when(elev.isNotNull(), elev)
+    dims3 = F.col("geo_dims") == 3
+
+    def shaped(flat: str, builder) -> F.Column:
+        c = F.col(flat)
+        return F.when(
+            dims3, builder(c, srs_dim=3, lat_first=True)
+        ).otherwise(builder(c, srs_dim=2, lat_first=True, const_z=elev_or_null))
+
+    geom = (
+        F.when(
+            F.col("georss_point").isNotNull(),
+            G.point_geojson(F.col("georss_point"), const_z=elev_or_null),
+        )
+        .when(
+            F.col("georss_line").isNotNull(),
+            shaped("georss_line", G.line_geojson),
+        )
+        .when(
+            F.col("georss_polygon").isNotNull(),
+            F.when(
+                dims3,
+                G.polygon_geojson(
+                    F.col("georss_polygon"), srs_dim=3, lat_first=True, reverse=True
+                ),
+            ).otherwise(
+                G.polygon_geojson(
+                    F.col("georss_polygon"),
+                    srs_dim=2,
+                    lat_first=True,
+                    reverse=True,
+                    const_z=elev_or_null,
+                )
+            ),
+        )
+        .when(
+            F.col("georss_box").isNotNull(),
+            G.box_geojson(F.col("georss_box"), lat_first=True),
+        )
+        .when(
+            F.col("geo_lat").isNotNull() & F.col("geo_lon").isNotNull(),
+            G.point_from_xy(
+                F.col("geo_lon").cast("double"), F.col("geo_lat").cast("double")
+            ),
+        )
+    )
+    return items.withColumn(geometry_col, geom)
 
 
 def json_docs_to_dataframe(spark: SparkSession, texts: list[str]) -> DataFrame:

@@ -153,3 +153,101 @@ def test_search_items_by_tag(spark, tmp_path):
 def test_flatten_and_clean_tags():
     assert publish.flatten_tags(["a", ["b", ["c"]], None]) == ["a", "b", "c"]
     assert publish.clean_tags(["A", "mask", "A", ["NC_GLOBAL", "ok"]]) == ["A", "ok"]
+
+
+# ---------------------------------------------------------------------------
+# S12 end-to-end feed geometry (VERDICT r1 #9)
+# ---------------------------------------------------------------------------
+
+CAP_ATOM = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom"
+      xmlns:cap="urn:oasis:names:tc:emergency:cap:1.1"
+      xmlns:georss="http://www.georss.org/georss"
+      xmlns:gml="http://www.opengis.net/gml"
+      xmlns:geo="http://www.w3.org/2003/01/geo/wgs84_pos#">
+  <title>alerts</title>
+  <entry>
+    <id>cap-1</id><title>Tornado Warning</title>
+    <cap:polygon>30.0,-95.0 31.0,-95.0 31.0,-94.0 30.0,-95.0</cap:polygon>
+  </entry>
+  <entry>
+    <id>rss-pt</id><title>Buoy</title>
+    <georss:point>27.5 -82.25</georss:point>
+    <georss:elev>-10</georss:elev>
+  </entry>
+  <entry>
+    <id>gml-line</id><title>Track</title>
+    <georss:where>
+      <gml:LineString srsDimension="3">
+        <gml:posList>27.0 -82.0 5.0 27.1 -82.1 6.0</gml:posList>
+      </gml:LineString>
+    </georss:where>
+  </entry>
+  <entry>
+    <id>gml-box</id><title>Region</title>
+    <georss:where>
+      <gml:Envelope>
+        <gml:lowerCorner>42.94 -71.03</gml:lowerCorner>
+        <gml:upperCorner>43.04 -69.86</gml:upperCorner>
+      </gml:Envelope>
+    </georss:where>
+  </entry>
+  <entry>
+    <id>w3c</id><title>Station</title>
+    <geo:lat>55.7</geo:lat>
+    <geo:long>12.57</geo:long>
+  </entry>
+</feed>
+"""
+
+
+def test_feed_geometry_end_to_end(spark):
+    import json as _json
+
+    from erddap2agol_spark.sources import feeds
+
+    src = spark.createDataFrame([("capfeed.xml", CAP_ATOM)], ["path", "content"])
+    items = feeds.feeds_to_dataframe(spark, src)
+    out = feeds.with_feed_geometry(items)
+    got = {r.guid: r.geometry for r in out.collect()}
+    assert len(got) == 5
+
+    # CAP polygon: comma pairs -> flat, lat-first reorder, CCW reversal,
+    # ring closed (already closed in the fixture)
+    cap = _json.loads(got["cap-1"])
+    assert cap["type"] == "Polygon"
+    assert cap["coordinates"] == [
+        [[-95, 30], [-94, 31], [-95, 31], [-95, 30]]
+    ]
+
+    # GeoRSS point + elev sidecar -> 3-D point, lon/lat/z
+    pt = _json.loads(got["rss-pt"])
+    assert pt == {"type": "Point", "coordinates": [-82.25, 27.5, -10]}
+
+    # GML 3-D posList: srsDimension=3 consumes z per point
+    line = _json.loads(got["gml-line"])
+    assert line["type"] == "LineString"
+    assert line["coordinates"] == [[-82.0, 27.0, 5.0], [-82.1, 27.1, 6.0]]
+
+    # GML envelope -> 5-point ring polygon
+    box = _json.loads(got["gml-box"])
+    assert box["type"] == "Polygon"
+    ring = box["coordinates"][0]
+    assert len(ring) == 5 and ring[0] == ring[-1]
+    assert ring[0] == [-71.03, 42.94] and ring[2] == [-69.86, 43.04]
+
+    # W3C geo:lat/geo:long -> plain point
+    w3c = _json.loads(got["w3c"])
+    assert w3c == {"type": "Point", "coordinates": [12.57, 55.7]}
+
+
+def test_feed_geometry_null_when_absent(spark):
+    from erddap2agol_spark.sources import feeds
+
+    plain = """<?xml version="1.0"?><rss><channel>
+      <item><title>no geom</title><guid>g1</guid></item>
+    </channel></rss>"""
+    src = spark.createDataFrame([("p.xml", plain)], ["path", "content"])
+    out = feeds.with_feed_geometry(feeds.feeds_to_dataframe(spark, src))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].geometry is None

@@ -119,8 +119,10 @@ def test_line_and_srs_dimension(spark):
     g = df.select(geometry.line_geojson(F.col("flat")).alias("g")).first().g
     assert json.loads(g)["coordinates"] == [[20, 10], [21, 11]]
     df3 = spark.createDataFrame([("10 20 99 11 21 99",)], ["flat"])
+    # srsDimension=3 keeps the Z ordinate (the reference's point() emits
+    # [x, y, z]; strip-Z is the explicit measured_line_geojson switch)
     g3 = df3.select(geometry.line_geojson(F.col("flat"), srs_dim=3).alias("g")).first().g
-    assert json.loads(g3)["coordinates"] == [[20, 10], [21, 11]]
+    assert json.loads(g3)["coordinates"] == [[20, 10, 99], [21, 11, 99]]
 
 
 def test_polygon_close_and_reverse(spark):
@@ -212,3 +214,62 @@ def test_point3d_and_segment3d(spark):
         F.col("x1"), F.col("y1"), F.col("z1"),
         F.col("x2"), F.col("y2"), F.col("z2")).alias("g")).first().g
     assert json.loads(s)["coordinates"] == [[1, 2, 5], [3, 4, 7]]
+
+
+# --- F17 Z/M ordinate switches (VERDICT r1 #10) ----------------------------
+
+
+def test_point_zm_switches(spark):
+    import json as _json
+
+    df = spark.createDataFrame([(1.0, 2.0, -30.0, 7.5)], ["x", "y", "z", "m"])
+
+    def render(col):
+        return _json.loads(df.select(col.alias("g")).first().g)
+
+    # zAbsolute applies BEFORE zFactor/zOffset: abs(-30)*2 + 5 = 65
+    g = render(geometry.point_zm_geojson(
+        F.col("x"), F.col("y"), F.col("z"),
+        z_factor=2.0, z_offset=5.0, z_absolute=True))
+    assert g["coordinates"] == [1, 2, 65]
+    # strip-Z
+    g = render(geometry.point_zm_geojson(
+        F.col("x"), F.col("y"), F.col("z"), z_output=False))
+    assert g["coordinates"] == [1, 2]
+    # M kept with Z stripped -> Z slot is null (4-ordinate shape holds)
+    g = render(geometry.point_zm_geojson(
+        F.col("x"), F.col("y"), F.col("z"), F.col("m"), z_output=False))
+    assert g["coordinates"] == [1, 2, None, 7.5]
+    # full XYZM
+    g = render(geometry.point_zm_geojson(
+        F.col("x"), F.col("y"), F.col("z"), F.col("m")))
+    assert g["coordinates"] == [1, 2, -30, 7.5]
+    # strip-M keeps plain XYZ
+    g = render(geometry.point_zm_geojson(
+        F.col("x"), F.col("y"), F.col("z"), F.col("m"), m_output=False))
+    assert g["coordinates"] == [1, 2, -30]
+
+
+def test_measured_line(spark):
+    import json as _json
+
+    df = spark.createDataFrame(
+        [("10.0 20.0 -5.0 11.0 21.0 -6.0",)], ["flat"]
+    )
+
+    def render(col):
+        return _json.loads(df.select(col.alias("g")).first().g)
+
+    # 3-D line, z scaled (abs -> *10 -> +1), M increments 0, 2.5
+    g = render(geometry.measured_line_geojson(
+        F.col("flat"), srs_dim=3, z_factor=10.0, z_offset=1.0,
+        z_absolute=True, m_increment=2.5))
+    assert g["coordinates"] == [[20, 10, 51, 0], [21, 11, 61, 2.5]]
+    # strip-Z with M kept -> null Z slot
+    g = render(geometry.measured_line_geojson(
+        F.col("flat"), srs_dim=3, z_output=False, m_increment=1.0))
+    assert g["coordinates"] == [[20, 10, None, 0], [21, 11, None, 1]]
+    # strip both -> plain 2-D line
+    g = render(geometry.measured_line_geojson(
+        F.col("flat"), srs_dim=3, z_output=False))
+    assert g["coordinates"] == [[20, 10], [21, 11]]
