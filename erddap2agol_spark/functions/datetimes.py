@@ -195,6 +195,26 @@ def decode_datetime(col: Column) -> Column:
     )
 
 
+def decode_datetime_df(df, col: str, out_col: str = "decoded"):
+    """F1 at table scale: two-pass decode so the pandas UDF's Python cost
+    is proportional to the UNPARSED TAIL, not the table.
+
+    The column-level :func:`decode_datetime` evaluates the UDF on every
+    row (Spark hoists Python UDFs into their own projection stage, so a
+    ``coalesce`` guard cannot short-circuit it).  Here the fast JVM path
+    runs over everything, rows it parsed are done, and only the
+    leftovers — typically a tiny fraction of a feed — are filtered out,
+    decoded by the UDF, and unioned back (row order is not preserved,
+    as with any shuffle)."""
+    c = F.col(col)
+    has_tz_tail = c.rlike(_TZ_TAIL_RE)
+    base = df.withColumn(out_col, F.when(~has_tz_tail, decode_datetime_fast(c)))
+    done = base.filter(F.col(out_col).isNotNull() | c.isNull())
+    tail = base.filter(F.col(out_col).isNull() & c.isNotNull())
+    fixed = tail.withColumn(out_col, decode_datetime_udf(c))
+    return done.unionByName(fixed)
+
+
 def iso_z_format(col: Column) -> Column:
     """F3: ISO-8601 'Z' rendering (src/data_wrangler.py:363-365)."""
     return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss'Z'")

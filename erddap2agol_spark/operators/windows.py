@@ -94,24 +94,86 @@ def tumbling(
     return out
 
 
+def _ranged_row_number(
+    df: DataFrame, order_cols: Sequence[str], name: str
+) -> DataFrame:
+    """Global row numbering WITHOUT a single-partition window: range-
+    partition by the order columns, number rows inside each partition,
+    then add per-partition offsets (one tiny aggregate, broadcast back).
+    Total order follows ``order_cols``; ties crossing a range boundary
+    break by partition rather than by the global window's scan order —
+    pass a unique tiebreak column in ``order_cols`` for full determinism.
+    """
+    cols = [F.col(c) for c in order_cols]
+    n_parts = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    rows = sorted((r["__pid"], r["__n"]) for r in counts.collect())
+    offsets, acc = [], 0
+    for pid, n in rows:
+        offsets.append((pid, acc))
+        acc += n
+    off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        .withColumn(name, F.row_number().over(w) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
 def chunk_buckets(
-    df: DataFrame, order_cols: Sequence[str], n_chunks: int
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_chunks: int,
+    scalable: bool = False,
 ) -> DataFrame:
     """W4/O5 — uniform chunking: assign each row to one of ``n_chunks``
     equal-count buckets in ``order_cols`` order (reference
     ``calculateTimeSubset`` src/data_wrangler.py:281-314 splits downloads
     into <=100k-row slices; ``ntile`` is the same math).
 
-    Note: at scale prefer ``repartitionByRange`` (no global window); the
-    ntile form exists for parity with the reference's exact chunk
-    assignment semantics.
+    ``scalable=False`` is the parity form: a global-window ``ntile``
+    (single-partition shuffle — fine for the reference's <=100k-row
+    download planning, wrong for a large table).  ``scalable=True``
+    computes the identical assignment from a range-partitioned global
+    row number plus ntile's closed-form bucket boundaries — no
+    single-partition stage anywhere.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn("chunk_id", F.ntile(n_chunks).over(w))
+    if not scalable:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn("chunk_id", F.ntile(n_chunks).over(w))
+    out = _ranged_row_number(df, order_cols, "__rid")
+    # ntile(k) over N rows: first N % k buckets take ceil(N/k) rows.
+    n_total = out.count()
+    base, extra = divmod(n_total, n_chunks)
+    boundary = (base + 1) * extra
+    rid = F.col("__rid")
+    chunk = F.when(
+        rid <= boundary, ((rid - 1) / (base + 1)).cast("long") + 1
+    ).otherwise(extra + ((rid - 1 - boundary) / F.greatest(F.lit(base), F.lit(1))).cast("long") + 1)
+    return out.withColumn("chunk_id", chunk.cast("int")).drop("__rid")
 
 
-def with_row_number(df: DataFrame, order_cols: Sequence[str], name: str = "rowid") -> DataFrame:
+def with_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    name: str = "rowid",
+    scalable: bool = False,
+) -> DataFrame:
     """W5 — the converters' ``ROWID@`` pseudo-field
-    (Converters/Json2GeoJSON.py:171-172)."""
+    (Converters/Json2GeoJSON.py:171-172).  ``scalable=True`` swaps the
+    global window for the range-partition + offset form (see
+    :func:`_ranged_row_number`) — same numbering, no single-partition
+    shuffle."""
+    if scalable:
+        return _ranged_row_number(df, order_cols, name)
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn(name, F.row_number().over(w))

@@ -273,3 +273,30 @@ def test_measured_line(spark):
     g = render(geometry.measured_line_geojson(
         F.col("flat"), srs_dim=3, z_output=False))
     assert g["coordinates"] == [[20, 10], [21, 11]]
+
+
+def test_decode_datetime_df_two_pass_matches(spark):
+    """The table-level two-pass decode (UDF only on the unparsed tail)
+    must agree with the column-level operator on every format family."""
+    rows = [(s,) for s, _ in CASES] + [("not a date",), (None,)]
+    df = spark.createDataFrame(rows, ["raw"])
+    col_level = {
+        r.raw: r.ts
+        for r in df.select(
+            "raw", datetimes.decode_datetime(F.col("raw")).alias("ts")
+        ).collect()
+    }
+    table_level = {
+        r.raw: r.decoded
+        for r in datetimes.decode_datetime_df(df, "raw").collect()
+    }
+    assert table_level == col_level
+    # and the Python stage consumes a FILTERED input, not the whole table
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        datetimes.decode_datetime_df(df, "raw").explain("formatted")
+    plan = buf.getvalue()
+    arrow = plan.find("ArrowEvalPython")
+    assert arrow != -1 and "Filter" in plan[:arrow]
