@@ -52,6 +52,20 @@ from pyspark.sql import types as T
 DEFAULT_CHUNK_SIZE = 100_000
 
 
+def _dataset_paths(path: str) -> list[str]:
+    """A dataset is one parquet file or a DIRECTORY of them (sorted for
+    deterministic planning)."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        paths = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not paths:
+            raise FileNotFoundError(f"erddap_sim: no *.parquet under {path}")
+        return paths
+    return [path]
+
+
 def _ts_to_ns(v) -> int:
     """datetime (or raw int ns) -> epoch nanoseconds, integer arithmetic
     throughout (``datetime.timestamp()`` floats lose sub-us precision at
@@ -73,6 +87,7 @@ def _ts_to_ns(v) -> int:
 class TimeSlicePartition(InputPartition):
     start_ns: int  # inclusive
     end_ns: int  # exclusive
+    path: str | None = None  # file this partition scans (None = reader's path)
 
 
 class ErddapSimDataSource(DataSource):
@@ -83,8 +98,7 @@ class ErddapSimDataSource(DataSource):
     def schema(self):
         import pyarrow.parquet as pq
 
-        path = self.options["path"]
-        schema = pq.read_schema(path)
+        schema = pq.read_schema(_dataset_paths(self.options["path"])[0])
         fields = []
         for f in schema:
             t = str(f.type)
@@ -167,31 +181,46 @@ class ErddapSimReader(DataSourceReader):
             # consumed: do NOT yield
 
     # -- O4/O5: metadata-only chunk planning ------------------------------
-    def _footer_stats(self) -> tuple[int, int, int]:
-        """(row_count, min_ns, max_ns) from parquet footer statistics."""
+    def _file_stats(self) -> list[tuple[str, int, int, int]]:
+        """Per file: (path, row_count, min_ns, max_ns_exclusive) from
+        parquet footer statistics — no data read."""
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(self.path)
-        md = pf.metadata
-        idx = pf.schema_arrow.get_field_index(self.time_col)
-        lo = None
-        hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                raise ValueError("erddap_sim: time column lacks footer stats")
-            mn, mx = _ts_to_ns(st.min), _ts_to_ns(st.max)
-            lo = mn if lo is None else min(lo, mn)
-            hi = mx if hi is None else max(hi, mx)
-        # footer statistics surface ns timestamps truncated to us; pad the
-        # exclusive upper bound by a full microsecond so the true max row
-        # (sub-us digits > 0) stays inside the final slice
-        return md.num_rows, lo, hi + 1000
+        out = []
+        for p in _dataset_paths(self.path):
+            pf = pq.ParquetFile(p)
+            md = pf.metadata
+            idx = pf.schema_arrow.get_field_index(self.time_col)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("erddap_sim: time column lacks footer stats")
+                mn, mx = _ts_to_ns(st.min), _ts_to_ns(st.max)
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            # footer statistics surface ns timestamps truncated to us; pad
+            # the exclusive upper bound by a full microsecond so the true
+            # max row (sub-us digits > 0) stays inside the final slice
+            out.append((p, md.num_rows, lo, hi + 1000))
+        return out
+
+    def _footer_stats(self) -> tuple[int, int, int]:
+        """(row_count, min_ns, max_ns_exclusive) over the whole dataset."""
+        stats = self._file_stats()
+        return (
+            sum(n for _, n, _, _ in stats),
+            min(lo for _, _, lo, _ in stats),
+            max(hi for _, _, _, hi in stats),
+        )
 
     def partitions(self) -> list[TimeSlicePartition]:
         import math
 
-        row_count, data_lo, data_hi = self._footer_stats()
+        files = self._file_stats()
+        row_count = sum(n for _, n, _, _ in files)
+        data_lo = min(lo for _, _, lo, _ in files)
+        data_hi = max(hi for _, _, _, hi in files)
         lo = data_lo if self.lo_ns is None else max(data_lo, self.lo_ns)
         hi = data_hi if self.hi_ns is None else min(data_hi, self.hi_ns)
         if lo >= hi:
@@ -206,8 +235,15 @@ class ErddapSimReader(DataSourceReader):
             # partition pruning: slice must intersect the pushed range
             if e <= lo or s >= hi:
                 continue
-            out.append(TimeSlicePartition(max(s, lo), min(e, hi)))
-        return out
+            s, e = max(s, lo), min(e, hi)
+            # one task per (slice, file) whose footer range intersects —
+            # a multi-file dataset fans out without any file reading two
+            # slices' worth of data (file pruning here, row-group pruning
+            # inside read())
+            for p, _, flo, fhi in files:
+                if fhi > s and flo < e:
+                    out.append(TimeSlicePartition(s, e, path=p))
+        return out or [TimeSlicePartition(0, 0)]
 
     def _prune_row_groups(self, pf, start_ns: int, end_ns: int) -> list[int]:
         """Row-group pruning: with k time-slice partitions a whole-file
@@ -235,7 +271,7 @@ class ErddapSimReader(DataSourceReader):
 
         if partition.start_ns >= partition.end_ns:
             return  # fully-pruned sentinel partition
-        pf = pq.ParquetFile(self.path)
+        pf = pq.ParquetFile(partition.path or self.path)
         groups = self._prune_row_groups(pf, partition.start_ns, partition.end_ns)
         if not groups:
             return
