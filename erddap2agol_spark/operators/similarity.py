@@ -326,3 +326,24 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.when(amax > 0, q).alias("q8"),
         F.when(amax > 0, F.round(scale, 6)).alias("scale"),
     )
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label centroid of an embedding column — the cluster-profile /
+    class-prototype aggregate of an embedding pipeline (and the update
+    step of a distributed k-means).
+
+    Scale shape: posexplode fans each vector into (label, dim, value)
+    rows map-side; the single aggregation keys on (label, dim) — at D
+    dims and L labels that is L*D grouping keys with map-side partial
+    sums, so shuffle volume is num_partitions * L * D rows regardless of
+    corpus size. No vector ever crosses the wire whole.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

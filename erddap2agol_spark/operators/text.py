@@ -133,6 +133,96 @@ def tfidf_features(df, id_col: str, text_col: str, n_features: int = 1 << 12):
     return idf.transform(tfed).select("id", "features")
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Adjacent word n-grams as space-joined strings (len-n+1 per doc,
+    empty array when the doc is shorter than n words). Pure array algebra
+    — evaluated inside whole-stage codegen, no shuffle."""
+    t = tokens(col)
+    cnt = F.size(t)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(df, id_col: str, text_col: str):
+    """Gopher-style intra-document repetition metrics: the fraction of
+    duplicate word occurrences and the share of the most frequent bigram
+    — the standard cheap filters for boilerplate/spam in an LLM corpus
+    (Rae et al. 2021, public).
+
+    Scale shape: ``dup_word_frac`` is computed map-side from the token
+    array; the bigram mode needs a per-(doc, bigram) count, done as
+    explode -> two keyed aggregations. Both shuffles key on doc_id (+
+    bigram), so partial map-side aggregation applies and no key is hotter
+    than the longest single document.
+    """
+    c = F.col(text_col)
+    t = tokens(c)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(t).alias("n_tokens"),
+        F.round(F.lit(1) - F.size(F.array_distinct(t)) / F.size(t), 6).alias(
+            "dup_word_frac"
+        ),
+        F.explode_outer(word_ngrams(c, 2)).alias("bigram"),
+    )
+    per_bigram = base.groupBy("doc_id", "n_tokens", "dup_word_frac", "bigram").agg(
+        F.count(F.col("bigram")).alias("cnt")
+    )
+    return per_bigram.groupBy("doc_id", "n_tokens", "dup_word_frac").agg(
+        F.round(
+            F.when(
+                F.col("n_tokens") >= 2, F.max("cnt") / (F.col("n_tokens") - 1)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac")
+    )
+
+
+def contamination_counts(docs, bench_sources: tuple[str, ...], n: int = 5):
+    """Benchmark-contamination check: for every non-benchmark document,
+    how many of its distinct word n-grams appear anywhere in the
+    benchmark slice (the n-gram-overlap decontamination rule used for
+    LLM training corpora, e.g. GPT-3 appendix C / PaLM — public).
+
+    Scale shape: the benchmark n-gram set is DISTINCT'd then broadcast
+    (eval sets are tiny next to a 100 TB corpus), so the corpus side is
+    a map-only probe — no shuffle of corpus n-grams; the only shuffle is
+    the per-doc count keyed on doc_id with map-side combine. At larger
+    benchmark sizes hash n-grams (md5) before the join so the broadcast
+    carries 16-byte keys, not strings.
+    """
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), n))).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("source").isin(*bench_sources))
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = grams.filter(~F.col("source").isin(*bench_sources))
+    joined = corpus.join(F.broadcast(bench), "g", "left").select("doc_id", "hit")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.count("hit").alias("n_contaminated"),
+    ).select(
+        "doc_id",
+        "n_ngrams",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6).alias(
+            "contamination_frac"
+        ),
+        (F.col("n_contaminated") > 0).alias("flagged"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 over normalized text
     (lowercased, whitespace-collapsed) — the rolling-hash analog used for

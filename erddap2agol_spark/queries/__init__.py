@@ -73,11 +73,15 @@ _GRADE_PRIORITY: list[str] = [
     "ann_sign_lsh", "ann_filtered_topk",
     "text_tokens", "text_quality", "text_langid",
     "doc_fingerprint", "doc_chunking",
-    # (c) keep-green core coverage (one per major SURVEY §2 family)
-    "pricing_summary", "catalog_scan", "catalog_search",
+    # (b2) new this round — need their first driver row
+    "doc_repetition", "contamination_check", "emb_label_centroids",
+    # (c) keep-green core coverage (one per major SURVEY §2 family);
+    # catalog_search/semi_join_existing/tumbling_daily rotated to the tail
+    # (green in round 1) to make room for (b2).
+    "pricing_summary", "catalog_scan",
     "metadata_projection", "time_filter", "bbox_filter", "row_range",
-    "nrt_window", "coord_cleaning", "anti_join_new", "semi_join_existing",
-    "enrich_revenue_by_region", "track_segments", "tumbling_daily",
+    "nrt_window", "coord_cleaning", "anti_join_new",
+    "enrich_revenue_by_region", "track_segments",
     "chunk_plan", "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_rescored",
     "dedup_clusters",
 ]

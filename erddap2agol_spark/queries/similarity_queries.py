@@ -155,3 +155,24 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("label") == 3)
     return similarity.brute_force_topk(queries, corpus, "vec_id", "embedding", k=5)
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label, CAST(pos - 1 AS INTEGER) AS dim,
+           round(avg(v), 6) AS centroid, count(*) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+    doc="Per-label embedding centroids (class prototypes / k-means update "
+    "step): posexplode to (label, dim, v), one keyed aggregate with "
+    "map-side partial sums — shuffle volume is labels x dims, not corpus "
+    "size.",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "label"
+    )

@@ -140,3 +140,70 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         max_tokens=32, overlap=8,
     )
+
+
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+               AS dup_word_frac,
+             t
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, n_tokens, dup_word_frac,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM base
+    ),
+    per_bg AS (
+      SELECT doc_id, n_tokens, dup_word_frac, bigram, count(*) AS cnt
+      FROM bg GROUP BY doc_id, n_tokens, dup_word_frac, bigram
+    )
+    SELECT doc_id, n_tokens, dup_word_frac,
+           round(CAST(max(cnt) AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_frac
+    FROM per_bg GROUP BY doc_id, n_tokens, dup_word_frac
+    """,
+    doc="Gopher-style intra-document repetition: duplicate-word fraction "
+    "and most-frequent-bigram share — the boilerplate/spam pre-filters of "
+    "an LLM corpus pipeline.",
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_profile(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "contamination_check",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - 4, 0)),
+                 i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')),
+    corpus AS (SELECT doc_id, g FROM grams WHERE source NOT IN ('src0', 'src1'))
+    SELECT c.doc_id, count(*) AS n_ngrams, count(b.g) AS n_contaminated,
+           round(CAST(count(b.g) AS DOUBLE) / count(*), 6) AS contamination_frac,
+           count(b.g) > 0 AS flagged
+    FROM corpus c LEFT JOIN bench b USING (g)
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark decontamination: per-document distinct-5-gram overlap "
+    "against a benchmark slice (sources src0/src1 stand in for the eval "
+    "set). Benchmark grams broadcast; corpus side is a map-only probe.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.contamination_counts(
+        load_table(spark, sf_dir, "documents"), bench_sources=("src0", "src1"), n=5
+    )
