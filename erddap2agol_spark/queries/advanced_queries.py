@@ -538,3 +538,105 @@ def value_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "band")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) AS view_ts FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+           1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS stage_reached
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    doc="Ordered funnel (view -> click -> purchase): each stage is the "
+    "earliest qualifying event strictly after the previous stage. Every "
+    "join and aggregate keys on user_id, so one hash partitioning is "
+    "reused across all stages — no broadcast needed, no global state.",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t = F.col("event_type")
+    s1 = ev.filter(t == "view").groupBy("user_id").agg(F.min("ts").alias("view_ts"))
+    s2 = (
+        ev.filter(t == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        ev.filter(t == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.when(F.col("click_ts").isNull(), 0).otherwise(1)
+                + F.when(F.col("purchase_ts").isNull(), 0).otherwise(1)
+            ).cast("int").alias("stage_reached"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(d) AS cohort_date FROM e GROUP BY user_id
+    )
+    SELECT c.cohort_date, CAST(e.d - c.cohort_date AS INTEGER) AS day_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY c.cohort_date, day_offset
+    """,
+    doc="Retention cohorts: users grouped by first-activity date, counted "
+    "per day-offset of later activity. first-activity agg and the "
+    "enrichment join both key on user_id; the final distinct-count keys "
+    "on (cohort, offset) — bounded by days^2 groups.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

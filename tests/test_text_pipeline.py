@@ -94,3 +94,45 @@ def test_label_centroids_math(spark):
     assert out[(0, 0)].n_vecs == 2
     assert out[(1, 0)].centroid == pytest.approx(10.0)
     assert out[(1, 1)].n_vecs == 1
+
+
+def test_funnel_ordering_semantics(spark, tmp_path):
+    """A click BEFORE the first view must not count as stage 2."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # user 1: view -> click -> purchase, in order: stage 3
+        (1, 1, "view", 10), (2, 1, "click", 20), (3, 1, "purchase", 30),
+        # user 2: click precedes the only view: stage 1 only
+        (4, 2, "click", 5), (5, 2, "view", 10),
+        # user 3: view then purchase but no click between: stage 1
+        (6, 3, "view", 10), (7, 3, "purchase", 30),
+    ]
+    base = dt.datetime(2024, 1, 1)
+    tb = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=r[3]) for r in rows],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tb, str(tmp_path / "events.parquet"))
+    from erddap2agol_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    out = {
+        r.user_id: r
+        for r in REGISTRY["funnel_stages"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[1].stage_reached == 3
+    assert out[2].stage_reached == 1 and out[2].click_ts is None
+    assert out[3].stage_reached == 1 and out[3].purchase_ts is None
