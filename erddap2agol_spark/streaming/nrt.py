@@ -269,3 +269,35 @@ def windowed_counts_stream(
             "n",
         )
     )
+
+
+def session_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """readStream -> watermark -> native SESSION windows (gap-merged per
+    key) — the streaming twin of the batch ``sessionization`` query, but
+    incremental: Spark's session-window state merges overlapping windows
+    per key in the state store, the watermark closes and evicts sessions
+    whose gap has provably passed (bounded state at any corpus rate).
+    Callers attach a sink; append mode emits only closed sessions.
+    """
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

@@ -119,3 +119,47 @@ def test_foreachbatch_atomic_publish(spark, tmp_path):
     out = nrt.read_current(spark, sink)
     assert out.agg(F.sum("n")).first()[0] == ev.count()
     assert set(out.columns) == {"bucket_start", "event_type", "n"}
+
+
+def test_session_window_stream(spark, tmp_path):
+    """ST5 + W-family: native session windows merge gap-adjacent events
+    per user and agree with the batch sessionization gap rule."""
+    import datetime as dt
+
+    src = str(tmp_path / "sess_src")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two bursts separated by > 30 min -> 2 sessions (3 + 1)
+        (1, base), (1, base + dt.timedelta(minutes=10)),
+        (1, base + dt.timedelta(minutes=20)),
+        (1, base + dt.timedelta(minutes=80)),
+        # user 2: one burst -> 1 session of 2
+        (2, base), (2, base + dt.timedelta(minutes=29)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    df.write.parquet(src)
+    agg = nrt.session_counts_stream(
+        spark, src, df.schema, ts_col="ts", key_col="user_id", gap="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {
+            (r.user_id, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_counts").collect()
+        }
+        assert out == {(1, 3), (1, 1), (2, 2)}
+        spans = {
+            (r.user_id, r.n_events): (r.session_end - r.session_start)
+            for r in spark.sql("SELECT * FROM sess_counts").collect()
+        }
+        # a session spans first event .. last event + gap
+        assert spans[(1, 3)] == dt.timedelta(minutes=50)
+        assert spans[(2, 2)] == dt.timedelta(minutes=59)
+    finally:
+        q.stop()
