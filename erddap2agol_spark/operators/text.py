@@ -223,6 +223,45 @@ def contamination_counts(docs, bench_sources: tuple[str, ...], n: int = 5):
     )
 
 
+def duplicate_spans(
+    docs,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+    min_occurrences: int = 2,
+):
+    """Exact substring-level dedup: every ``span_tokens``-word window of
+    every document is hashed, and spans occurring >= ``min_occurrences``
+    times corpus-wide are reported (the repeated-substring removal rule
+    of Lee et al. 2021, "Deduplicating Training Data...", public — the
+    suffix-array pass re-expressed as a windowed hash aggregate).
+
+    Scale shape: the explode is map-side (~n_tokens rows per doc, each a
+    16-byte md5 + ids, never the text); the single shuffle keys on the
+    span hash — uniform by construction — with map-side partial counts.
+    The report joins back against doc ids only, so removal is a keyed
+    semi-join away.
+    """
+    c = F.col(text_col)
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams(c, span_tokens)).alias("pos0", "span"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.md5(F.col("span")).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 over normalized text
     (lowercased, whitespace-collapsed) — the rolling-hash analog used for

@@ -207,3 +207,32 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.contamination_counts(
         load_table(spark, sf_dir, "documents"), bench_sources=("src0", "src1"), n=5
     )
+
+
+@register(
+    "duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+19], ' ')) AS span_hash
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 19, 0))) AS i
+            FROM toks)
+    )
+    SELECT span_hash, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs, min(doc_id) AS example_doc
+    FROM spans GROUP BY span_hash HAVING count(*) >= 2
+    """,
+    doc="Substring-level exact dedup (Lee et al. 2021): hash every "
+    "20-token window, report spans repeated corpus-wide. One uniform "
+    "md5-keyed shuffle of (hash, ids) rows — text never crosses the "
+    "wire; removal is a keyed semi-join on the report.",
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        span_tokens=20, min_occurrences=2,
+    )
