@@ -43,14 +43,18 @@ def sniff_format(bin_col: Column) -> Column:
 
 def with_media_meta(df: DataFrame, bin_col: str) -> DataFrame:
     """Attach the typed metadata struct every multimodal row carries:
-    byte length, sniffed format, content digest (dedup key)."""
+    byte length, sniffed format, content digest (dedup key).
+
+    The digest hashes the HEX encoding of the bytes rather than the raw
+    bytes: identical dedup power, but reproducible from any engine that
+    has only string md5 (raw-blob md5 is not portable SQL)."""
     b = F.col(bin_col)
     return df.withColumn(
         "media_meta",
         F.struct(
-            F.octet_length(b).alias("n_bytes"),
+            F.octet_length(b).cast("long").alias("n_bytes"),
             sniff_format(b).alias("format"),
-            F.md5(b).alias("digest"),
+            F.md5(F.upper(F.hex(b))).alias("digest"),
         ),
     )
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import geometry
+from ..operators import multimodal
 from ..sinks.geojson import feature_json
 from ..sources.tables import load_table
 from . import register
@@ -76,4 +77,52 @@ def glider_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     props = F.struct(F.col("track_id"), F.col("priority"))
     return segs.select(
         "track_id", "k1", feature_json(props, geom).alias("feature")
+    )
+
+
+@register(
+    "multimodal_inventory",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             unhex(CASE doc_id % 4 WHEN 0 THEN 'FFD8FF'
+                                   WHEN 1 THEN '89504E47'
+                                   WHEN 2 THEN '52494646'
+                                   ELSE '' END) || encode(text) AS blob
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+           CASE WHEN starts_with(upper(hex(blob)), 'FFD8FF') THEN 'jpeg'
+                WHEN starts_with(upper(hex(blob)), '89504E47') THEN 'png'
+                WHEN starts_with(upper(hex(blob)), '52494646') THEN 'riff'
+                ELSE 'unknown' END AS format,
+           md5(upper(hex(blob))) AS digest
+    FROM b
+    """,
+    doc="Multimodal metadata inventory: binary blobs (synthesized here "
+    "with real magic bytes over the documents table) -> byte length, "
+    "magic-byte format sniff, portable content digest — the typed-"
+    "metadata surface every media column carries. All JVM Column "
+    "algebra; no decode, no Python.",
+)
+def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix_hex = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("FFD8FF"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("89504E47"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("52494646"))
+        .otherwise(F.lit(""))
+    )
+    blobs = docs.select(
+        "doc_id",
+        F.concat(
+            F.to_binary(prefix_hex, F.lit("hex")), F.encode(F.col("text"), "UTF-8")
+        ).alias("blob"),
+    )
+    return multimodal.with_media_meta(blobs, "blob").select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.digest").alias("digest"),
     )
