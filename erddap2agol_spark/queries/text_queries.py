@@ -236,3 +236,84 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         span_tokens=20, min_occurrences=2,
     )
+
+
+@register(
+    "span_dedup_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+19], ' ')) AS h
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 19, 0))) AS i
+            FROM toks)
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk,
+             count(*) OVER (PARTITION BY h) AS cnt
+      FROM spans
+    ),
+    marked AS (
+      SELECT doc_id, unnest(generate_series(pos, pos + 19)) AS tpos
+      FROM ranked WHERE cnt >= 2 AND rk >= 2
+    ),
+    dedup AS (SELECT DISTINCT doc_id, tpos FROM marked),
+    removed AS (SELECT doc_id, count(*) AS n_removed FROM dedup GROUP BY doc_id),
+    base AS (
+      SELECT doc_id, len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens, COALESCE(r.n_removed, 0) AS n_removed,
+           round(CAST(COALESCE(r.n_removed, 0) AS DOUBLE) / b.n_tokens, 6)
+             AS frac_removed
+    FROM base b LEFT JOIN removed r ON b.doc_id = r.doc_id
+    """,
+    doc="Span-dedup removal stats: keep the FIRST occurrence (by doc, "
+    "position) of every duplicated 20-token span, mark the tokens of "
+    "every later occurrence, report per-doc removed-token counts. The "
+    "rank/count windows partition by span hash (uniform md5 key) and the "
+    "remaining aggregations key on doc_id — no global state anywhere.",
+)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(T.word_ngrams(c, 20)).alias("pos0", "span"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.col("span")).alias("h"),
+    )
+    wh = Window.partitionBy("h")
+    ranked = spans.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(wh.orderBy("doc_id", "pos")).alias("rk"),
+        F.count(F.lit(1)).over(wh).alias("cnt"),
+    )
+    removed = (
+        ranked.filter((F.col("cnt") >= 2) & (F.col("rk") >= 2))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 19)).alias("tpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    base = docs.select("doc_id", T.token_count(c).alias("n_tokens"))
+    return base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        F.round(
+            F.coalesce(F.col("n_removed"), F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("frac_removed"),
+    )
