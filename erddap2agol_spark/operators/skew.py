@@ -33,33 +33,34 @@ def deterministic_salt(unique_col: str | Column, n_salts: int) -> Column:
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, str],
+    aggs: dict[str, str | Sequence[str]],
     unique_col: str,
     n_salts: int = 16,
 ) -> DataFrame:
-    """Two-stage aggregation for hot keys. ``aggs`` maps column -> one of
-    sum|count|min|max (algebraic, so partials compose). Stage 1 shuffles
-    on (keys, salt) — the hot key spreads over ``n_salts`` reducers;
-    stage 2 combines ``n_salts`` tiny partials per key."""
+    """Two-stage aggregation for hot keys. ``aggs`` maps column -> one or
+    more of sum|count|min|max (algebraic, so partials compose). Stage 1
+    shuffles on (keys, salt) — the hot key spreads over ``n_salts``
+    reducers; stage 2 combines ``n_salts`` tiny partials per key."""
     salted = df.withColumn("__salt", deterministic_salt(unique_col, n_salts))
     partial_exprs = []
     final_exprs = []
-    for col, op in aggs.items():
-        p = f"__p_{col}"
-        if op == "count":
-            partial_exprs.append(F.count(col).alias(p))
-            final_exprs.append(F.sum(p).alias(f"{col}_count"))
-        elif op == "sum":
-            partial_exprs.append(F.sum(col).alias(p))
-            final_exprs.append(F.sum(p).alias(f"{col}_sum"))
-        elif op == "min":
-            partial_exprs.append(F.min(col).alias(p))
-            final_exprs.append(F.min(p).alias(f"{col}_min"))
-        elif op == "max":
-            partial_exprs.append(F.max(col).alias(p))
-            final_exprs.append(F.max(p).alias(f"{col}_max"))
-        else:
-            raise ValueError(f"non-algebraic aggregate {op!r}")
+    for col, ops in aggs.items():
+        for op in (ops,) if isinstance(ops, str) else ops:
+            p = f"__p_{col}_{op}"
+            if op == "count":
+                partial_exprs.append(F.count(col).alias(p))
+                final_exprs.append(F.sum(p).alias(f"{col}_count"))
+            elif op == "sum":
+                partial_exprs.append(F.sum(col).alias(p))
+                final_exprs.append(F.sum(p).alias(f"{col}_sum"))
+            elif op == "min":
+                partial_exprs.append(F.min(col).alias(p))
+                final_exprs.append(F.min(p).alias(f"{col}_min"))
+            elif op == "max":
+                partial_exprs.append(F.max(col).alias(p))
+                final_exprs.append(F.max(p).alias(f"{col}_max"))
+            else:
+                raise ValueError(f"non-algebraic aggregate {op!r}")
     partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
 

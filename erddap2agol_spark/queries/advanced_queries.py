@@ -640,3 +640,38 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "skewed_agg_salted",
+    oracle="""
+    SELECT event_type, round(sum(value), 6) AS value_sum,
+           count(value) AS value_count,
+           round(min(value), 6) AS value_min, round(max(value), 6) AS value_max
+    FROM events GROUP BY event_type
+    """,
+    doc="Two-stage SALTED aggregation (the hot-key mitigation from "
+    "operators/skew.py) graded against the plain one-stage oracle: "
+    "stage 1 shuffles on (key, salt) spreading a hot key over 16 "
+    "reducers, stage 2 combines the tiny partials — algebraic "
+    "aggregates compose, so results are identical by construction.",
+)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={"value": ("sum", "count", "min", "max")},
+        unique_col="event_id",
+        n_salts=16,
+    )
+    # sum is rounded at the END only: partials must combine un-rounded
+    return out.select(
+        "event_type",
+        F.round("value_sum", 6).alias("value_sum"),
+        "value_count",
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+    )
