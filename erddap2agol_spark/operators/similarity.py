@@ -347,3 +347,72 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = 
         F.round(F.avg("v"), 6).alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+def ivf_topk_deterministic(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str = "label",
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC coarse quantizer: the cells are the
+    per-label centroids of the corpus (``label_centroids``, components
+    rounded to 6dp), so the whole index — cell table, assignment, probe
+    order — is a pure function of the data and SQL-expressible (unlike
+    the KMeans variant, which is rows-only checkable).
+
+    Scale shape: the cell table is L rows and broadcast everywhere;
+    corpus assignment is a map-side cross join with L cells + a window
+    PARTITIONED BY vector id (keyed, no global state). Probing joins the
+    query's top ``n_probe`` cells against the corpus assignment on the
+    cell id, so rescoring touches only probed cells' vectors. Ranking
+    uses rounded cosines with id tie-breaks — engine-portable.
+    """
+    cent_long = label_centroids(corpus, vec_col, label_col)
+    cells = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cvec")
+    ).select("label", "cvec", norm(F.col("cvec")).alias("cnrm"))
+
+    def nearest_cells(side: DataFrame, n: int) -> DataFrame:
+        sn = with_norm(side, id_col, vec_col)
+        scored = sn.crossJoin(F.broadcast(cells)).select(
+            "id",
+            "label",
+            F.round(
+                dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")), 6
+            ).alias("cos_c"),
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.col("label"))
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= n)
+            .select(F.col("id"), F.col("label").alias("cell"))
+        )
+
+    assign = nearest_cells(corpus, 1)
+    probes = nearest_cells(queries, n_probe)
+    qv = with_norm(queries, id_col, vec_col).alias("q")
+    cv = with_norm(corpus, id_col, vec_col).alias("c")
+    cand = (
+        probes.alias("p")
+        .join(assign.alias("a"), F.col("p.cell") == F.col("a.cell"))
+        .filter(F.col("p.id") != F.col("a.id"))
+        .select(F.col("p.id").alias("query_id"), F.col("a.id").alias("neighbor_id"))
+    )
+    scored = (
+        cand.join(qv, F.col("query_id") == F.col("q.id"))
+        .join(cv, F.col("neighbor_id") == F.col("c.id"))
+        .select("query_id", "neighbor_id", cosine("q", "c").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

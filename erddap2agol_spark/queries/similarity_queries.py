@@ -176,3 +176,67 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(
         load_table(spark, sf_dir, "embeddings"), "embedding", "label"
     )
+
+
+@register(
+    "ann_ivf_deterministic",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    cent_long AS (
+      SELECT label, pos, round(avg(val), 6) AS c
+      FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    cells AS (
+      SELECT label, cvec,
+             sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+      FROM (SELECT label, list(c ORDER BY pos) AS cvec
+            FROM cent_long GROUP BY label)
+    ),
+    assign AS (
+      SELECT id, cell FROM (
+        SELECT e.id, ce.label AS cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY round(list_dot_product(e.vec, ce.cvec)
+                                / (e.nrm * ce.cnrm), 6) DESC, ce.label) AS crk
+        FROM v e CROSS JOIN cells ce
+      ) WHERE crk = 1
+    ),
+    probes AS (
+      SELECT id, cell FROM (
+        SELECT q.id, ce.label AS cell,
+               row_number() OVER (PARTITION BY q.id
+                 ORDER BY round(list_dot_product(q.vec, ce.cvec)
+                                / (q.nrm * ce.cnrm), 6) DESC, ce.label) AS crk
+        FROM (SELECT * FROM v WHERE id < 10) q CROSS JOIN cells ce
+      ) WHERE crk <= 3
+    ),
+    scored AS (
+      SELECT p.id AS query_id, a.id AS neighbor_id,
+             round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM probes p
+      JOIN assign a ON p.cell = a.cell AND a.id <> p.id
+      JOIN v q ON q.id = p.id
+      JOIN v c ON c.id = a.id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="IVF ANN with a deterministic coarse quantizer (per-label "
+    "centroids, 6dp-rounded): cell table broadcast, corpus assigned to "
+    "its nearest cell, queries probe 3 cells, exact cosine rescoring "
+    "inside probed cells only. Fully hash-checkable, unlike the KMeans "
+    "variant (ann_ivf, rows-only).",
+)
+def ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk_deterministic(
+        queries, emb, "vec_id", "embedding", label_col="label", k=5, n_probe=3
+    )

@@ -237,3 +237,20 @@ def test_pack_index_invariants(spark):
         assert spans[0][0] == 0 and all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
         filled = spans[-1][1]
         assert filled == 512 or c == last_chunk[sh]
+
+
+def test_ivf_deterministic_recall_and_cells(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(similarity.brute_force_topk(queries, emb, "vec_id", "embedding", k=5))
+    ivf = _topk_sets(
+        similarity.ivf_topk_deterministic(
+            queries, emb, "vec_id", "embedding", label_col="label", k=5, n_probe=3
+        )
+    )
+    hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    # at sf0.001 (100 vecs) random labels make weak quantizer cells;
+    # 3/10 probes still must beat the ~0.3 random-cell floor clearly
+    assert hits / total >= 0.4
+    for s in ivf.values():
+        assert len(s) <= 5
