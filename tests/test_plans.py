@@ -231,3 +231,13 @@ def test_scalable_chunk_buckets_matches_ntile(spark):
             for r in windows.chunk_buckets(ev, ["event_id"], k, scalable=True).collect()
         }
         assert a == b
+
+
+def test_local_supplier_volume_plan(spark):
+    """TPC-H Q5 shape: all four dim joins broadcast; the o_orderdate
+    range reaches the orders scan as PushedFilters."""
+    import re
+
+    plan = _plan(spark, "local_supplier_volume")
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan)
