@@ -75,13 +75,12 @@ _GRADE_PRIORITY: list[str] = [
     "doc_fingerprint", "doc_chunking",
     # (b2) new this round — need their first driver row
     "doc_repetition", "contamination_check", "emb_label_centroids",
-    # (c) keep-green core coverage (one per major SURVEY §2 family);
-    # catalog_search/semi_join_existing/tumbling_daily rotated to the tail
-    # (green in round 1) to make room for (b2).
-    "pricing_summary", "catalog_scan",
-    "metadata_projection", "time_filter", "bbox_filter", "row_range",
-    "nrt_window", "coord_cleaning", "anti_join_new",
-    "enrich_revenue_by_region", "track_segments",
+    "duplicate_spans", "span_dedup_stats", "multimodal_inventory",
+    "skewed_agg_salted", "ann_ivf_deterministic", "funnel_stages",
+    "retention_cohorts", "local_supplier_volume",
+    # (c) keep-green core coverage; everything rotated to the tail has a
+    # green round-1 driver row and stays pytest-parity-checked.
+    "anti_join_new", "enrich_revenue_by_region", "track_segments",
     "chunk_plan", "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_rescored",
     "dedup_clusters",
 ]
