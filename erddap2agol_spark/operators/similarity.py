@@ -349,6 +349,89 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = 
     )
 
 
+def label_cells(
+    corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Deterministic coarse-quantizer cell table: per-label centroids
+    reassembled into (label, cvec, cnrm) rows — L rows total, built by
+    one keyed aggregation (see :func:`label_centroids`) and small enough
+    to broadcast everywhere."""
+    cent_long = label_centroids(corpus, vec_col, label_col)
+    return (
+        cent_long.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cvec")
+        )
+        .select("label", "cvec", norm(F.col("cvec")).alias("cnrm"))
+    )
+
+
+def assign_cells(
+    side: DataFrame, cells: DataFrame, id_col: str, vec_col: str, n: int
+) -> DataFrame:
+    """Assign every vector to its ``n`` nearest cells: map-side broadcast
+    cross join against the L-row cell table, then a window PARTITIONED BY
+    vector id (keyed — no global state). Rounded cosines + label
+    tie-break keep the assignment engine-portable."""
+    sn = with_norm(side, id_col, vec_col)
+    scored = sn.crossJoin(F.broadcast(cells)).select(
+        "id",
+        "label",
+        F.round(
+            dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("cos_c"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.col("label"))
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= n)
+        .select(F.col("id"), F.col("label").alias("cell"))
+    )
+
+
+def cell_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str = "label",
+    threshold: float = 0.9,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs via IVF cells — the 100 TB scale path for
+    embedding-cosine dedup: vectors are assigned to their ``n_probe``
+    nearest cells and candidate pairs meet ONLY inside a shared cell, so
+    the pair space is sum(|cell|^2) instead of n^2 (with ``n_probe`` > 1
+    bounding the miss rate at cell boundaries, the standard IVF recall
+    knob).
+
+    Scale shape: assignment is a broadcast cross join with the L-row cell
+    table; candidates come from a self-equi-join ON the cell id (hash
+    join, AQE-splittable); ``distinct`` dedups pairs that share several
+    probed cells BEFORE vectors are fetched, so full vectors join in
+    exactly once per surviving pair.
+    """
+    cells = label_cells(corpus, vec_col, label_col)
+    assign = assign_cells(corpus, cells, id_col, vec_col, n_probe)
+    cand = (
+        assign.alias("a")
+        .join(assign.alias("b"), F.col("a.cell") == F.col("b.cell"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    av = with_norm(corpus, id_col, vec_col).alias("av")
+    bv = with_norm(corpus, id_col, vec_col).alias("bv")
+    return (
+        cand.join(av, F.col("id_a") == F.col("av.id"))
+        .join(bv, F.col("id_b") == F.col("bv.id"))
+        .select("id_a", "id_b", cosine("av", "bv").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk_deterministic(
     queries: DataFrame,
     corpus: DataFrame,
@@ -371,32 +454,9 @@ def ivf_topk_deterministic(
     cell id, so rescoring touches only probed cells' vectors. Ranking
     uses rounded cosines with id tie-breaks — engine-portable.
     """
-    cent_long = label_centroids(corpus, vec_col, label_col)
-    cells = cent_long.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
-            lambda s: s["centroid"],
-        ).alias("cvec")
-    ).select("label", "cvec", norm(F.col("cvec")).alias("cnrm"))
-
-    def nearest_cells(side: DataFrame, n: int) -> DataFrame:
-        sn = with_norm(side, id_col, vec_col)
-        scored = sn.crossJoin(F.broadcast(cells)).select(
-            "id",
-            "label",
-            F.round(
-                dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")), 6
-            ).alias("cos_c"),
-        )
-        w = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.col("label"))
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= n)
-            .select(F.col("id"), F.col("label").alias("cell"))
-        )
-
-    assign = nearest_cells(corpus, 1)
-    probes = nearest_cells(queries, n_probe)
+    cells = label_cells(corpus, vec_col, label_col)
+    assign = assign_cells(corpus, cells, id_col, vec_col, 1)
+    probes = assign_cells(queries, cells, id_col, vec_col, n_probe)
     qv = with_norm(queries, id_col, vec_col).alias("q")
     cv = with_norm(corpus, id_col, vec_col).alias("c")
     cand = (

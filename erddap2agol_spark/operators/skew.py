@@ -65,6 +65,47 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_exprs)
 
 
+def key_profile(df: DataFrame, cols: Sequence[str], k: int = 10) -> DataFrame:
+    """Heavy-hitter diagnostic: the top-``k`` values of each candidate
+    key column with absolute count and corpus share — the measurement
+    that decides WHEN :func:`salted_agg`/:func:`salted_join` (or a
+    broadcast) is needed, instead of guessing.
+
+    Scale shape: per column, one keyed count aggregation (map-side
+    partial combine) followed by ``orderBy(...).limit(k)`` — Catalyst
+    compiles that to TakeOrderedAndProject (per-partition top-k, merged
+    on the driver), never a global sort. The union is over ``k * len
+    (cols)`` rows and the grand total joins in as a broadcast of one row.
+    Ties break on the stringified value so output is deterministic.
+    """
+    from functools import reduce as _reduce
+
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    parts = []
+    for c in cols:
+        top = (
+            df.groupBy(F.col(c).cast("string").alias("key_value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.col("key_value"))
+            .limit(k)
+        )
+        parts.append(top.select(F.lit(c).alias("key_col"), "key_value", "n"))
+    u = _reduce(DataFrame.unionByName, parts)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key_col").orderBy(F.desc("n"), F.col("key_value"))
+    return (
+        u.crossJoin(F.broadcast(total))
+        .select(
+            "key_col",
+            "key_value",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

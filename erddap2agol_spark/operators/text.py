@@ -262,6 +262,43 @@ def duplicate_spans(
     )
 
 
+#: (rule name, regex, mask) triples applied IN ORDER — each rule counts
+#: and replaces matches in the text as redacted by the previous rules, so
+#: a digit already masked by an earlier rule can't double-count. Patterns
+#: stay inside the Java-regex ∩ RE2 common subset so the same strings run
+#: verbatim on Spark and on the DuckDB oracle side.
+DEFAULT_REDACTION_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_text(
+    df,
+    text_col: str,
+    rules: tuple[tuple[str, str, str], ...] = DEFAULT_REDACTION_RULES,
+    out_col: str = "redacted",
+):
+    """PII/pattern redaction — the privacy-scrubbing pass of a training-
+    data pipeline: mask every rule match and report per-rule match counts
+    alongside the scrubbed text.
+
+    Pure per-row expression work (``regexp_extract_all`` +
+    ``regexp_replace`` chains inside whole-stage codegen): map-parallel,
+    no shuffle, no Python. Adds one ``n_<rule>`` count column per rule
+    plus ``out_col`` with all rules applied.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, mask in rules:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, mask)
+    return df.select("*", *counts, cur.alias(out_col))
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 over normalized text
     (lowercased, whitespace-collapsed) — the rolling-hash analog used for

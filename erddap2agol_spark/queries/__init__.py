@@ -78,11 +78,11 @@ _GRADE_PRIORITY: list[str] = [
     "duplicate_spans", "span_dedup_stats", "multimodal_inventory",
     "skewed_agg_salted", "ann_ivf_deterministic", "funnel_stages",
     "retention_cohorts", "local_supplier_volume",
+    "pii_redaction", "snapshot_diff_events", "key_hotness",
+    "emb_near_dup_cells", "corpus_stats",
     # (c) keep-green core coverage; everything rotated to the tail has a
     # green round-1 driver row and stays pytest-parity-checked.
-    "anti_join_new", "enrich_revenue_by_region", "track_segments",
-    "chunk_plan", "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_rescored",
-    "dedup_clusters",
+    "dedup_exact", "dedup_lsh_rescored", "dedup_clusters",
 ]
 
 

@@ -675,3 +675,98 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_min", 6).alias("value_min"),
         F.round("value_max", 6).alias("value_max"),
     )
+
+
+@register(
+    "snapshot_diff_events",
+    oracle="""
+    WITH old_s AS (
+      SELECT event_id, event_type, value FROM events WHERE event_id % 11 <> 3
+    ),
+    new_s AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END AS value
+      FROM events WHERE event_id % 13 <> 5
+    ),
+    j AS (
+      SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+             o.event_id IS NOT NULL AS in_old, n.event_id IS NOT NULL AS in_new,
+             o.event_type AS ot, n.event_type AS nt, o.value AS ov, n.value AS nv
+      FROM old_s o FULL OUTER JOIN new_s n ON o.event_id = n.event_id
+    ),
+    classified AS (
+      SELECT event_id,
+             CASE WHEN NOT in_old THEN 'added'
+                  WHEN NOT in_new THEN 'removed'
+                  WHEN ot IS DISTINCT FROM nt OR ov IS DISTINCT FROM nv
+                       THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             concat_ws(',',
+               CASE WHEN in_old AND in_new AND ot IS DISTINCT FROM nt
+                    THEN 'event_type' END,
+               CASE WHEN in_old AND in_new AND ov IS DISTINCT FROM nv
+                    THEN 'value' END) AS changed_cols
+      FROM j
+    )
+    SELECT event_id, status, changed_cols FROM classified
+    WHERE status <> 'unchanged'
+    """,
+    doc="CDC-style snapshot diff: two deterministic slices of events "
+    "stand in for consecutive snapshot versions; every key is classified "
+    "added/removed/changed via ONE full-outer hash join plus codegen'd "
+    "null-safe comparisons (operators/diff.py). The status filter "
+    "composes into the join -- nothing is collected.",
+)
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    old_s = ev.filter(F.col("event_id") % 11 != 3).select(
+        "event_id", "event_type", "value"
+    )
+    new_s = ev.filter(F.col("event_id") % 13 != 5).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") + 1)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    d = snapshot_diff(old_s, new_s, ["event_id"], ["event_type", "value"])
+    return d.filter(F.col("status") != "unchanged")
+
+
+@register(
+    "key_hotness",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS total FROM events),
+    t1 AS (
+      SELECT 'event_type' AS key_col, CAST(event_type AS VARCHAR) AS key_value,
+             count(*) AS n
+      FROM events GROUP BY 2 ORDER BY n DESC, key_value LIMIT 10
+    ),
+    t2 AS (
+      SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS key_value,
+             count(*) AS n
+      FROM events GROUP BY 2 ORDER BY n DESC, key_value LIMIT 10
+    ),
+    u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+    SELECT key_col, key_value, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           CAST(row_number() OVER (PARTITION BY key_col
+                                   ORDER BY n DESC, key_value) AS BIGINT) AS rk
+    FROM u CROSS JOIN tot
+    """,
+    doc="Heavy-hitter key profile (skew diagnostic): top-10 values of "
+    "event_type and user_id with corpus share -- per column one keyed "
+    "count with map-side combine, then orderBy+limit which Catalyst "
+    "compiles to TakeOrderedAndProject (per-partition top-k, no global "
+    "sort); the grand total broadcasts as one row.",
+)
+def key_hotness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = key_profile(ev, ["event_type", "user_id"], k=10)
+    return out.select(
+        "key_col", "key_value", "n", "share", F.col("rk").cast("bigint").alias("rk")
+    )

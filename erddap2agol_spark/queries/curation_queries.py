@@ -288,3 +288,70 @@ def docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
     return sampling.weighted_hash_sample(scored, "doc_id", "quality")
+
+
+@register(
+    "corpus_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, len(t) AS n_tokens,
+        round(CAST((CASE WHEN len(t) BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN CAST(len(list_filter(t, w -> list_contains(
+                ['the','a','of','and','to','in','is','it','for','on'], w)))
+                AS DOUBLE) / greatest(len(t), 1) >= 0.05 THEN 0.3 ELSE 0.0 END)
+          + (CASE WHEN round(list_sum(list_transform(t, w -> length(w)))
+                / greatest(len(t), 1), 6) BETWEEN 2.5 AND 10
+                THEN 0.3 ELSE 0.0 END) AS DOUBLE), 2) AS q
+      FROM toks
+    ),
+    banded AS (
+      SELECT lang,
+             CASE WHEN q >= 0.9 THEN 'high' WHEN q >= 0.5 THEN 'mid'
+                  ELSE 'low' END AS quality_band,
+             n_tokens
+      FROM m
+    ),
+    tot AS (SELECT count(*) AS total FROM documents)
+    SELECT lang, quality_band, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(count(*) AS DOUBLE) / total, 6) AS doc_share
+    FROM banded CROSS JOIN tot
+    GROUP BY lang, quality_band, total
+    """,
+    doc="Corpus report card: doc counts, token totals, and corpus share "
+    "per (language, quality band) -- the composition dashboard behind "
+    "every data-mixture decision. One keyed aggregation with map-side "
+    "combine; the grand total broadcasts as a single row.",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    banded = docs.select(
+        "lang",
+        F.when(q >= 0.9, "high").when(q >= 0.5, "mid").otherwise("low").alias(
+            "quality_band"
+        ),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        banded.crossJoin(F.broadcast(total))
+        .groupBy("lang", "quality_band", "__total")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "quality_band",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("n_docs") / F.col("__total"), 6).alias("doc_share"),
+        )
+    )

@@ -179,6 +179,55 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_near_dup_cells",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    cent_long AS (
+      SELECT label, pos, round(avg(val), 6) AS c
+      FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    cells AS (
+      SELECT label, cvec,
+             sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+      FROM (SELECT label, list(c ORDER BY pos) AS cvec
+            FROM cent_long GROUP BY label)
+    ),
+    assign AS (
+      SELECT id, cell FROM (
+        SELECT e.id, ce.label AS cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY round(list_dot_product(e.vec, ce.cvec)
+                                / (e.nrm * ce.cnrm), 6) DESC, ce.label) AS crk
+        FROM v e CROSS JOIN cells ce
+      ) WHERE crk <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) AS cos_sim
+    FROM cand JOIN v x ON x.id = id_a JOIN v y ON y.id = id_b
+    WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) >= 0.4
+    """,
+    doc="Embedding near-dup pairs via IVF cells — the 100 TB scale path "
+    "for embedding dedup: vectors assign to their 2 nearest deterministic "
+    "cells and candidate pairs meet ONLY inside a shared cell (pair space "
+    "sum(|cell|^2), not n^2); pairs dedup BEFORE vectors are fetched for "
+    "exact rescoring. Recall < 1 by construction (boundary pairs), the "
+    "standard IVF trade -- n_probe is the knob.",
+)
+def emb_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cell_near_dup_pairs(
+        emb, "vec_id", "embedding", label_col="label", threshold=0.4, n_probe=2
+    )
+
+
+@register(
     "ann_ivf_deterministic",
     oracle=f"""
     WITH {_VEC_CTE},

@@ -100,6 +100,89 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_redaction",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.org'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t
+      FROM synth
+    ),
+    s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+             regexp_replace(t,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                 '<IP>', 'g') AS t
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_email, n_ipv4,
+             len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+             regexp_replace(t, '\\b\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS t
+      FROM s2
+    )
+    SELECT doc_id, n_email, n_ipv4, n_phone, md5(t) AS redacted_md5 FROM s3
+    """,
+    doc="PII redaction (privacy scrubbing): emails, IPv4s, and phone "
+    "numbers are synthesized deterministically onto each document, then "
+    "masked by the ordered rule chain with per-rule match counts. Pure "
+    "regexp expression work inside codegen — map-parallel, no shuffle; "
+    "the regex subset runs verbatim on both engines.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 40),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.org"),
+            F.when(
+                d % 2 == 0,
+                F.concat(
+                    F.lit(" ip 10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    (d % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" tel 555-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = T.redact_text(synth, "text")
+    return red.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,

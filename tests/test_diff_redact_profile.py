@@ -1,0 +1,119 @@
+"""Unit tests for the round-2 hygiene/diagnostic operators: snapshot
+diff, PII redaction, heavy-hitter key profiling, and cell-bucketed
+embedding near-dup pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from erddap2agol_spark.operators.diff import snapshot_diff
+from erddap2agol_spark.operators.skew import key_profile
+from erddap2agol_spark.operators.text import redact_text
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", None)],
+        "id int, cat string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0), (5, "e", 5.0)],
+        "id int, cat string, v double",
+    )
+    got = {
+        r["id"]: (r["status"], r["changed_cols"])
+        for r in snapshot_diff(old, new, ["id"], ["cat", "v"]).collect()
+    }
+    assert got[1] == ("unchanged", "")
+    assert got[2] == ("changed", "cat")
+    assert got[3] == ("removed", "")
+    # null -> value is a change (null-safe compare), and only v changed
+    assert got[4] == ("changed", "v")
+    assert got[5] == ("added", "")
+
+
+def test_snapshot_diff_multi_col_change_order(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], "id int, cat string, v double")
+    new = spark.createDataFrame([(1, "x", 9.0)], "id int, cat string, v double")
+    [r] = snapshot_diff(old, new, ["id"], ["cat", "v"]).collect()
+    # changed_cols order follows compare_cols order, not alphabetical
+    assert r["changed_cols"] == "cat,v"
+
+
+def test_redact_counts_and_rule_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write a@b.io or c@d.org now"),
+            (2, "host 10.0.0.1 dials 555-1234"),
+            (3, "plain text, nothing to hide"),
+        ],
+        "id int, text string",
+    )
+    got = {r["id"]: r for r in redact_text(df, "text").collect()}
+    assert got[1]["n_email"] == 2 and got[1]["redacted"] == "write <EMAIL> or <EMAIL> now"
+    assert (got[2]["n_ipv4"], got[2]["n_phone"]) == (1, 1)
+    assert got[2]["redacted"] == "host <IP> dials <PHONE>"
+    assert got[3]["redacted"] == got[3]["text"]
+    # digits inside an already-masked email never double-count: the ip
+    # rule runs on the email-redacted text
+    df2 = spark.createDataFrame([(1, "mail 10.0.0.1@h.example please")], "id int, text string")
+    [r2] = redact_text(df2, "text").collect()
+    assert (r2["n_email"], r2["n_ipv4"]) == (1, 0)
+
+
+def test_key_profile_counts_shares_and_rank(spark):
+    df = spark.createDataFrame(
+        [("a", 1)] * 6 + [("b", 1)] * 3 + [("c", 2)], "k string, g int"
+    )
+    out = key_profile(df, ["k", "g"], k=2)
+    rows = {(r["key_col"], r["key_value"]): r for r in out.collect()}
+    # k=2 keeps only the top 2 of the 3 k-values
+    assert ("k", "c") not in rows
+    assert rows[("k", "a")]["n"] == 6 and rows[("k", "a")]["rk"] == 1
+    assert rows[("k", "b")]["rk"] == 2
+    assert rows[("k", "a")]["share"] == 0.6
+    assert rows[("g", "1")]["n"] == 9 and rows[("g", "2")]["n"] == 1
+
+
+def test_key_profile_is_top_k_plan(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, g int")
+    plan = key_profile(df, ["k"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cell_near_dup_pairs_subset_of_brute_force(spark, sf_dir):
+    from erddap2agol_spark.operators.similarity import (
+        cell_near_dup_pairs,
+        with_norm,
+        cosine,
+    )
+    from erddap2agol_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = cell_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_probe=2
+    ).collect()
+    assert got, "expected at least one near-dup pair at threshold 0.4"
+    # every reported pair is a TRUE pair: exact cosine >= threshold and
+    # canonical orientation (id_a < id_b), each pair reported once
+    seen = set()
+    for r in got:
+        assert r["id_a"] < r["id_b"] and r["cos_sim"] >= 0.4
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+    # and the cell-bucketed set is a subset of the exhaustive pair set
+    a = with_norm(emb, "vec_id", "embedding").alias("av")
+    b = with_norm(emb, "vec_id", "embedding").alias("bv")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("av.id") < F.col("bv.id"))
+        .select(
+            F.col("av.id").alias("id_a"),
+            F.col("bv.id").alias("id_b"),
+            cosine("av", "bv").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .collect()
+    }
+    assert seen <= brute
