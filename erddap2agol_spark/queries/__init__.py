@@ -48,6 +48,7 @@ def _load_all() -> None:
     from . import converter_queries  # noqa: F401
     from . import curation_queries  # noqa: F401
     from . import dedup_queries  # noqa: F401
+    from . import qc_queries  # noqa: F401
     from . import reference_core  # noqa: F401
     from . import similarity_queries  # noqa: F401
     from . import text_queries  # noqa: F401

@@ -1,0 +1,138 @@
+"""Graded queries for the QARTOD-style QC battery (operators/qc.py).
+
+The events table stands in for a station feed: ``user_id`` is the
+station, ``ts`` the observation time, ``value`` the measurement.  Flags
+are integers, so the oracle comparison is exact — the only float work is
+inside threshold comparisons, which are identical scalar expressions on
+both engines.
+
+Every ``ts`` reference in the oracles goes through
+``CAST(ts AS TIMESTAMP)`` (ns -> µs truncation; see queries/__init__
+column-name discipline notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.qc import qc_battery
+from ..sources.tables import load_table
+from . import register
+
+# Operator-provided limits chosen to exercise every flag branch on the
+# synthetic feed (value ~ U[0, 500], median per-station step ~7 h).
+_PARAMS = dict(
+    gross_fail=(0.5, 450.0),
+    gross_suspect=(2.0, 300.0),
+    spike_fail=200.0,
+    spike_suspect=100.0,
+    flat_eps=0.5,
+    flat_rep_suspect=2,
+    flat_rep_fail=3,
+    roc_max_per_sec=0.05,
+    atten_n=5,
+    atten_fail=5.0,
+    atten_suspect=50.0,
+)
+
+_FLAG_SQL = """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id, ts, value,
+        CASE WHEN value < 0.5 OR value > 450.0 THEN 4
+             WHEN value < 2.0 OR value > 300.0 THEN 3 ELSE 1 END AS flag_gross,
+        CASE WHEN lag(value) OVER w IS NULL OR lead(value) OVER w IS NULL THEN 2
+             WHEN abs(value - (lag(value) OVER w + lead(value) OVER w) / 2.0) > 200.0
+               THEN 4
+             WHEN abs(value - (lag(value) OVER w + lead(value) OVER w) / 2.0) > 100.0
+               THEN 3
+             ELSE 1 END AS flag_spike,
+        CASE WHEN lag(value, 2) OVER w IS NULL THEN 2
+             WHEN lag(value, 3) OVER w IS NOT NULL
+                  AND abs(value - lag(value, 1) OVER w) < 0.5
+                  AND abs(value - lag(value, 2) OVER w) < 0.5
+                  AND abs(value - lag(value, 3) OVER w) < 0.5 THEN 4
+             WHEN abs(value - lag(value, 1) OVER w) < 0.5
+                  AND abs(value - lag(value, 2) OVER w) < 0.5 THEN 3
+             ELSE 1 END AS flag_flat,
+        CASE WHEN lag(value) OVER w IS NULL THEN 2
+             WHEN abs(value - lag(value) OVER w) >
+                  0.05 * ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6) THEN 3
+             ELSE 1 END AS flag_roc,
+        CASE WHEN count(value) OVER v5 < 5 THEN 2
+             WHEN max(value) OVER v5 - min(value) OVER v5 < 5.0 THEN 4
+             WHEN max(value) OVER v5 - min(value) OVER v5 < 50.0 THEN 3
+             ELSE 1 END AS flag_atten
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             v5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, flag_gross, flag_spike, flag_flat, flag_roc,
+           flag_atten,
+           CASE WHEN 4 IN (flag_gross, flag_spike, flag_flat, flag_roc, flag_atten)
+                  THEN 4
+                WHEN 3 IN (flag_gross, flag_spike, flag_flat, flag_roc, flag_atten)
+                  THEN 3
+                WHEN 1 IN (flag_gross, flag_spike, flag_flat, flag_roc, flag_atten)
+                  THEN 1
+                ELSE 2 END AS flag_primary
+    FROM f
+"""
+
+
+def _battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return qc_battery(
+        ev, keys=["user_id"], ts_col="ts", id_col="event_id", value_col="value",
+        **_PARAMS,
+    )
+
+
+@register(
+    "qc_flags",
+    oracle=_FLAG_SQL,
+    doc="Five-test QARTOD battery + primary-flag rollup per observation; "
+    "one shuffle on the station key (shared window spec).",
+)
+def qc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _battery(spark, sf_dir).select(
+        "event_id", "user_id", "flag_gross", "flag_spike", "flag_flat",
+        "flag_roc", "flag_atten", "flag_primary",
+    )
+
+
+@register(
+    "qc_station_summary",
+    oracle=f"""
+    WITH flags AS ({_FLAG_SQL})
+    SELECT user_id,
+           count(*) AS n_obs,
+           count(*) FILTER (flag_primary = 4) AS n_fail,
+           count(*) FILTER (flag_primary = 3) AS n_suspect,
+           round(100.0 * (count(*) FILTER (flag_primary IN (3, 4))) / count(*), 4)
+             AS pct_flagged
+    FROM flags GROUP BY user_id
+    """,
+    doc="Per-station QC health report: observation/fail/suspect counts and "
+    "flagged share — the battery's one shuffle feeds a map-side-combinable "
+    "aggregation on the same key, so no second wide exchange at scale.",
+)
+def qc_station_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = _battery(spark, sf_dir)
+    return flags.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count(F.when(F.col("flag_primary") == 4, 1)).alias("n_fail"),
+        F.count(F.when(F.col("flag_primary") == 3, 1)).alias("n_suspect"),
+        F.round(
+            100.0
+            * F.count(F.when(F.col("flag_primary").isin(3, 4), 1))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("pct_flagged"),
+    )
