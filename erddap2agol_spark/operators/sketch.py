@@ -1,0 +1,162 @@
+"""Deterministic cardinality / frequency sketches (KMV, count-min).
+
+At 100 TB, exact ``COUNT(DISTINCT x)`` and exact per-key frequency
+tables are full-shuffle operations whose state grows with the key
+space.  These sketches bound the state instead:
+
+- **KMV (k-minimum values)**: keep the ``k`` smallest md5-derived
+  uniform hashes; the classic estimator ``(k-1) / u_k`` (Bar-Yossef et
+  al. 2002) turns the k-th smallest into a distinct-count estimate.
+  The Spark plan is per-partition distinct + ``TakeOrderedAndProject``
+  (per-partition top-k, tiny merge) — never a global sort, and the
+  driver sees exactly ``k`` rows.
+- **Count-min (Cormode & Muthukrishnan 2005)**: ``d`` salted hash rows
+  of ``w`` buckets; a key's estimate is the min over its ``d`` cells.
+  The build is ONE map-side-combinable aggregation whose result is at
+  most ``d*w`` rows regardless of input size, so the sketch broadcasts
+  for probing.
+
+Unlike HLL/approx_count_distinct, every step here is plain md5 +
+integer arithmetic — bit-identical in any engine — so the *estimates
+themselves* are cross-engine hash-checkable, which is what makes an
+approximate operator gradeable against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+#: number of md5 hex nibbles used for the KMV uniform hash — 48 bits,
+#: chosen so the integer is exactly representable in a double and the
+#: collision mass at realistic cardinalities is negligible.
+KMV_NIBBLES = 12
+KMV_SCALE = float(16**KMV_NIBBLES)
+
+
+def duckdb_hex_int(expr: str, nibbles: int) -> str:
+    """DuckDB SQL for ``conv(substring(md5(expr),1,nibbles),16,10)`` —
+    DuckDB has no conv(); nibble arithmetic via instr (repo convention,
+    see curation_queries)."""
+    h = f"md5({expr})"
+    terms = [
+        f"(instr('{_HEX}', {h}[{i + 1}]) - 1) * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def uniform_hash(col: Column, nibbles: int = KMV_NIBBLES) -> Column:
+    """md5-derived uniform double in [0, 1): first ``nibbles`` hex chars
+    as an integer, scaled by 16^nibbles.  48 bits < the 53-bit mantissa,
+    so the double is exact and engine-portable."""
+    hv = F.conv(F.substring(F.md5(col), 1, nibbles), 16, 10).cast("long")
+    return hv / F.lit(float(16**nibbles))
+
+
+def kmv_distinct(df: DataFrame, key: Column, k: int, by: Column | None = None) -> DataFrame:
+    """Distinct-count estimate via the k smallest hashes, optionally per
+    group.  Emits ``(group?, n_kept, kth_hash, est_distinct)``; when
+    fewer than ``k`` distinct hashes exist the sketch is exhaustive and
+    the estimate IS the exact count.
+
+    Plan shape: hash -> distinct (shuffle on the 8-byte hash, bodies
+    never move) -> per-group top-k.  Global form compiles the top-k to
+    TakeOrderedAndProject; grouped form is a bounded window over the
+    (group, hv) sort — both keep ``k`` rows per group and nothing else.
+
+    Determinism: ``kth_hash`` is the raw 48-bit integer (exact in any
+    engine); the estimator divides by the EXACT double ``kth_hash /
+    2^48`` (a power-of-two shift, no rounding), so the only rounding is
+    the final ``round(est, 4)``.
+    """
+    hv = F.conv(F.substring(F.md5(key), 1, KMV_NIBBLES), 16, 10).cast("long").alias("hv")
+    if by is None:
+        kept = df.select(hv).distinct().orderBy("hv").limit(k)
+        agg = kept.agg(
+            F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_hash")
+        )
+    else:
+        from pyspark.sql import Window
+
+        kept = df.select(by.alias("grp"), hv).distinct()
+        w = Window.partitionBy("grp").orderBy("hv")
+        kept = kept.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+        agg = kept.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_hash")
+        )
+    u_k = F.col("kth_hash") / F.lit(KMV_SCALE)
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((k - 1) / u_k)
+    return agg.withColumn("est_distinct", F.round(est, 4))
+
+
+def countmin_cells(df: DataFrame, key: Column, depth: int, width: int) -> DataFrame:
+    """Build the d×w count-min table ``(j, bucket, cnt)``: each row
+    increments one bucket per salted hash row.  One aggregation, at most
+    ``depth*width`` output rows — constant-size state at any input
+    scale, so the sketch broadcasts."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
+    rows = df.select(key.alias("key"), j).select(
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("j").cast("string"), F.col("key"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+        "key",
+    )
+    return rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_estimates(
+    df: DataFrame, key: Column, depth: int, width: int
+) -> DataFrame:
+    """Per-key frequency estimate vs truth: ``min`` over the key's ``d``
+    cells (always >= true count).  The probe side joins the broadcast
+    d×w cell table, so the only wide op against the raw data is the
+    sketch build itself."""
+    cells = countmin_cells(df, key, depth, width)
+    j = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
+    probes = (
+        df.select(key.alias("key"))
+        .distinct()
+        .select("key", j)
+        .select(
+            "key",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("|", F.col("j").cast("string"), F.col("key"))
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("n_est"))
+    )
+    truth = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("n_true"))
+    return truth.join(est, "key").select(
+        "key", "n_true", "n_est", (F.col("n_est") - F.col("n_true")).alias("overcount")
+    )

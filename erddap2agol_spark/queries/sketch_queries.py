@@ -1,0 +1,112 @@
+"""Graded queries for the deterministic sketches (operators/sketch.py).
+
+The point of grading an *approximate* operator: because both sketches
+are pure md5 + integer arithmetic, the estimates are bit-identical
+across engines, so the DuckDB oracle checks the sketch itself — not a
+tolerance band.  Each query also emits the exact answer next to the
+estimate so the error is visible in the graded output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import (
+    KMV_NIBBLES,
+    KMV_SCALE,
+    countmin_estimates,
+    duckdb_hex_int,
+    kmv_distinct,
+)
+from ..sources.tables import load_table
+from . import register
+
+_K = 64
+_DEPTH, _WIDTH = 3, 32
+
+
+@register(
+    "kmv_distinct_by_type",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS grp,
+             {duckdb_hex_int("CAST(user_id AS VARCHAR)", KMV_NIBBLES)} AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk
+      FROM h
+    ),
+    sk AS (
+      SELECT grp, count(*) AS n_kept, max(hv) AS kth_hash
+      FROM ranked WHERE rk <= {_K} GROUP BY grp
+    ),
+    truth AS (
+      SELECT event_type AS grp, count(DISTINCT user_id) AS true_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT sk.grp AS event_type, n_kept, kth_hash,
+           round(CASE WHEN n_kept < {_K} THEN CAST(n_kept AS DOUBLE)
+                      ELSE ({_K} - 1) / (kth_hash / {KMV_SCALE!r}) END, 4)
+             AS est_distinct,
+           true_distinct
+    FROM sk JOIN truth USING (grp)
+    """,
+    doc="KMV distinct-user estimate per event type, next to the exact "
+    "count: k smallest 48-bit hashes per group (bounded window), "
+    "estimator (k-1)/u_k. The sketch state is k rows per group at any "
+    "input scale; the exact side is only here to show the error.",
+)
+def kmv_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_distinct(
+        ev, F.col("user_id").cast("string"), _K, by=F.col("event_type")
+    )
+    truth = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count_distinct("user_id").alias("true_distinct")
+    )
+    return sk.join(truth, "grp").select(
+        F.col("grp").alias("event_type"),
+        "n_kept",
+        "kth_hash",
+        "est_distinct",
+        "true_distinct",
+    )
+
+
+@register(
+    "cms_user_counts",
+    oracle=f"""
+    WITH src AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    rows_h AS (
+      SELECT key, j,
+             {duckdb_hex_int("CAST(j AS VARCHAR) || '|' || key", 4)} % {_WIDTH}
+               AS bucket
+      FROM src CROSS JOIN (VALUES (0), (1), (2)) AS d(j)
+    ),
+    cells AS (SELECT j, bucket, count(*) AS cnt FROM rows_h GROUP BY j, bucket),
+    probes AS (SELECT DISTINCT key, j, bucket FROM rows_h),
+    est AS (
+      SELECT key, min(cnt) AS n_est
+      FROM probes JOIN cells USING (j, bucket) GROUP BY key
+    ),
+    truth AS (SELECT key, count(*) AS n_true FROM src GROUP BY key)
+    SELECT CAST(key AS BIGINT) AS user_id, n_true, n_est,
+           n_est - n_true AS overcount
+    FROM truth JOIN est USING (key)
+    """,
+    doc="Count-min per-user frequency estimate vs truth: 3 salted hash "
+    "rows x 32 buckets; estimate = min over the key's cells (always an "
+    "overcount). The build is one map-side-combinable aggregation with "
+    "<= d*w output rows at any scale, so the sketch broadcasts for "
+    "probing.",
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = countmin_estimates(
+        ev, F.col("user_id").cast("string"), _DEPTH, _WIDTH
+    )
+    return out.select(
+        F.col("key").cast("long").alias("user_id"), "n_true", "n_est", "overcount"
+    )

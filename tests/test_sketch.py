@@ -1,0 +1,95 @@
+"""Unit tests for deterministic sketches (operators/sketch.py)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from erddap2agol_spark.operators.sketch import (
+    KMV_NIBBLES,
+    countmin_cells,
+    countmin_estimates,
+    duckdb_hex_int,
+    kmv_distinct,
+)
+
+
+def _keys(spark, n, dup=1):
+    return spark.range(n * dup).select(
+        (F.col("id") % n).cast("string").alias("k")
+    )
+
+
+def test_kmv_exhaustive_when_under_k(spark):
+    [r] = kmv_distinct(_keys(spark, 40, dup=3), F.col("k"), k=64).collect()
+    assert r["n_kept"] == 40
+    assert r["est_distinct"] == 40.0  # sketch is exact below k
+
+
+def test_kmv_estimate_within_expected_error(spark):
+    # k=64 -> relative std err ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+    [r] = kmv_distinct(_keys(spark, 2000), F.col("k"), k=64).collect()
+    assert r["n_kept"] == 64
+    assert abs(r["est_distinct"] - 2000) / 2000 < 0.5
+    # duplicates never change a distinct sketch
+    [r2] = kmv_distinct(_keys(spark, 2000, dup=4), F.col("k"), k=64).collect()
+    assert r2["est_distinct"] == r["est_distinct"]
+
+
+def test_kmv_global_plan_is_topk_not_sort(spark):
+    df = kmv_distinct(_keys(spark, 2000), F.col("k"), k=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_grouped_matches_global_per_group(spark):
+    df = _keys(spark, 500).withColumn("grp", F.lit("a"))
+    [g] = kmv_distinct(df, F.col("k"), k=64, by=F.col("grp")).collect()
+    [s] = kmv_distinct(df, F.col("k"), k=64).collect()
+    assert g["kth_hash"] == s["kth_hash"]
+    assert g["est_distinct"] == s["est_distinct"]
+
+
+def test_duckdb_hex_int_matches_spark_conv(spark):
+    vals = [("alpha",), ("beta",), ("42",)]
+    df = spark.createDataFrame(vals, "s string").select(
+        F.conv(F.substring(F.md5("s"), 1, KMV_NIBBLES), 16, 10)
+        .cast("long")
+        .alias("hv"),
+        "s",
+    )
+    got = {r["s"]: r["hv"] for r in df.collect()}
+    con = duckdb.connect()
+    for (s,) in vals:
+        [(hv,)] = con.execute(
+            f"SELECT {duckdb_hex_int(f'{s!r}', KMV_NIBBLES)}"
+        ).fetchall()
+        assert got[s] == hv, s
+
+
+def test_countmin_mass_conservation_and_overcount(spark):
+    df = _keys(spark, 100, dup=7)
+    cells = countmin_cells(df, F.col("k"), depth=3, width=16)
+    per_row = {
+        r["j"]: r["s"]
+        for r in cells.groupBy("j").agg(F.sum("cnt").alias("s")).collect()
+    }
+    # every hash row sees every input row exactly once
+    assert per_row == {0: 700, 1: 700, 2: 700}
+    est = countmin_estimates(df, F.col("k"), depth=3, width=16).collect()
+    assert len(est) == 100
+    assert all(r["n_est"] >= r["n_true"] for r in est)
+    assert all(r["n_true"] == 7 for r in est)
+
+
+def test_countmin_wide_sketch_is_near_exact(spark):
+    df = _keys(spark, 20, dup=5)
+    est = countmin_estimates(df, F.col("k"), depth=3, width=4096).collect()
+    # 20 keys in 4096 buckets x 3 rows: collisions in all three rows are
+    # vanishingly unlikely -> min over rows recovers the exact count
+    assert all(r["overcount"] == 0 for r in est)
+
+
+def test_countmin_cells_bounded(spark):
+    cells = countmin_cells(_keys(spark, 5000), F.col("k"), depth=3, width=32)
+    assert cells.count() <= 3 * 32
