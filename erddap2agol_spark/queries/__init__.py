@@ -49,6 +49,7 @@ def _load_all() -> None:
     from . import curation_queries  # noqa: F401
     from . import dedup_queries  # noqa: F401
     from . import qc_queries  # noqa: F401
+    from . import search_queries  # noqa: F401
     from . import sketch_queries  # noqa: F401
     from . import reference_core  # noqa: F401
     from . import similarity_queries  # noqa: F401
