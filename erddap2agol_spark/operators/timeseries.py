@@ -1,0 +1,125 @@
+"""Regular-grid resampling for irregular time series (gap fill / LOCF).
+
+The reference's griddap side serves data on regular coordinate grids
+while tabledap feeds arrive irregularly (SURVEY §2.1 S6/S7); regridding
+an irregular series onto a uniform time axis with
+last-observation-carried-forward is the tabular half of that bridge —
+and the standard feature-alignment step for training-data pipelines
+(sensor streams -> fixed-rate model inputs).
+
+Scale shape — the union+window trick, no as-of join:
+
+1. per-key bounds are one map-side-combinable aggregation;
+2. grid timestamps come from ``sequence()`` on integer microseconds
+   (generated, not stored — the grid never shuffles as data);
+3. grid rows union with observations and ONE window per key ordered by
+   (ts, is_grid, id) carries the last non-null value forward.
+
+Total cost: one shuffle on the key — same as any per-key window — and
+the output is exactly the grid rows.  An as-of join formulation would
+shuffle both sides and build a range join; this is strictly cheaper
+and AQE-splittable per key.
+
+Integer-only grid arithmetic (epoch µs, modulo alignment, integer
+``sequence``) keeps every grid point bit-identical in any engine; no
+float epoch math anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence as Seq
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_locf(
+    df: DataFrame,
+    keys: Seq[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    step_s: int,
+) -> DataFrame:
+    """Per-key regular grid at ``step_s`` seconds, LOCF-filled.
+
+    The grid is aligned to epoch multiples of the step and starts at the
+    first aligned point AT or AFTER each key's first observation, so
+    every emitted point has at least one preceding observation (no
+    leading-null rows).  Ties at a grid instant resolve to the
+    observation (is_grid sorts after), and duplicate-timestamp
+    observations break ties on ``id_col`` — fully deterministic.
+
+    Emits ``(*keys, grid_ts, value)``.
+    """
+    step_us = step_s * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+
+    bounds = df.groupBy(*keys).agg(
+        F.min(us).alias("mn_us"), F.max(us).alias("mx_us")
+    )
+    # ceil-align with pure integer ops: q = mn + step - 1; lo = q - q % step
+    q = F.col("mn_us") + F.lit(step_us - 1)
+    grid = (
+        bounds.withColumn("lo_us", q - (q % F.lit(step_us)))
+        .filter(F.col("lo_us") <= F.col("mx_us"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("lo_us", "mx_us", F.lit(step_us))
+            ).alias("t_us"),
+        )
+        .select(
+            *keys,
+            "t_us",
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("ord_id"),
+            F.lit(None).cast(df.schema[value_col].dataType).alias("v"),
+        )
+    )
+    obs = df.select(
+        *keys,
+        us.alias("t_us"),
+        F.lit(0).alias("is_grid"),
+        F.col(id_col).cast("long").alias("ord_id"),
+        F.col(value_col).alias("v"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("t_us", "is_grid", F.coalesce(F.col("ord_id"), F.lit(0)))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = obs.unionByName(grid).withColumn(
+        "value", F.last("v", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("is_grid") == 1).select(
+        *keys, F.timestamp_micros(F.col("t_us")).alias("grid_ts"), "value"
+    )
+
+
+def gap_stats(
+    df: DataFrame, keys: Seq[str], ts_col: str, id_col: str, max_gap_s: int
+) -> DataFrame:
+    """Per-key sampling-health report: observation count, median step,
+    largest gap, and the count of gaps exceeding ``max_gap_s`` — the
+    diagnostic that decides whether LOCF output is trustworthy for a
+    key.  One window + one aggregation on the same key."""
+    w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    gaps = df.select(*keys, (us - F.lag(us).over(w)).alias("gap_us"))
+    # interpolate the median on INTEGER microseconds (both engines'
+    # interpolation formulas are exact on integer endpoints; interpolating
+    # on pre-divided doubles diverges in the last ulp), round the half-µs
+    # midpoint with floor(x+0.5) — decimal round() hits exactly that
+    # midpoint and engines disagree — then divide once
+    return gaps.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (
+            F.floor(F.percentile(F.col("gap_us"), F.lit(0.5)) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("median_step_s"),
+        (F.max("gap_us") / F.lit(1e6)).alias("max_gap_s"),
+        F.count(F.when(F.col("gap_us") > max_gap_s * 1_000_000, 1)).alias(
+            "n_long_gaps"
+        ),
+    )

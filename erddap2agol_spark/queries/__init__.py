@@ -54,6 +54,7 @@ def _load_all() -> None:
     from . import reference_core  # noqa: F401
     from . import similarity_queries  # noqa: F401
     from . import text_queries  # noqa: F401
+    from . import timeseries_queries  # noqa: F401
 
 
 # The external driver grades the FIRST 50 entries of ``queries()`` in dict

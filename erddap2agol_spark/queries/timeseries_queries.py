@@ -1,0 +1,102 @@
+"""Graded queries for regular-grid resampling (operators/timeseries.py).
+
+Grid arithmetic is integer microseconds end-to-end (epoch_us, modulo
+alignment, integer sequence/generate_series), so grid points are
+bit-identical across engines; the LOCF value is a carried copy, never a
+float computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import gap_stats, resample_locf
+from ..sources.tables import load_table
+from . import register
+
+_DAY_US = 86_400_000_000
+_MAX_GAP_S = 21_600  # 6 h
+
+
+@register(
+    "resample_daily_locf",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+      FROM events
+    ),
+    b AS (SELECT user_id, min(t_us) AS mn, max(t_us) AS mx FROM e GROUP BY user_id),
+    g AS (
+      SELECT user_id,
+             unnest(generate_series(
+               (mn + {_DAY_US - 1}) - ((mn + {_DAY_US - 1}) % {_DAY_US}),
+               mx, {_DAY_US})) AS t_us
+      FROM b
+      WHERE (mn + {_DAY_US - 1}) - ((mn + {_DAY_US - 1}) % {_DAY_US}) <= mx
+    ),
+    u AS (
+      SELECT user_id, t_us, 0 AS is_grid, event_id AS ord_id, value AS v FROM e
+      UNION ALL
+      SELECT user_id, t_us, 1, NULL, NULL FROM g
+    ),
+    f AS (
+      SELECT user_id, t_us, is_grid,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t_us, is_grid, coalesce(ord_id, 0)
+               ROWS UNBOUNDED PRECEDING) AS value
+      FROM u
+    )
+    SELECT user_id, make_timestamp(t_us) AS grid_ts, value
+    FROM f WHERE is_grid = 1
+    """,
+    doc="Daily regular grid per station, LOCF-filled via the union+window "
+    "trick: one shuffle on the key, grid points generated (not stored), "
+    "no as-of join. The tabular regridding half of griddap semantics.",
+)
+def resample_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return resample_locf(
+        ev, keys=["user_id"], ts_col="ts", id_col="event_id",
+        value_col="value", step_s=86_400,
+    )
+
+
+@register(
+    "sampling_gap_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+      FROM events
+    ),
+    gp AS (
+      SELECT user_id,
+             t_us - lag(t_us) OVER (PARTITION BY user_id
+                                    ORDER BY t_us, event_id) AS gap_us
+      FROM e
+    )
+    SELECT user_id, count(*) AS n_obs,
+           floor(quantile_cont(gap_us, 0.5) + 0.5) / 1e6 AS median_step_s,
+           round(max(gap_us) / 1e6, 6) AS max_gap_s,
+           count(*) FILTER (gap_us > {_MAX_GAP_S * 1_000_000}) AS n_long_gaps
+    FROM gp GROUP BY user_id
+    """,
+    doc="Per-station sampling-health report (median step, largest gap, "
+    "long-gap count) — the diagnostic that says whether LOCF output is "
+    "trustworthy. One window + one same-key aggregation.",
+)
+def sampling_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = gap_stats(
+        ev, keys=["user_id"], ts_col="ts", id_col="event_id", max_gap_s=_MAX_GAP_S
+    )
+    return out.select(
+        "user_id",
+        "n_obs",
+        "median_step_s",
+        F.round("max_gap_s", 6).alias("max_gap_s"),
+        "n_long_gaps",
+    )
