@@ -151,3 +151,69 @@ def bm25_topk(
     # bounded input — the token_histogram pattern, not a global sort)
     w = Window.orderBy(F.desc("score"), "doc")
     return top.select("doc", "score", F.row_number().over(w).alias("rk"))
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df_ratio: float = 0.5,
+    min_pair_n: int = 2,
+) -> DataFrame:
+    """Within-document term co-occurrence with pointwise mutual
+    information: ``pmi(a,b) = ln(n_ab * N / (df_a * df_b))`` over
+    document-level presence counts.
+
+    Skew control IS the algorithm here: terms outside ``[min_df,
+    max_df_ratio * N]`` are dropped *before* the in-document self-join —
+    stopwords would otherwise pair with everything (quadratic fan-out on
+    exactly the hottest keys) and hapaxes only produce noise pairs.  The
+    surviving per-doc term count bounds the join fan-out; pairing is an
+    equi-join ON the doc id, so co-occurrence never leaves the doc's
+    partition.
+
+    Determinism: every count is an integer; the single float op is one
+    ``ln`` of a ratio of exact integer products, rounded to 4.
+    """
+    td = doc_terms(docs, id_col, text_col)
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    dfs = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    eligible = (
+        dfs.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs"))
+        )
+        .select("term", "df")
+    )
+    tdf = td.join(F.broadcast(eligible.select("term")), "term")
+    pairs = (
+        tdf.alias("x")
+        .join(tdf.alias("y"), "doc")
+        .filter(F.col("x.term") < F.col("y.term"))
+        .groupBy(
+            F.col("x.term").alias("term_a"), F.col("y.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_n)
+    )
+    da = eligible.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = eligible.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_docs"))
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

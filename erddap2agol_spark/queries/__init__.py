@@ -48,6 +48,7 @@ def _load_all() -> None:
     from . import converter_queries  # noqa: F401
     from . import curation_queries  # noqa: F401
     from . import dedup_queries  # noqa: F401
+    from . import graph_queries  # noqa: F401
     from . import mixing_queries  # noqa: F401
     from . import qc_queries  # noqa: F401
     from . import search_queries  # noqa: F401

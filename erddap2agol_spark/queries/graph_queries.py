@@ -1,0 +1,128 @@
+"""Graded queries for co-occurrence PMI and similarity-graph triangles.
+
+The triangle query chains two scale-shaped stages: SimHash fingerprints
+(one 16-column hash aggregate) -> Hamming pairs -> degree-oriented
+wedge join.  The oracle recomputes the identical graph with DuckDB's
+bit_count/xor and a tuple-comparison orientation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup
+from ..operators.graph import triangle_count
+from ..operators.search import cooccurrence_pmi
+from ..sources.tables import load_table
+from . import register
+
+_HEX = "0123456789abcdef"
+_MIN_DF, _MAX_DF_RATIO, _MIN_PAIR = 2, 0.9, 3
+_MAX_HAMMING = 2
+
+_SIMHASH_CTE = f"""
+    toks AS (
+      SELECT doc_id AS doc, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc,
+             (instr('{_HEX}', h[1]) - 1) * 4096 + (instr('{_HEX}', h[2]) - 1) * 256 +
+             (instr('{_HEX}', h[3]) - 1) * 16   + (instr('{_HEX}', h[4]) - 1) AS th
+      FROM (SELECT doc, md5(tok) AS h FROM toks)
+    ),
+    votes AS (
+      SELECT doc, pos, sum(CASE WHEN (th >> pos) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS pos)
+      GROUP BY doc, pos
+    ),
+    fp AS (
+      SELECT doc, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc
+    )
+"""
+
+
+@register(
+    "pmi_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    td AS (SELECT DISTINCT doc, term FROM tok WHERE term <> ''),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfs AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+    elig AS (
+      SELECT term, df FROM dfs CROSS JOIN nd
+      WHERE df >= {_MIN_DF} AND df <= {_MAX_DF_RATIO} * n_docs
+    ),
+    tdf AS (SELECT doc, td.term FROM td JOIN elig ON td.term = elig.term),
+    pairs AS (
+      SELECT x.term AS term_a, y.term AS term_b, count(*) AS n_ab
+      FROM tdf x JOIN tdf y ON x.doc = y.doc AND x.term < y.term
+      GROUP BY 1, 2 HAVING count(*) >= {_MIN_PAIR}
+    )
+    SELECT term_a, term_b, n_ab,
+           round(ln((n_ab * n_docs) / (da.df * db.df)), 4) AS pmi
+    FROM pairs
+    JOIN elig da ON term_a = da.term
+    JOIN elig db ON term_b = db.term
+    CROSS JOIN nd
+    """,
+    doc="Document-level term co-occurrence with PMI. Frequency caps "
+    "(min_df, max_df) run BEFORE the in-doc self-join — the skew control "
+    "that keeps stopwords from pairing quadratically — and all counts "
+    "are integers so the lone ln() is the only float op.",
+)
+def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cooccurrence_pmi(
+        docs, "doc_id", "text",
+        min_df=_MIN_DF, max_df_ratio=_MAX_DF_RATIO, min_pair_n=_MIN_PAIR,
+    )
+
+
+@register(
+    "sim_graph_triangles",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    edges AS (
+      SELECT a.doc AS ea, b.doc AS eb
+      FROM fp a JOIN fp b ON a.doc < b.doc
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+    ),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT ea AS node FROM edges UNION ALL SELECT eb FROM edges
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (x.deg, ea) < (y.deg, eb) THEN ea ELSE eb END AS src,
+             CASE WHEN (x.deg, ea) < (y.deg, eb) THEN eb ELSE ea END AS dst
+      FROM edges JOIN deg x ON ea = x.node JOIN deg y ON eb = y.node
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM o e1
+      JOIN o e2 ON e1.dst = e2.src
+      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+    doc="Triangle census of the SimHash near-dup graph (Hamming <= 2): "
+    "degree-oriented wedge join (Suri-Vassilvitskii) counts each "
+    "triangle exactly once with sqrt(m)-bounded fan-out — the "
+    "clique-vs-chain diagnostic for near-dup neighborhoods.",
+)
+def sim_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.simhash16(docs, "doc_id", "text")
+    edges = dedup.simhash_near_pairs(sh, max_hamming=_MAX_HAMMING).select(
+        "doc_a", "doc_b"
+    )
+    return triangle_count(edges, a="doc_a", b="doc_b")
