@@ -86,9 +86,10 @@ _GRADE_PRIORITY: list[str] = [
     "retention_cohorts", "local_supplier_volume",
     "pii_redaction", "snapshot_diff_events", "key_hotness",
     "emb_near_dup_cells", "corpus_stats",
-    # (c) keep-green core coverage; everything rotated to the tail has a
-    # green round-1 driver row and stays pytest-parity-checked.
-    "dedup_exact", "dedup_lsh_rescored", "dedup_clusters",
+    # (b3) newest never-graded queries — rotated in over round-1 greens
+    # (dedup_exact/dedup_lsh_rescored/dedup_clusters already hold green
+    # driver rows from round 1 and stay pytest-parity-checked in the tail).
+    "bm25_topk", "qc_flags", "resample_daily_locf",
 ]
 
 
