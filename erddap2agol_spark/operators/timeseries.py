@@ -97,6 +97,95 @@ def resample_locf(
     )
 
 
+def ewma(
+    df: DataFrame,
+    keys: Seq[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    alpha: float,
+    span_rows: int,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over the last
+    ``span_rows`` observations: the standard sensor-smoothing /
+    feature-engineering primitive (EWMA is sequential state, which plain
+    SQL window aggregates can't express).
+
+    Determinism/scale shape: ONE bounded window per key collects the
+    frame as (t, id, value) structs, ``array_sort`` pins the fold order
+    (the same lexicographic struct sort both engines implement), and a
+    left fold (``F.aggregate``) runs s -> alpha*x + (1-alpha)*s oldest
+    to newest.  Because the fold ORDER is pinned and both engines fold
+    left with the first element as the seed, the float result is
+    bit-identical in any engine — same trick as the BM25 score fold
+    (operators/search.py).  Frame size is bounded by ``span_rows``, so
+    per-row state is O(span), never the whole key history, and the only
+    shuffle is the window's hash on the key.
+
+    Emits ``(*keys, id_col, ewma)`` — one row per observation.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(span_rows - 1), 0)
+    )
+    frame = F.collect_list(
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("t"),
+            F.col(id_col).cast("long").alias("i"),
+            F.col(value_col).cast("double").alias("x"),
+        )
+    ).over(w)
+    vals = F.transform(F.array_sort(frame), lambda r: r["x"])
+    a = F.lit(float(alpha))
+    folded = F.aggregate(
+        F.slice(vals, 2, span_rows),
+        F.element_at(vals, 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return df.select(*keys, F.col(id_col), folded.alias("ewma"))
+
+
+def climatology(
+    df: DataFrame, keys: Seq[str], ts_col: str, value_col: str
+) -> DataFrame:
+    """Month-of-year climatology per key: the oceanographic baseline
+    aggregate (ERDDAP feeds are sensor series; anomaly-vs-climatology is
+    the canonical downstream product).  A single map-side-combinable
+    aggregation on (key, month) — at most 12x|keys| output rows, so the
+    result broadcasts for the anomaly join no matter the input size.
+
+    Emits ``(*keys, month, clim_mean, clim_n)``.
+    """
+    return (
+        df.groupBy(*keys, F.month(F.col(ts_col)).alias("month"))
+        .agg(
+            F.avg(value_col).alias("clim_mean"),
+            F.count(F.lit(1)).alias("clim_n"),
+        )
+    )
+
+
+def anomaly_join(
+    df: DataFrame,
+    clim: DataFrame,
+    keys: Seq[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Anomaly = observation minus its (key, month) climatology.
+
+    The climatology side is tiny by construction (<= 12 rows per key
+    group), so the join is an explicit broadcast — observations never
+    shuffle.  Emits the observation columns plus ``month``, ``clim_mean``
+    and ``anomaly`` (both unrounded; callers round for cross-engine
+    output).
+    """
+    obs = df.withColumn("month", F.month(F.col(ts_col)))
+    j = obs.join(F.broadcast(clim), [*keys, "month"])
+    return j.withColumn("anomaly", F.col(value_col) - F.col("clim_mean"))
+
+
 def gap_stats(
     df: DataFrame, keys: Seq[str], ts_col: str, id_col: str, max_gap_s: int
 ) -> DataFrame:

@@ -55,6 +55,7 @@ def _load_all() -> None:
     from . import sketch_queries  # noqa: F401
     from . import reference_core  # noqa: F401
     from . import similarity_queries  # noqa: F401
+    from . import spatial_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import timeseries_queries  # noqa: F401
 

@@ -289,3 +289,91 @@ def ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_deterministic(
         queries, emb, "vec_id", "embedding", label_col="label", k=5, n_probe=3
     )
+
+
+@register(
+    "semdedup_keep",
+    oracle=f"""
+    WITH RECURSIVE {_VEC_CTE},
+    cent_long AS (
+      SELECT label, pos, round(avg(val), 6) AS c
+      FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    cells AS (
+      SELECT label, cvec,
+             sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+      FROM (SELECT label, list(c ORDER BY pos) AS cvec
+            FROM cent_long GROUP BY label)
+    ),
+    assign AS (
+      SELECT id, cell FROM (
+        SELECT e.id, ce.label AS cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY round(list_dot_product(e.vec, ce.cvec)
+                                / (e.nrm * ce.cnrm), 6) DESC, ce.label) AS crk
+        FROM v e CROSS JOIN cells ce
+      ) WHERE crk <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN v x ON x.id = id_a JOIN v y ON y.id = id_b
+      WHERE round(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm), 6) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    root AS (SELECT u AS node, least(min(v), u) AS root FROM reach GROUP BY u),
+    lab AS (
+      SELECT emb.vec_id, coalesce(r.root, emb.vec_id) AS cluster_id
+      FROM embeddings emb LEFT JOIN root r ON emb.vec_id = r.node
+    )
+    SELECT vec_id, cluster_id,
+           CAST(vec_id = cluster_id AS INTEGER) AS keep,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """,
+    doc="SemDedup (Abbas et al. 2023 shape): semantic near-dup pruning "
+    "over embeddings — IVF-cell candidate pairs (cos >= 0.4) -> connected "
+    "components (large-star/small-star) -> keep exactly one document per "
+    "semantic cluster (the min id, which IS the component label, so the "
+    "keep flag is a comparison, not another aggregation). Every stage is "
+    "the 100 TB path: pairs meet only inside shared cells, components "
+    "need O(log n) rounds, the final label join is AQE-broadcastable.",
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cell_near_dup_pairs(
+        emb, "vec_id", "embedding", label_col="label", threshold=0.4, n_probe=2
+    )
+    comp = dedup.connected_components(pairs, src="id_a", dst="id_b")
+    lab = (
+        emb.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id", F.coalesce("component", "vec_id").alias("cluster_id")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).cast("int").alias("keep"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

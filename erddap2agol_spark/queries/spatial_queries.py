@@ -1,0 +1,97 @@
+"""Graded query for the cell-binned spatial join (operators/spatial.py).
+
+Coordinates are synthesized deterministically from TPC-H keys with pure
+integer arithmetic (modulo, then one division by 100.0), placed in the
+Gulf-of-Mexico box the reference's GCOOS deployment serves — lat 18..30,
+lon -98..-80 — where the planar ranking metric is legitimate.  Every
+derived double is the result of the same integer ops in both engines, so
+distances are bit-identical and the argmin is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.spatial import nearest_station
+from ..sources.tables import load_table
+from . import register
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.lit(18.0) + (F.col("c_custkey") * 37 % 1200) / F.lit(100.0)).alias(
+            "plat"
+        ),
+        (F.lit(-98.0) + (F.col("c_custkey") * 61 % 1800) / F.lit(100.0)).alias(
+            "plon"
+        ),
+    )
+
+
+def _stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("station_id"),
+        (F.lit(18.0) + (F.col("s_suppkey") * 53 % 1200) / F.lit(100.0)).alias(
+            "slat"
+        ),
+        (F.lit(-98.0) + (F.col("s_suppkey") * 89 % 1800) / F.lit(100.0)).alias(
+            "slon"
+        ),
+    )
+
+
+@register(
+    "nearest_station_binned",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS point_id,
+             18.0 + (c_custkey * 37 % 1200) / 100.0 AS plat,
+             -98.0 + (c_custkey * 61 % 1800) / 100.0 AS plon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey AS station_id,
+             18.0 + (s_suppkey * 53 % 1200) / 100.0 AS slat,
+             -98.0 + (s_suppkey * 89 % 1800) / 100.0 AS slon
+      FROM supplier
+    ),
+    sn AS (
+      SELECT station_id, slat, slon,
+             CAST(floor(slat / 1.0) AS BIGINT) + dx.dx AS cx,
+             CAST(floor(slon / 1.0) AS BIGINT) + dy.dy AS cy
+      FROM s, (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy)
+    ),
+    cand AS (
+      SELECT p.point_id, sn.station_id,
+             (p.plat - sn.slat) * (p.plat - sn.slat)
+             + (p.plon - sn.slon) * (p.plon - sn.slon) AS d2_deg
+      FROM p JOIN sn ON CAST(floor(p.plat / 1.0) AS BIGINT) = sn.cx
+                    AND CAST(floor(p.plon / 1.0) AS BIGINT) = sn.cy
+    )
+    SELECT point_id, station_id, d2_deg FROM (
+      SELECT point_id, station_id, d2_deg,
+             row_number() OVER (PARTITION BY point_id
+                                ORDER BY d2_deg, station_id) AS rk
+      FROM cand
+    ) WHERE rk = 1
+    """,
+    doc="Nearest station per observation point via the geohash-bin "
+    "pattern: both sides bin to 1-degree cells (integer floor), the "
+    "small station side explodes to its 3x3 neighborhood and broadcasts, "
+    "candidates meet only on the cell equi-join, and the per-point "
+    "argmin ranks a handful of rows. The observation side never "
+    "shuffles; bounded-radius semantics (no station within the ring -> "
+    "point drops out).",
+)
+def nearest_station_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nearest_station(
+        _points(spark, sf_dir),
+        _stations(spark, sf_dir),
+        point_id="point_id",
+        station_id="station_id",
+        cell_deg=1.0,
+    )

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.timeseries import gap_stats, resample_locf
+from ..operators.timeseries import (
+    anomaly_join,
+    climatology,
+    ewma,
+    gap_stats,
+    resample_locf,
+)
 from ..sources.tables import load_table
 from . import register
 
@@ -99,4 +105,84 @@ def sampling_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_step_s",
         F.round("max_gap_s", 6).alias("max_gap_s"),
         "n_long_gaps",
+    )
+
+
+@register(
+    "ewma_value",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CAST(value AS DOUBLE) AS x
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id,
+             list({'t': t, 'i': event_id, 'x': x}) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS frame
+      FROM e
+    )
+    SELECT user_id, event_id,
+           round(list_reduce(
+             list_transform(list_sort(frame), r -> r.x),
+             (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                         + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
+    FROM f
+    """,
+    doc="Per-station EWMA over the last 20 observations — sequential "
+    "state no plain SQL window aggregate expresses. The frame is "
+    "collected in ONE bounded window, sort-pinned, and left-folded "
+    "(s -> a*x + (1-a)*s) with the oldest element as the seed, so the "
+    "float result is bit-identical across engines (same pinned-fold "
+    "trick as the BM25 scorer). One key-hash shuffle, O(span) state "
+    "per row.",
+)
+def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = ewma(
+        ev, keys=["user_id"], ts_col="ts", id_col="event_id",
+        value_col="value", alpha=0.3, span_rows=20,
+    )
+    return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+
+
+@register(
+    "climatology_anomaly",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(month(CAST(ts AS TIMESTAMP)) AS INTEGER) AS month, value
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, month, avg(value) AS m, count(*) AS clim_n
+      FROM e GROUP BY event_type, month
+    )
+    SELECT e.event_id, e.event_type, e.month, e.value,
+           round(c.m, 6) AS clim_mean,
+           round(e.value - c.m, 6) AS anomaly, c.clim_n
+    FROM e JOIN c ON e.event_type = c.event_type AND e.month = c.month
+    """,
+    doc="Month-of-year climatology per sensor type and the anomaly of "
+    "every observation against it — the canonical oceanographic product "
+    "over ERDDAP-style series. The climatology is one map-side-combinable "
+    "aggregation (<= 12 rows per type) broadcast back onto the "
+    "observations: the fact table never shuffles.",
+)
+def climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    clim = climatology(ev, keys=["event_type"], ts_col="ts", value_col="value")
+    out = anomaly_join(
+        ev, clim, keys=["event_type"], ts_col="ts", value_col="value"
+    )
+    return out.select(
+        "event_id", "event_type", "month", "value",
+        F.round("clim_mean", 6).alias("clim_mean"),
+        F.round("anomaly", 6).alias("anomaly"),
+        "clim_n",
     )

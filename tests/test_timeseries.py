@@ -102,3 +102,117 @@ def test_gap_stats(spark):
     assert r["median_step_s"] == 600.0
     assert r["max_gap_s"] == 7200.0
     assert r["n_long_gaps"] == 1
+
+
+# ---------------------------------------------------------------- ewma
+
+
+def test_ewma_matches_recursive_formula(spark):
+    from erddap2agol_spark.operators.timeseries import ewma
+
+    rows = [
+        (i, "a", datetime(2024, 1, 1, i), float(v))
+        for i, v in enumerate([10.0, 20.0, 5.0, 40.0, 15.0])
+    ]
+    out = {
+        r["id"]: r["ewma"]
+        for r in ewma(
+            _df(spark, rows), ["key"], "ts", "id", "value",
+            alpha=0.3, span_rows=10,
+        ).collect()
+    }
+    # span covers the whole series -> exact left fold from the first obs
+    s = 10.0
+    expect = {0: 10.0}
+    for i, v in enumerate([20.0, 5.0, 40.0, 15.0], start=1):
+        s = 0.3 * v + 0.7 * s
+        expect[i] = s
+    assert out.keys() == expect.keys()
+    for k in expect:
+        assert abs(out[k] - expect[k]) < 1e-12
+
+
+def test_ewma_bounded_span_drops_old_state(spark):
+    from erddap2agol_spark.operators.timeseries import ewma
+
+    rows = [
+        (i, "a", datetime(2024, 1, 1, i), float(v))
+        for i, v in enumerate([100.0, 1.0, 2.0, 3.0])
+    ]
+    out = {
+        r["id"]: r["ewma"]
+        for r in ewma(
+            _df(spark, rows), ["key"], "ts", "id", "value",
+            alpha=0.5, span_rows=2,
+        ).collect()
+    }
+    # span=2: fold seeds on the PREVIOUS obs only
+    assert out[0] == 100.0
+    assert out[1] == 0.5 * 1.0 + 0.5 * 100.0
+    assert out[2] == 0.5 * 2.0 + 0.5 * 1.0
+    assert out[3] == 0.5 * 3.0 + 0.5 * 2.0
+
+
+def test_ewma_span_one_is_identity(spark):
+    from erddap2agol_spark.operators.timeseries import ewma
+
+    rows = [(i, "a", datetime(2024, 1, 1, i), float(i * 7)) for i in range(4)]
+    out = ewma(
+        _df(spark, rows), ["key"], "ts", "id", "value", alpha=0.3, span_rows=1
+    ).collect()
+    assert all(r["ewma"] == r["id"] * 7.0 for r in out)
+
+
+def test_ewma_keys_are_independent(spark):
+    from erddap2agol_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 0), 10.0),
+        (2, "b", datetime(2024, 1, 1, 1), 99.0),
+        (3, "a", datetime(2024, 1, 1, 2), 20.0),
+    ]
+    out = {
+        r["id"]: r["ewma"]
+        for r in ewma(
+            _df(spark, rows), ["key"], "ts", "id", "value",
+            alpha=0.5, span_rows=5,
+        ).collect()
+    }
+    assert out[2] == 99.0  # key b never sees key a's values
+    assert out[3] == 0.5 * 20.0 + 0.5 * 10.0
+
+
+# -------------------------------------------------- climatology / anomaly
+
+
+def test_climatology_anomaly_known_values(spark):
+    from erddap2agol_spark.operators.timeseries import anomaly_join, climatology
+
+    rows = [
+        (1, "sst", datetime(2024, 1, 5), 10.0),
+        (2, "sst", datetime(2024, 1, 20), 14.0),
+        (3, "sst", datetime(2024, 2, 5), 20.0),
+        (4, "sal", datetime(2024, 1, 7), 35.0),
+    ]
+    df = _df(spark, rows).withColumnRenamed("key", "kind")
+    clim = climatology(df, ["kind"], "ts", "value")
+    got = {(r["kind"], r["month"]): (r["clim_mean"], r["clim_n"]) for r in clim.collect()}
+    assert got[("sst", 1)] == (12.0, 2)
+    assert got[("sst", 2)] == (20.0, 1)
+    assert got[("sal", 1)] == (35.0, 1)
+
+    anom = {
+        r["id"]: r["anomaly"]
+        for r in anomaly_join(df, clim, ["kind"], "ts", "value").collect()
+    }
+    assert anom == {1: -2.0, 2: 2.0, 3: 0.0, 4: 0.0}
+
+
+def test_anomaly_join_is_broadcast(spark):
+    from erddap2agol_spark.operators.timeseries import anomaly_join, climatology
+
+    rows = [(1, "sst", datetime(2024, 1, 5), 10.0)]
+    df = _df(spark, rows).withColumnRenamed("key", "kind")
+    clim = climatology(df, ["kind"], "ts", "value")
+    plan = anomaly_join(df, clim, ["kind"], "ts", "value")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
