@@ -20,6 +20,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds for a TIMESTAMP *or* TIMESTAMP_NTZ column.
+
+    The driver's session reads the parquet test tables as TIMESTAMP_NTZ
+    (Spark 4 infers NTZ for parquet timestamps without UTC adjustment),
+    and ``F.unix_micros`` rejects NTZ input outright. The bridge is a
+    plain cast: NTZ -> LTZ interprets the wall clock in the session
+    timezone, which ``sources.tables.load_table`` pins to UTC on every
+    call — so the cast is deterministic (naive-as-UTC, exactly DuckDB's
+    ``epoch_us`` semantics) and a no-op on columns already TIMESTAMP.
+    Stays inside whole-stage codegen; no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 #: Fast path: the common ERDDAP/feed formats, tried in order JVM-side.
 FAST_FORMATS = (
     "yyyy-MM-dd'T'HH:mm:ss'Z'",

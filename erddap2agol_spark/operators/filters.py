@@ -50,10 +50,17 @@ def time_range(
             # end-inclusive at µs precision: admit the whole microsecond
             out = out.filter(F.col(ns_col) < F.lit(_epoch_ns(end) + 1000))
         return out
+    # literal typed to the COLUMN's own timestamp flavor: comparing a
+    # TIMESTAMP_NTZ column against a TIMESTAMP literal would wrap the
+    # column in a cast and block parquet pushdown (the driver's session
+    # reads the test tables as NTZ; session tz is pinned UTC by
+    # load_table, so the same wall-clock literal means the same instant
+    # either way)
+    lit_type = df.schema[col].dataType.simpleString()
     if start is not None:
-        out = out.filter(F.col(col) >= F.lit(start).cast("timestamp"))
+        out = out.filter(F.col(col) >= F.lit(start).cast(lit_type))
     if end is not None:
-        out = out.filter(F.col(col) <= F.lit(end).cast("timestamp"))
+        out = out.filter(F.col(col) <= F.lit(end).cast(lit_type))
     return out
 
 

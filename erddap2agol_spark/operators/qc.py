@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from ..functions.datetimes import epoch_us
+
 PASS, NOT_EVAL, SUSPECT, FAIL = 1, 2, 3, 4
 
 
@@ -98,7 +100,7 @@ def rate_of_change_flag(
     (duplicate timestamps) degrades to "any change is suspect" instead of
     a division-by-zero whose Inf/NaN semantics differ across engines."""
     dv = F.abs(value - F.lag(value).over(w))
-    dt = (F.unix_micros(ts) - F.lag(F.unix_micros(ts)).over(w)) / F.lit(1e6)
+    dt = (epoch_us(ts) - F.lag(epoch_us(ts)).over(w)) / F.lit(1e6)
     return (
         F.when(F.lag(value).over(w).isNull(), F.lit(NOT_EVAL))
         .when(dv > F.lit(max_per_sec) * dt, F.lit(SUSPECT))

@@ -32,6 +32,8 @@ from collections.abc import Sequence as Seq
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.datetimes import epoch_us
+
 
 def resample_locf(
     df: DataFrame,
@@ -53,7 +55,7 @@ def resample_locf(
     Emits ``(*keys, grid_ts, value)``.
     """
     step_us = step_s * 1_000_000
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(ts_col)
 
     bounds = df.groupBy(*keys).agg(
         F.min(us).alias("mn_us"), F.max(us).alias("mx_us")
@@ -131,7 +133,7 @@ def ewma(
     )
     frame = F.collect_list(
         F.struct(
-            F.unix_micros(F.col(ts_col)).alias("t"),
+            epoch_us(ts_col).alias("t"),
             F.col(id_col).cast("long").alias("i"),
             F.col(value_col).cast("double").alias("x"),
         )
@@ -194,7 +196,7 @@ def gap_stats(
     diagnostic that decides whether LOCF output is trustworthy for a
     key.  One window + one aggregation on the same key."""
     w = Window.partitionBy(*keys).orderBy(ts_col, id_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(ts_col)
     gaps = df.select(*keys, (us - F.lag(us).over(w)).alias("gap_us"))
     # interpolate the median on INTEGER microseconds (both engines'
     # interpolation formulas are exact on integer endpoints; interpolating

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.datetimes import epoch_us
 from ..functions.dsl import numeric_prefix_cast
 from ..operators import dedup
 from ..operators.text import quality_score
@@ -49,7 +50,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     flagged = ev.withColumn(
         "new_session",
         F.when(

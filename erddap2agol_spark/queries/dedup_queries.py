@@ -280,3 +280,35 @@ def dedup_lsh_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@register(
+    "dedup_ngram_capped",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+             WHERE df <= 10),
+    kept AS (SELECT doc, sh FROM sh WHERE sh IN (SELECT sh FROM rare)),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 6) AS jaccard
+    FROM common JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+    WHERE round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+    """,
+    doc="Near-dup pairs with the web-scale frequent-shingle cap: shingles "
+    "in more than 10 documents (site boilerplate at corpus scale) are "
+    "dropped BEFORE the self-join, bounding any shingle's pair fan-out at "
+    "df^2. Set sizes stay exact (computed pre-drop), so the reported "
+    "jaccard is a conservative lower bound and every emitted pair is a "
+    "true >= t pair.",
+)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_doc_freq=10
+    )

@@ -245,6 +245,18 @@ def refresh_many(
 # ---------------------------------------------------------------------------
 
 
+def _ltz_event_time(df, ts_col: str):
+    """Watermarks require TIMESTAMP (LTZ); parquet sources written with
+    plain timestamp[us] read back as TIMESTAMP_NTZ under Spark 4's NTZ
+    inference. The session tz is pinned UTC (session.get_spark), so the
+    cast is a deterministic naive-as-UTC reinterpretation."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_counts_stream(
     spark: SparkSession,
     source_dir: str,
@@ -258,7 +270,9 @@ def windowed_counts_stream(
     bounds state for late data (ST5); callers attach a sink
     (memory sink in tests, foreachBatch(atomic_overwrite) in production).
     """
-    events = spark.readStream.schema(schema).parquet(source_dir)
+    events = _ltz_event_time(
+        spark.readStream.schema(schema).parquet(source_dir), ts_col
+    )
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
@@ -287,7 +301,9 @@ def session_counts_stream(
     whose gap has provably passed (bounded state at any corpus rate).
     Callers attach a sink; append mode emits only closed sessions.
     """
-    events = spark.readStream.schema(schema).parquet(source_dir)
+    events = _ltz_event_time(
+        spark.readStream.schema(schema).parquet(source_dir), ts_col
+    )
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(
