@@ -243,3 +243,39 @@ def test_local_supplier_volume_plan(spark):
     plan = _plan(spark, "local_supplier_volume")
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 3
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_q3_plan_pushdown_and_topk(spark):
+    """TPC-H Q3: both date predicates reach their fact scans as
+    PushedFilters (a cast-wrapped literal would block them), the
+    segment-filtered customer side broadcasts, and the top-10 compiles
+    to TakeOrderedAndProject, never a global sort."""
+    import re
+
+    plan = _plan(spark, "q3_shipping_priority")
+    assert re.search(r"PushedFilters: \[.*LessThan\(o_orderdate", plan)
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_shipdate", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_semi_join_plan(spark):
+    """TPC-H Q4: the EXISTS must compile to a LeftSemi hash join (each
+    order emits at most once) with the year range pushed to the orders
+    scan; the 60-day lag is a join residual, not a nested loop."""
+    import re
+
+    plan = _plan(spark, "q4_late_shipments")
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_q8_dims_broadcast(spark):
+    """TPC-H Q8: supplier and nation are dims and must broadcast; the
+    lineitem-orders equi-join is the only legitimate big shuffle."""
+    import re
+
+    plan = _plan(spark, "q8_market_share")
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 2
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
