@@ -69,3 +69,63 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.count(F.lit(1)).alias("n_edges"),
     ).crossJoin(node_degrees(edges, a, b).agg(F.count(F.lit(1)).alias("n_nodes")))
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+def pagerank(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    iterations: int = 5,
+    damping: float = 0.85,
+    persist_each: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank on an undirected edge list (each edge
+    once, any orientation).  Returns ``(node, deg, rank)``.
+
+    One round = one equi-join (ranks onto edge sources) + one hash
+    aggregation (contributions onto destinations) — both partition by
+    node id, so at cluster scale every round is a single co-partitioned
+    shuffle; no driver state, no collect.  Degrees ride along with the
+    symmetrized edges so the per-round join touches exactly one small
+    table (the |V|-row rank vector, which AQE broadcasts when it fits).
+
+    The undirected graph has no dangling nodes (every node of the edge
+    list has degree >= 1), so the rank mass balances without the
+    dangling-sum correction term and a fixed iteration count is exactly
+    expressible as unrolled SQL — which is what the DuckDB oracle runs.
+
+    ``persist_each`` caches each round's rank vector — at real scale the
+    lineage would otherwise re-derive round k-1 inside round k's plan;
+    the driver-compare path leaves it off to keep the plan pure.
+    """
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg): degree pre-joined once, reused by every round
+    g = sym.join(deg, "src")
+    n = deg.agg(F.count(F.lit(1)).alias("n"))  # 1 row, auto-broadcast
+    ranks = deg.crossJoin(n).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = g.join(ranks, g.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(n)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping)) / F.col("n")
+                    + F.lit(damping) * F.col("s")
+                ).alias("rank"),
+            )
+        )
+        if persist_each:
+            ranks = ranks.persist()
+    return ranks.join(
+        deg.select(F.col("src").alias("node"), "deg"), "node"
+    ).select("node", "deg", "rank")

@@ -304,3 +304,90 @@ def fingerprint(col: Column) -> Column:
     (lowercased, whitespace-collapsed) — the rolling-hash analog used for
     cross-run change detection (ST3/ST4)."""
     return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def _bloom_pos20(g, salt: str):
+    """20-bit bloom bit position: first 5 md5 hex nibbles of the salted
+    key (m = 2^20 bits; DuckDB mirrors the nibble arithmetic exactly)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), g)), 1, 5), 16, 10
+    ).cast("long")
+
+
+def bloom_contamination(docs, bench_sources: tuple[str, ...], n: int = 5):
+    """Benchmark decontamination through a Bloom filter — the shape that
+    survives benchmark sets too big to broadcast as raw n-grams.
+
+    Two md5-derived hash functions set bits in a 2^20-bit filter stored
+    as 32-bit words: the ENTIRE filter is <= 32768 (word, bits) rows
+    (~4 MB even when dense) no matter how many benchmark n-grams went
+    in, so the corpus-side probe is two broadcast joins on the word
+    index — a map-only pass over 100 TB with zero shuffle of corpus
+    n-grams. One-sided error by construction: every truly contaminated
+    n-gram is flagged (no false negatives — the guarantee decontam
+    needs); false positives only inflate the flag rate, and are
+    filter-sized away (m scales with the benchmark, never the corpus).
+    Per-doc flag counts keyed on doc_id with map-side combine, exactly
+    like :func:`contamination_counts`, which remains the exact
+    verifier for flagged docs.
+    """
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), n))).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("source").isin(*bench_sources)).select("g").distinct()
+    )
+    bpos = bench.select(
+        F.explode(
+            F.array(_bloom_pos20(F.col("g"), "b0"), _bloom_pos20(F.col("g"), "b1"))
+        ).alias("pos")
+    )
+    bloom = (
+        bpos.select(
+            F.shiftright("pos", 5).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    corpus = grams.filter(~F.col("source").isin(*bench_sources)).select(
+        "doc_id",
+        "g",
+        _bloom_pos20(F.col("g"), "b0").alias("p0"),
+        _bloom_pos20(F.col("g"), "b1").alias("p1"),
+    )
+    b0 = bloom.select(F.col("w").alias("w0"), F.col("bits").alias("bits0"))
+    b1 = bloom.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    probed = (
+        corpus.join(F.broadcast(b0), F.shiftright("p0", 5) == F.col("w0"), "left")
+        .join(F.broadcast(b1), F.shiftright("p1", 5) == F.col("w1"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("bits0").isNotNull()
+                & F.col("bits1").isNotNull()
+                # (x >> k) & 1 reads bit k regardless of sign fill, so
+                # arithmetic shiftright is safe even for bit 31+ words
+                & (F.expr("shiftright(bits0, CAST(p0 % 32 AS INT)) & 1") == 1)
+                & (F.expr("shiftright(bits1, CAST(p1 % 32 AS INT)) & 1") == 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum("hit").alias("n_maybe_contaminated"),
+    ).select(
+        "doc_id",
+        "n_ngrams",
+        "n_maybe_contaminated",
+        F.round(F.col("n_maybe_contaminated") / F.col("n_ngrams"), 6).alias(
+            "bloom_frac"
+        ),
+    )

@@ -83,6 +83,8 @@ _GRADE_PRIORITY: list[str] = [
     "domain_cap_sample", "jsonl_render", "dedup_ngram_capped",
     "q3_shipping_priority", "q4_late_shipments",
     "q17_small_quantity_revenue", "q8_market_share", "balance_histogram",
+    "pagerank_copurchase", "bloom_decontaminate", "dedup_incremental",
+    "length_percentile_filter",
     # (d) high-value greens regraded as regression sentinels (the rest of
     # the round-1/2 greens stay pytest-parity-checked in the tail and
     # rotate back into the window in later rounds)
@@ -90,10 +92,9 @@ _GRADE_PRIORITY: list[str] = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_rescored",
     "dedup_clusters", "ann_bruteforce_topk", "token_histogram",
     "corpus_keep_list", "text_quality", "text_langid",
-    "doc_hash_sample", "doc_pack_index", "emb_quantize",
-    "glider_features", "time_filter", "track_segments",
+    "doc_pack_index", "emb_quantize",
+    "glider_features", "track_segments",
     "funnel_stages", "retention_cohorts", "local_supplier_volume",
-    "asof_last_purchase", "tumbling_daily",
 ]
 
 

@@ -312,3 +312,40 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_doc_freq=10
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0
+    ),
+    incoming AS (
+      SELECT doc_id, md5(text) AS content_hash
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, content_hash FROM incoming
+    WHERE content_hash NOT IN (SELECT h FROM existing)
+    """,
+    doc="Incremental corpus ingestion: an incoming batch (1-in-5 docs "
+    "by id here) is admitted only if its content hash is absent from "
+    "the existing corpus's fingerprint store — the production shape of "
+    "exact dedup, where yesterday's 100 TB never rescans: the anti-join "
+    "shuffles 16-byte digests and ids only, never document bodies, and "
+    "the store side is just the digest column of the existing snapshot.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    incoming = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    return incoming.join(existing, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )

@@ -9,6 +9,7 @@ bit_count/xor and a tuple-comparison orientation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..operators.graph import triangle_count
@@ -126,3 +127,73 @@ def sim_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return triangle_count(edges, a="doc_a", b="doc_b")
+
+
+_PR_ITERS, _PR_DAMP = 5, 0.85
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled power iteration: one CTE per round, each a single
+    join+aggregate — the SQL image of operators/graph.pagerank."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (
+      SELECT dst AS node,
+             {1.0 - _PR_DAMP}/(SELECT n FROM nn) +
+             {_PR_DAMP}*sum(r.rank/g.deg) AS rank
+      FROM g JOIN r{i - 1} r ON g.src = r.node
+      GROUP BY dst
+    )"""
+        )
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT x.l_partkey AS pa, y.l_partkey AS pb
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    sym AS (SELECT pa AS src, pb AS dst FROM edges
+            UNION ALL SELECT pb, pa FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    g AS (SELECT sym.src, sym.dst, deg.deg
+          FROM sym JOIN deg ON sym.src = deg.src),
+    r0 AS (SELECT src AS node, 1.0/(SELECT n FROM nn) AS rank FROM deg),
+    {", ".join(rounds)}
+    SELECT r{iters}.node, deg.deg, round(r{iters}.rank, 6) AS pr
+    FROM r{iters} JOIN deg ON r{iters}.node = deg.src
+    ORDER BY pr DESC, node
+    LIMIT 20
+    """
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=_pagerank_oracle(_PR_ITERS),
+    doc="Fixed-iteration PageRank over the part co-purchase graph "
+    "(parts sharing an order; fan-out bounded by lines-per-order, so "
+    "edge building stays linear in lineitem at any scale). Each round "
+    "is one co-partitioned equi-join + one hash aggregate on the node "
+    "id; 5 rounds, damping 0.85; top-20 by rounded rank compiles to "
+    "TakeOrderedAndProject. Rank sums are doubles — the final 6dp "
+    "round gives ~9 orders of magnitude of headroom over cross-engine "
+    "float summation-order drift.",
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    pr = pagerank(edges, a="pa", b="pb", iterations=_PR_ITERS, damping=_PR_DAMP)
+    return (
+        pr.select("node", "deg", F.round("rank", 6).alias("pr"))
+        .orderBy(F.desc("pr"), "node")
+        .limit(20)
+    )

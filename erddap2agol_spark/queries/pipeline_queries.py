@@ -280,3 +280,36 @@ def jsonl_render(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('"}'),
         ).alias("jsonl"),
     )
+
+
+@register(
+    "length_percentile_filter",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             round(quantile_cont(n_chars, 0.05), 6) AS lo,
+             round(quantile_cont(n_chars, 0.95), 6) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang, n_chars, lo, hi
+    FROM documents d JOIN b ON d.lang = b.lang
+    WHERE n_chars >= lo AND n_chars <= hi
+    """,
+    doc="Per-language length-outlier clip: keep documents inside the "
+    "[p5, p95] band of their language's length distribution. The exact "
+    "interpolated percentile is one grouped aggregate (|langs| rows) "
+    "that broadcasts back onto the corpus — a narrow map, no window, no "
+    "sort of the corpus. Bounds are rounded to 6dp before the compare "
+    "so an integer length can never straddle a cross-engine ulp.",
+)
+def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "lang", "n_chars", "lo", "hi")
+    )

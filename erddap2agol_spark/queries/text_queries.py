@@ -400,3 +400,77 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_removed"), F.lit(0)) / F.col("n_tokens"), 6
         ).alias("frac_removed"),
     )
+
+
+_H = "0123456789abcdef"
+
+
+def _hex20(expr: str) -> str:
+    """DuckDB mirror of operators.text._bloom_pos20: first 5 md5 hex
+    nibbles as a 20-bit int (no conv(); nibble arithmetic via instr)."""
+    return (
+        f"(instr('{_H}', ({expr})[1]) - 1) * 65536 + "
+        f"(instr('{_H}', ({expr})[2]) - 1) * 4096 + "
+        f"(instr('{_H}', ({expr})[3]) - 1) * 256 + "
+        f"(instr('{_H}', ({expr})[4]) - 1) * 16 + "
+        f"(instr('{_H}', ({expr})[5]) - 1)"
+    )
+
+
+@register(
+    "bloom_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - 4, 0)),
+                 i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')),
+    bpos AS (
+      SELECT unnest([{_hex20("md5('b0:' || g)")},
+                     {_hex20("md5('b1:' || g)")}]) AS pos
+      FROM bench
+    ),
+    bloom AS (
+      SELECT pos // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM bpos GROUP BY 1
+    ),
+    corpus AS (
+      SELECT doc_id, g,
+             {_hex20("md5('b0:' || g)")} AS p0,
+             {_hex20("md5('b1:' || g)")} AS p1
+      FROM grams WHERE source NOT IN ('src0', 'src1')
+    ),
+    probe AS (
+      SELECT doc_id,
+             CASE WHEN b0.bits IS NOT NULL AND b1.bits IS NOT NULL
+                   AND ((b0.bits >> CAST(p0 % 32 AS INT)) & 1) = 1
+                   AND ((b1.bits >> CAST(p1 % 32 AS INT)) & 1) = 1
+             THEN 1 ELSE 0 END AS hit
+      FROM corpus
+      LEFT JOIN bloom b0 ON p0 // 32 = b0.w
+      LEFT JOIN bloom b1 ON p1 // 32 = b1.w
+    )
+    SELECT doc_id, count(*) AS n_ngrams,
+           CAST(sum(hit) AS BIGINT) AS n_maybe_contaminated,
+           round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS bloom_frac
+    FROM probe GROUP BY doc_id
+    """,
+    doc="Bloom-filter benchmark decontamination: benchmark 5-grams set "
+    "bits in a 2^20-bit / 2-hash filter held as <= 32768 (word, bits) "
+    "rows, so the probe over the corpus is two broadcast joins — a "
+    "map-only pass with zero corpus-side shuffle, sized by the filter "
+    "(which scales with the benchmark, never the corpus). One-sided "
+    "error: contamination_check's exact probe is the verifier for "
+    "flagged docs; this query IS the 100 TB first stage.",
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bloom_contamination(
+        load_table(spark, sf_dir, "documents"), bench_sources=("src0", "src1"), n=5
+    )

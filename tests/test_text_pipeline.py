@@ -136,3 +136,28 @@ def test_funnel_ordering_semantics(spark, tmp_path):
     assert out[1].stage_reached == 3
     assert out[2].stage_reached == 1 and out[2].click_ts is None
     assert out[3].stage_reached == 1 and out[3].purchase_ts is None
+
+
+def test_bloom_contamination_no_false_negatives(spark):
+    """The Bloom probe's one-sided-error guarantee: every document the
+    EXACT n-gram check flags must also be flagged by the Bloom pass
+    (false positives are allowed, false negatives never — dropping a
+    truly contaminated doc is the unrecoverable failure)."""
+    from erddap2agol_spark.operators import text as T
+    from erddap2agol_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        r.doc_id: r.n_contaminated
+        for r in T.contamination_counts(docs, ("src0", "src1"), n=5).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_maybe_contaminated
+        for r in T.bloom_contamination(docs, ("src0", "src1"), n=5).collect()
+    }
+    assert set(bloom) == set(exact)  # same per-doc coverage
+    flagged_exact = {d for d, n in exact.items() if n > 0}
+    flagged_bloom = {d for d, n in bloom.items() if n > 0}
+    assert flagged_exact <= flagged_bloom
+    # and per-doc: bloom count dominates the exact count
+    assert all(bloom[d] >= n for d, n in exact.items())
