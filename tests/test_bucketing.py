@@ -1,0 +1,100 @@
+"""Bucketed-layout plan assertions: the write-once shuffle contract.
+
+A join between two tables bucketed on the join key with equal bucket
+counts must compile with NO Exchange on either input; a re-aggregation
+on the bucket key must likewise skip its exchange.  These are plan
+facts, not timings — at test scale the shuffle is cheap, at 100 TB it
+is the dominant cost this layout deletes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from erddap2agol_spark.plans.bucketing import read_bucketed, write_bucketed
+from erddap2agol_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        n_buckets=8,
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_no_exchange(spark, bucketed):
+    a = read_bucketed(spark, "b_orders")
+    b = read_bucketed(spark, "b_lineitem")
+    # disable broadcast so the join strategy is decided by partitioning,
+    # as it would be for two large facts at cluster scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(a.join(b, "o_orderkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "SortMergeJoin" in plan
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+
+
+def test_bucketed_agg_no_exchange(spark, bucketed):
+    from pyspark.sql import functions as F
+
+    b = read_bucketed(spark, "b_lineitem")
+    plan = _plan(b.groupBy("o_orderkey").agg(F.sum("l_quantity")))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+
+
+def test_unbucketed_join_has_exchange(spark):
+    """Control: the same join off bare parquet shuffles both sides —
+    proving the bucket metadata (not luck) removed the exchanges."""
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(orders.join(li, "o_orderkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) >= 2
+
+
+def test_date_partitioned_scan_prunes(spark, tmp_path):
+    """A filter on the partition column must land in PartitionFilters
+    (directory-level pruning — zero files opened for excluded days),
+    not just PushedFilters."""
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.plans.bucketing import write_partitioned
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, "day")
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-03-05")
+    plan = _plan(back)
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "day" in m.group(1), plan
