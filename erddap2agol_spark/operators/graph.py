@@ -70,13 +70,14 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     ).crossJoin(node_degrees(edges, a, b).agg(F.count(F.lit(1)).alias("n_nodes")))
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
+
 def pagerank(
     edges: DataFrame,
     a: str = "a",
     b: str = "b",
     iterations: int = 5,
     damping: float = 0.85,
-    persist_each: bool = False,
+    persist_each: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank on an undirected edge list (each edge
     once, any orientation).  Returns ``(node, deg, rank)``.
@@ -93,16 +94,24 @@ def pagerank(
     dangling-sum correction term and a fixed iteration count is exactly
     expressible as unrolled SQL — which is what the DuckDB oracle runs.
 
-    ``persist_each`` caches each round's rank vector — at real scale the
-    lineage would otherwise re-derive round k-1 inside round k's plan;
-    the driver-compare path leaves it off to keep the plan pure.
+    ``persist_each`` (default on — the standard Spark iterative-algorithm
+    shape, same as :func:`~..dedup.connected_components`) persists the
+    edge+degree base and each round's rank vector lazily: the single
+    downstream action walks round k -> k-1 -> ... filling each cache
+    exactly once, so nothing is re-derived and no extra per-round job
+    runs.  Without it the final action re-derives the whole edge build
+    once per round.  Turn off only for pure-plan inspection.
     """
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if persist_each:
+        deg = deg.persist()
     # (src, dst, deg): degree pre-joined once, reused by every round
     g = sym.join(deg, "src")
+    if persist_each:
+        g = g.persist()
     n = deg.agg(F.count(F.lit(1)).alias("n"))  # 1 row, auto-broadcast
     ranks = deg.crossJoin(n).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
@@ -125,6 +134,10 @@ def pagerank(
             )
         )
         if persist_each:
+            # lazy persist is enough: a single downstream action walks
+            # round k -> k-1 -> ... and fills each cache exactly once;
+            # eager per-round counts would add an extra job per round
+            # for nothing.  The cached vectors are |V| rows each.
             ranks = ranks.persist()
     return ranks.join(
         deg.select(F.col("src").alias("node"), "deg"), "node"

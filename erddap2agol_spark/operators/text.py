@@ -196,7 +196,9 @@ def contamination_counts(docs, bench_sources: tuple[str, ...], n: int = 5):
     benchmark sizes hash n-grams (md5) before the join so the broadcast
     carries 16-byte keys, not strings.
     """
-    grams = docs.select(
+    from .dedup import ensure_parallelism
+
+    grams = ensure_parallelism(docs).select(
         "doc_id",
         "source",
         F.explode(F.array_distinct(word_ngrams(F.col("text"), n))).alias("g"),
@@ -331,7 +333,9 @@ def bloom_contamination(docs, bench_sources: tuple[str, ...], n: int = 5):
     like :func:`contamination_counts`, which remains the exact
     verifier for flagged docs.
     """
-    grams = docs.select(
+    from .dedup import ensure_parallelism
+
+    grams = ensure_parallelism(docs).select(
         "doc_id",
         "source",
         F.explode(F.array_distinct(word_ngrams(F.col("text"), n))).alias("g"),
