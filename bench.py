@@ -44,6 +44,8 @@ HEADLINE = [
     "gopher_quality_flags",
     "domain_cap_sample",
     "resample_daily_locf",
+    "pagerank_copurchase",
+    "bloom_decontaminate",
 ]
 
 

@@ -162,3 +162,33 @@ def weighted_hash_sample(
         hash_bucket(F.col(id_col), salt)
         < F.floor(F.col(weight_col) * F.lit(N_BUCKETS))
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 16,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training order: ``(id, shard, pos)``.
+
+    The order a corpus is fed to training must be (a) uniformly shuffled,
+    (b) reproducible under retries, and (c) producible without a global
+    sort.  Hashing gives all three: shard = hash mod n_shards, position =
+    rank of the full hash within the shard.  Reading shards 0..n-1 each
+    in pos order IS a uniform permutation of the corpus, but the only
+    physical ordering work is one window per shard — size n_shards so a
+    shard's (hash, id) pairs fit an executor (65k shards at 100 TB ≈
+    a few hundred MB per shard of 16-byte keys), never one global sort
+    partition.  Changing the salt draws an independent epoch order.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .withColumn("shard", hash_bucket(F.col(id_col), salt) % n_shards)
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

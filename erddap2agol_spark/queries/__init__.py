@@ -84,7 +84,7 @@ _GRADE_PRIORITY: list[str] = [
     "q3_shipping_priority", "q4_late_shipments",
     "q17_small_quantity_revenue", "q8_market_share", "balance_histogram",
     "pagerank_copurchase", "bloom_decontaminate", "dedup_incremental",
-    "length_percentile_filter",
+    "length_percentile_filter", "training_shuffle_order",
     # (d) high-value greens regraded as regression sentinels (the rest of
     # the round-1/2 greens stay pytest-parity-checked in the tail and
     # rotate back into the window in later rounds)
@@ -94,7 +94,7 @@ _GRADE_PRIORITY: list[str] = [
     "corpus_keep_list", "text_quality", "text_langid",
     "doc_pack_index", "emb_quantize",
     "glider_features", "track_segments",
-    "funnel_stages", "retention_cohorts", "local_supplier_volume",
+    "retention_cohorts", "local_supplier_volume",
 ]
 
 

@@ -355,3 +355,34 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") / F.col("__total"), 6).alias("doc_share"),
         )
     )
+
+
+@register(
+    "training_shuffle_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, h,
+             ((instr('{_HEX}', h[1]) - 1) * 4096 + (instr('{_HEX}', h[2]) - 1) * 256 +
+              (instr('{_HEX}', h[3]) - 1) * 16   + (instr('{_HEX}', h[4]) - 1)) % 16 AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM s
+    """,
+    doc="Deterministic epoch shuffle: shard = id-hash mod 16, position "
+    "= hash rank within the shard. Reading shards in pos order is a "
+    "uniform reproducible permutation of the corpus with NO global "
+    "sort — the only ordering work is a per-shard window, and shard "
+    "count scales with the corpus so a shard always fits an executor. "
+    "A new salt = a fresh epoch order.",
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import shuffle_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_order(docs, "doc_id", n_shards=16, salt="shuf")
