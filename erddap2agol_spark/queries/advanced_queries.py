@@ -771,3 +771,83 @@ def key_hotness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key_col", "key_value", "n", "share", F.col("rk").cast("bigint").alias("rk")
     )
+
+
+@register(
+    "rolling_7d_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+                 PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW), 6)
+             AS avg_7d,
+           count(*) OVER (
+                 PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+             AS n_7d
+    FROM e
+    """,
+    doc="RANGE-frame window: per-user trailing-7-day moving average — "
+    "the frame is defined by TIME DISTANCE (epoch-microsecond range "
+    "bounds), not row count, so uneven event spacing is handled "
+    "exactly. One window partitioned on user_id: a single keyed "
+    "shuffle, per-partition sorted scan, no self-join (the naive "
+    "formulation is an O(n * window) range self-join).",
+)
+def rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    week_us = 7 * 24 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("t_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-week_us, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+           GROUPING(n_name) + 2 * GROUPING(o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+    """,
+    doc="GROUPING SETS with grouping_id disambiguation: three "
+    "aggregation granularities in ONE pass over the joined fact (Spark "
+    "expands the sets map-side, so the fact is scanned and shuffled "
+    "once, not once per set); nation broadcasts; gid tells a NULL "
+    "group value from a NULL rollup level.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               GROUPING(n_name) + 2 * GROUPING(o_orderpriority) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority),
+                                (n_name, o_orderpriority))
+        """
+    )
