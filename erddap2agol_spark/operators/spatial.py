@@ -122,3 +122,37 @@ def nearest_station(
         .filter(F.col("rk") == 1)
         .select(point_id, station_id, "d2_deg")
     )
+
+
+def zorder_key(
+    lat: Column,
+    lon: Column,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    bits: int = 16,
+) -> Column:
+    """Morton (Z-order) key: quantize each coordinate to ``bits`` bits
+    over its stated extent, then interleave (lat odd positions, lon
+    even).  Nearby points share key prefixes, so sorting / range-
+    partitioning the table by this ONE integer clusters 2-D neighbors
+    into the same files — bbox queries then prune to a few key ranges
+    (the Delta/Iceberg OPTIMIZE ZORDER layout idea, via plain
+    ``repartitionByRange(zkey)`` + parquet min/max pruning).  Pure
+    integer bit algebra, whole-stage codegen, no shuffle.
+    """
+    qlat = F.floor(
+        (lat - F.lit(lat_min)) / F.lit(lat_max - lat_min) * F.lit((1 << bits) - 1)
+    ).cast("bigint")
+    qlon = F.floor(
+        (lon - F.lit(lon_min)) / F.lit(lon_max - lon_min) * F.lit((1 << bits) - 1)
+    ).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(qlat, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(qlon, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z

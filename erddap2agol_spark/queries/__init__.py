@@ -85,14 +85,15 @@ _GRADE_PRIORITY: list[str] = [
     "q17_small_quantity_revenue", "q8_market_share", "balance_histogram",
     "pagerank_copurchase", "bloom_decontaminate", "dedup_incremental",
     "length_percentile_filter", "training_shuffle_order",
-    "rolling_7d_avg", "grouping_sets_revenue",
+    "rolling_7d_avg", "grouping_sets_revenue", "zorder_keys",
+    "range_partition_bounds",
     # (d) high-value greens regraded as regression sentinels (the rest of
     # the round-1/2 greens stay pytest-parity-checked in the tail and
     # rotate back into the window in later rounds)
     "pricing_summary", "enrich_revenue_by_region", "connector_scan",
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_rescored",
     "dedup_clusters", "ann_bruteforce_topk", "token_histogram",
-    "corpus_keep_list", "text_quality", "text_langid",
+    "corpus_keep_list",
     "doc_pack_index", "emb_quantize",
     "glider_features", "local_supplier_volume",
 ]

@@ -851,3 +851,32 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (n_name, o_orderpriority))
         """
     )
+
+
+@register(
+    "range_partition_bounds",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+      FROM orders
+    )
+    SELECT i AS idx, round(qs[i], 6) AS bound
+    FROM q, (SELECT unnest(generate_series(1, 7)) AS i)
+    """,
+    doc="Equi-depth range-partition boundaries: the 7 interpolated "
+    "octile cuts of the write key, computed in ONE aggregate pass — "
+    "exactly what repartitionByRange needs to split a skewed key into "
+    "balanced files (Spark's own RangePartitioner samples; this is the "
+    "deterministic planned version a 100 TB writer pins so file "
+    "boundaries are stable across reruns).",
+)
+def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probs = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+    qs = load_table(spark, sf_dir, "orders").agg(
+        F.percentile("o_totalprice", F.lit(probs)).alias("qs")
+    )
+    return qs.select(F.posexplode("qs").alias("idx0", "b")).select(
+        (F.col("idx0") + 1).cast("bigint").alias("idx"),
+        F.round("b", 6).alias("bound"),
+    )

@@ -95,3 +95,47 @@ def nearest_station_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         station_id="station_id",
         cell_deg=1.0,
     )
+
+
+_Z_TERMS = " + ".join(
+    f"(((qlat >> {i}) & 1) << {2 * i + 1}) + (((qlon >> {i}) & 1) << {2 * i})"
+    for i in range(16)
+)
+
+
+@register(
+    "zorder_keys",
+    oracle=f"""
+    WITH p AS (
+      SELECT c_custkey AS point_id,
+             18.0 + (c_custkey * 37 % 1200) / 100.0 AS plat,
+             -98.0 + (c_custkey * 61 % 1800) / 100.0 AS plon
+      FROM customer
+    ),
+    q AS (
+      SELECT point_id, plat, plon,
+             CAST(floor((plat - 18.0) / 12.0 * 65535) AS BIGINT) AS qlat,
+             CAST(floor((plon + 98.0) / 18.0 * 65535) AS BIGINT) AS qlon
+      FROM p
+    )
+    SELECT point_id, {_Z_TERMS} AS zkey
+    FROM q
+    """,
+    doc="Morton/Z-order clustering keys over the point set: 16-bit "
+    "quantization per axis, bit-interleaved into one BIGINT. Sorting or "
+    "range-partitioning by this key at write time co-locates 2-D "
+    "neighbors in the same parquet files, so later bbox scans prune by "
+    "file min/max on a single column — the OPTIMIZE ZORDER layout "
+    "expressed as plain repartitionByRange. Map-only integer bit "
+    "algebra inside codegen.",
+)
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import zorder_key
+
+    p = _points(spark, sf_dir)
+    return p.select(
+        "point_id",
+        zorder_key(
+            F.col("plat"), F.col("plon"), 18.0, 30.0, -98.0, -80.0, bits=16
+        ).alias("zkey"),
+    )
