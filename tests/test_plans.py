@@ -116,16 +116,17 @@ def test_token_histogram_topk_not_global_rank(spark):
 
 
 def test_no_global_window_in_graded_queries(spark):
-    """No graded query may contain a Window with an EMPTY partition spec
-    over unbounded input — the single-partition shuffle is the classic
-    scale killer.  A global window is allowed only above a limit
+    """No registered query may contain a Window with an EMPTY partition
+    spec over unbounded input — the single-partition shuffle is the
+    classic scale killer.  A global window is allowed only above a limit
     (TakeOrderedAndProject / (Global)Limit), where its input is already
-    a driver-sized top-k."""
+    a driver-sized top-k.  Covers the ENTIRE registry (r3: was first 50)
+    so nothing in the rotation tail can regress unseen."""
     import re
 
     from erddap2agol_spark.queries import all_queries
 
-    graded = list(all_queries())[:50]
+    graded = list(all_queries())
     offenders = []
     for name in graded:
         plan = _plan(spark, name)
