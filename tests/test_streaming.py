@@ -163,3 +163,41 @@ def test_session_window_stream(spark, tmp_path):
         assert spans[(2, 2)] == dt.timedelta(minutes=59)
     finally:
         q.stop()
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """ST6 under restart: stop the stream, land more files, restart a
+    NEW query from the SAME checkpoint — the offset log must replay
+    nothing and pick up only the unseen files, so the final aggregate
+    equals one clean pass over all data (exactly-once accounting across
+    the restart boundary)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(src)
+
+    def run_until_idle():
+        agg = nrt.windowed_counts_stream(spark, src, ev.schema, window="1 day")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("restart_counts")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_until_idle()
+    n1 = spark.sql("SELECT sum(n) FROM restart_counts").first()[0]
+    assert n1 == first.count()
+
+    # stream is DOWN while new data lands — the recovery-after-outage shape
+    second.write.mode("append").parquet(src)
+    run_until_idle()
+    n2 = spark.sql("SELECT sum(n) FROM restart_counts").first()[0]
+    assert n2 == ev.count()  # every event exactly once across the restart
