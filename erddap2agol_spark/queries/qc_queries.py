@@ -136,3 +136,60 @@ def qc_station_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_flagged"),
     )
+
+
+@register(
+    "robust_zscore_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT event_id, d.event_type,
+           round(d.value, 6) AS value,
+           round((d.value - d.med) / (1.4826 * NULLIF(mm.mad, 0)), 6) AS rz
+    FROM dev d JOIN mad mm ON d.event_type = mm.event_type
+    WHERE abs(round((d.value - d.med) / (1.4826 * NULLIF(mm.mad, 0)), 6)) > 3.0
+    """,
+    doc="Robust z-score outliers per group: median/MAD instead of "
+    "mean/stddev, so the threshold itself is immune to the outliers it "
+    "hunts (QARTOD gross-range's adaptive cousin). Two grouped exact "
+    "medians (|groups|-row tables) broadcast back onto the stream of "
+    "rows — the corpus shuffles zero times; flagging is a map. "
+    "Zero-MAD groups (constant value) emit nothing by NULLIF design.",
+)
+def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    rz = F.round(
+        (F.col("value") - F.col("med"))
+        / (F.lit(1.4826) * F.nullif(F.col("mad"), F.lit(0.0))),
+        6,
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            rz.alias("rz"),
+        )
+        .where(F.abs(F.col("rz")) > 3.0)
+    )

@@ -317,3 +317,24 @@ def session_counts_stream(
             "n_events",
         )
     )
+
+
+def enriched_stream(
+    spark,
+    source_dir: str,
+    schema,
+    dim_df,
+    key: str,
+    ts_col: str = "ts",
+):
+    """Stream-static enrichment: each micro-batch of the file stream
+    joins the (small, broadcastable) static dimension on ``key`` —
+    Spark re-plans the join per batch, so a dim refreshed between
+    batches (e.g. the reference's catalog/date-cache, re-read each NRT
+    cycle) is picked up without restarting the query. The stream side
+    never shuffles for the join; state is zero (no watermark needed for
+    inner stream-static)."""
+    events = _ltz_event_time(
+        spark.readStream.schema(schema).parquet(source_dir), ts_col
+    )
+    return events.join(F.broadcast(dim_df), key)

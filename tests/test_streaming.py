@@ -201,3 +201,41 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     run_until_idle()
     n2 = spark.sql("SELECT sum(n) FROM restart_counts").first()[0]
     assert n2 == ev.count()  # every event exactly once across the restart
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """J2/ST1 composed: a streaming scan enriched by a static dim joins
+    per micro-batch with the stream side unshuffled; totals match the
+    batch join exactly."""
+    src = str(tmp_path / "src")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.parquet(src)
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("view", 1.0), ("purchase", 5.0)],
+        ["event_type", "weight"],
+    )
+    enriched = nrt.enriched_stream(spark, src, ev.schema, dim, "event_type")
+    q = (
+        enriched.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enriched_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.event_type: (r.n, r.w)
+            for r in spark.sql("SELECT * FROM enriched_counts").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.event_type: (r.n, r.w)
+        for r in ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w"))
+        .collect()
+    }
+    assert got == want and got  # non-empty and identical
