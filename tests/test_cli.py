@@ -1,0 +1,29 @@
+"""CLI surface (the reference's run.py CUI analog, SURVEY §3)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from erddap2agol_spark.__main__ import main
+
+
+def test_cli_list_filters():
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["list", "--filter", "dedup"])
+    out = buf.getvalue()
+    assert rc == 0
+    assert "dedup_exact" in out and "pricing_summary" not in out
+
+
+def test_cli_oracle_prints_sql():
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["oracle", "pricing_summary"])
+    assert rc == 0
+    assert "l_returnflag" in buf.getvalue()
+
+
+def test_cli_unknown_query_rc2():
+    assert main(["oracle", "no_such_query"]) == 2
