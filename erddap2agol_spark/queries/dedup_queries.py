@@ -349,3 +349,101 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(existing, "content_hash", "left_anti").select(
         "doc_id", "content_hash"
     )
+
+
+@register(
+    "minhash_estimate_accuracy",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    h AS (SELECT doc, md5('a:' || sh) AS h0, md5('b:' || sh) AS h1 FROM sh),
+    sigs AS (
+      SELECT doc,
+             min(substr(h0, 1, 8))  AS p0, min(substr(h0, 9, 8))  AS p1,
+             min(substr(h0, 17, 8)) AS p2, min(substr(h0, 25, 8)) AS p3,
+             min(substr(h1, 1, 8))  AS p4, min(substr(h1, 9, 8))  AS p5,
+             min(substr(h1, 17, 8)) AS p6, min(substr(h1, 25, 8)) AS p7
+      FROM h GROUP BY doc
+    ),
+    sizes AS (SELECT doc, count(DISTINCT sh) AS n_sh FROM sh GROUP BY doc),
+    cand AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             (CASE WHEN a.p0 = b.p0 THEN 1 ELSE 0 END + CASE WHEN a.p1 = b.p1 THEN 1 ELSE 0 END +
+              CASE WHEN a.p2 = b.p2 THEN 1 ELSE 0 END + CASE WHEN a.p3 = b.p3 THEN 1 ELSE 0 END +
+              CASE WHEN a.p4 = b.p4 THEN 1 ELSE 0 END + CASE WHEN a.p5 = b.p5 THEN 1 ELSE 0 END +
+              CASE WHEN a.p6 = b.p6 THEN 1 ELSE 0 END + CASE WHEN a.p7 = b.p7 THEN 1 ELSE 0 END)
+               AS n_match
+      FROM sigs a JOIN sigs b ON a.doc < b.doc
+      WHERE a.p0 = b.p0 OR a.p4 = b.p4
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, round(n_match / 8.0, 6) AS jaccard_est,
+             (SELECT count(*) FROM (
+                SELECT sh FROM sh WHERE sh.doc = doc_a
+                INTERSECT
+                SELECT sh FROM sh WHERE sh.doc = doc_b)) AS n_common
+      FROM cand WHERE n_match >= 4
+    )
+    SELECT doc_a, doc_b, jaccard_est,
+           round(CAST(n_common AS DOUBLE)
+                 / (x.n_sh + y.n_sh - n_common), 6) AS jaccard_exact
+    FROM scored JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+    """,
+    doc="Sketch-accuracy report: for candidate pairs sharing a MinHash "
+    "perm, the 8-perm signature estimate (matching perms / 8) next to "
+    "the exact shingle Jaccard — the calibration readout that tells an "
+    "operator whether the configured band/perm budget is tight enough "
+    "before trusting LSH verdicts at full scale. Signature algebra is "
+    "identical to dedup_minhash_lsh; the exact rescore touches only "
+    "surviving candidates (never all pairs).",
+)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", shingle_n=3)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    match = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.doc") < F.col("b.doc"))
+            & ((F.col("a.m0") == F.col("b.m0")) | (F.col("a.m4") == F.col("b.m4"))),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            match.alias("n_match"),
+        )
+        .where(F.col("n_match") >= 4)
+        .withColumn("jaccard_est", F.round(F.col("n_match") / 8.0, 6))
+        .drop("n_match")
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(dedup.word_shingles(F.col("text"), 3))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_est",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard_exact"),
+        )
+    )
