@@ -53,6 +53,16 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    if (master or "").startswith("local") or not os.environ.get("SPARK_MASTER"):
+        # local[N] runs driver+executors in ONE JVM whose heap defaults to
+        # 1g — far too small for N=32 concurrent tasks plus cached
+        # intermediates (iterative operators persist per-round vectors).
+        # Effective only at JVM launch; a no-op if a session already
+        # exists, and never applied under a real cluster manager where
+        # spark-submit owns the sizing.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
