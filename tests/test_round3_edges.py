@@ -1,0 +1,83 @@
+"""Edge cases for round-3 operators: empty inputs, degenerate groups,
+single nodes — the shapes a 100 TB pipeline hits at partition margins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from erddap2agol_spark.operators.graph import pagerank
+from erddap2agol_spark.operators.sampling import shuffle_order
+from erddap2agol_spark.operators.spatial import zorder_key
+from erddap2agol_spark.operators.text import bloom_contamination
+
+
+def test_pagerank_empty_edges(spark):
+    edges = spark.createDataFrame([], "a long, b long")
+    assert pagerank(edges).count() == 0
+
+
+def test_pagerank_single_edge_symmetric(spark):
+    edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+    rows = {r.node: r for r in pagerank(edges, iterations=3).collect()}
+    # two symmetric nodes: equal degree, equal rank, mass sums to 1
+    assert rows[1].deg == rows[2].deg == 1
+    assert abs(rows[1].rank - rows[2].rank) < 1e-12
+    assert abs(rows[1].rank + rows[2].rank - 1.0) < 1e-9
+
+
+def test_pagerank_star_ranks_hub_highest(spark):
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], ["a", "b"])
+    rows = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert rows[0] == max(rows.values())
+    leaf_ranks = [v for k, v in rows.items() if k != 0]
+    assert max(leaf_ranks) - min(leaf_ranks) < 1e-12
+
+
+def test_bloom_contamination_empty_bench(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "corpus")],
+        ["doc_id", "text", "source"],
+    )
+    out = bloom_contamination(docs, bench_sources=("nope",), n=5).collect()
+    # no benchmark docs -> empty filter -> nothing flagged, grams counted
+    assert len(out) == 1
+    assert out[0].n_maybe_contaminated == 0 and out[0].n_ngrams == 2
+
+
+def test_shuffle_order_is_permutation(spark):
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = shuffle_order(docs, "doc_id", n_shards=4).collect()
+    assert len(out) == 500
+    # (shard, pos) is a bijection; positions are 1..n contiguous per shard
+    assert len({(r.shard, r.pos) for r in out}) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_shuffle_order_salt_changes_order(spark):
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: (r.shard, r.pos) for r in shuffle_order(docs, "doc_id", salt="e1").collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in shuffle_order(docs, "doc_id", salt="e2").collect()}
+    assert a != b  # a fresh epoch draws a different permutation
+
+
+def test_zorder_key_locality(spark):
+    # four quadrant corners: interleaved keys must place same-quadrant
+    # points closer in key space than cross-quadrant ones
+    pts = spark.createDataFrame(
+        [(1, 0.1, 0.1), (2, 0.12, 0.11), (3, 0.9, 0.9), (4, 0.88, 0.91)],
+        ["id", "lat", "lon"],
+    )
+    out = {
+        r.id: r.z
+        for r in pts.select(
+            "id", zorder_key(F.col("lat"), F.col("lon"), 0.0, 1.0, 0.0, 1.0).alias("z")
+        ).collect()
+    }
+    assert abs(out[1] - out[2]) < abs(out[1] - out[3])
+    assert abs(out[3] - out[4]) < abs(out[2] - out[1]) or out[3] != out[4]
+    # deterministic and within 2*bits range
+    assert all(0 <= v < (1 << 32) for v in out.values())
