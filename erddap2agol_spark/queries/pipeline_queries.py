@@ -313,3 +313,68 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
         .select("doc_id", "lang", "n_chars", "lo", "hi")
     )
+
+
+@register(
+    "doc_length_log_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(floor(ln(n_chars) / ln(2)) AS BIGINT) AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY 1, 2
+    """,
+    doc="Per-language log2-bucketed length histogram — the corpus-report "
+    "staple (token-budget planning, truncation-policy sizing). "
+    "floor(log2(len)) is a narrow map; one hash aggregate with map-side "
+    "combine; bucket count is ~40 regardless of corpus size.",
+)
+def doc_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .groupBy(
+            "lang",
+            F.floor(F.log2("n_chars")).cast("bigint").alias("log2_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(text) AS text_nonnull,
+           count(DISTINCT lang) AS lang_distinct,
+           count(DISTINCT source) AS source_distinct,
+           CAST(min(n_chars) AS BIGINT) AS len_min,
+           CAST(max(n_chars) AS BIGINT) AS len_max,
+           round(avg(n_chars), 6) AS len_avg,
+           round(stddev_samp(n_chars), 6) AS len_std
+    FROM documents
+    """,
+    doc="One-pass table profiler (the engine-side df.summary()): row "
+    "count, per-column null and distinct counts, numeric min/max/avg/"
+    "stddev — all in a SINGLE aggregate so profiling 100 TB costs one "
+    "scan, not one scan per statistic. Distinct counts are exact here "
+    "(low-cardinality columns); swap approx_count_distinct for "
+    "high-cardinality ids at scale.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("text").alias("text_nonnull"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("n_chars").cast("bigint").alias("len_min"),
+        F.max("n_chars").cast("bigint").alias("len_max"),
+        F.round(F.avg("n_chars"), 6).alias("len_avg"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("len_std"),
+    )
