@@ -87,14 +87,13 @@ _GRADE_PRIORITY: list[str] = [
     "length_percentile_filter", "training_shuffle_order",
     "rolling_7d_avg", "grouping_sets_revenue", "zorder_keys",
     "range_partition_bounds", "robust_zscore_outliers",
-    "minhash_estimate_accuracy",
+    "minhash_estimate_accuracy", "corpus_manifest",
     # (d) high-value greens regraded as regression sentinels (the rest of
     # the round-1/2 greens stay pytest-parity-checked in the tail and
     # rotate back into the window in later rounds)
     "pricing_summary", "enrich_revenue_by_region", "connector_scan",
     "dedup_exact", "dedup_minhash_lsh",
     "dedup_clusters", "ann_bruteforce_topk",
-    "corpus_keep_list",
     "doc_pack_index", "emb_quantize",
     "glider_features", "local_supplier_volume",
 ]

@@ -386,3 +386,181 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shuffle_order(docs, "doc_id", n_shards=16, salt="shuf")
+
+
+_MANIFEST_STOP = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"))
+
+
+def _hex20_m(expr: str) -> str:
+    return (
+        f"(instr('{_HEX}', ({expr})[1]) - 1) * 65536 + "
+        f"(instr('{_HEX}', ({expr})[2]) - 1) * 4096 + "
+        f"(instr('{_HEX}', ({expr})[3]) - 1) * 256 + "
+        f"(instr('{_HEX}', ({expr})[4]) - 1) * 16 + "
+        f"(instr('{_HEX}', ({expr})[5]) - 1)"
+    )
+
+
+@register(
+    "corpus_manifest",
+    oracle=f"""
+    WITH corpus0 AS (
+      SELECT * FROM documents WHERE source NOT IN ('src0', 'src1')
+    ),
+    qm AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_sym
+      FROM corpus0
+    ),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN len(t) BETWEEN 10 AND 100000
+                   AND round(list_sum(list_transform(t, w -> length(w)))
+                       / greatest(len(t), 1), 6) BETWEEN 2.0 AND 12.0
+                   AND round(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                       AS DOUBLE) / greatest(len(t), 1), 6) >= 0.8
+                   AND round(CAST(n_sym AS DOUBLE) / greatest(n_chars, 1), 6) <= 0.1
+                   AND len(list_filter(t, w -> list_contains([{_MANIFEST_STOP}], w))) >= 1
+             THEN 1 ELSE 0 END AS q_keep
+      FROM qm
+    ),
+    toks AS (
+      SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - 4, 0)),
+                 i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')),
+    bpos AS (
+      SELECT unnest([{_hex20_m("md5('b0:' || g)")},
+                     {_hex20_m("md5('b1:' || g)")}]) AS pos
+      FROM bench
+    ),
+    bloom AS (
+      SELECT pos // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM bpos GROUP BY 1
+    ),
+    cg AS (
+      SELECT doc_id, g,
+             {_hex20_m("md5('b0:' || g)")} AS p0,
+             {_hex20_m("md5('b1:' || g)")} AS p1
+      FROM grams WHERE source NOT IN ('src0', 'src1')
+    ),
+    probe AS (
+      SELECT doc_id,
+             max(CASE WHEN b0.bits IS NOT NULL AND b1.bits IS NOT NULL
+                   AND ((b0.bits >> CAST(p0 % 32 AS INT)) & 1) = 1
+                   AND ((b1.bits >> CAST(p1 % 32 AS INT)) & 1) = 1
+             THEN 1 ELSE 0 END) AS dirty
+      FROM cg
+      LEFT JOIN bloom b0 ON p0 // 32 = b0.w
+      LEFT JOIN bloom b1 ON p1 // 32 = b1.w
+      GROUP BY doc_id
+    ),
+    canon AS (
+      SELECT md5(text) AS h, min(doc_id) AS keeper FROM corpus0 GROUP BY 1
+    ),
+    flags AS (
+      SELECT c.doc_id, q.q_keep,
+             CASE WHEN coalesce(p.dirty, 0) = 0 THEN 1 ELSE 0 END AS clean,
+             CASE WHEN c.doc_id = k.keeper THEN 1 ELSE 0 END AS is_canonical
+      FROM corpus0 c
+      JOIN q ON c.doc_id = q.doc_id
+      LEFT JOIN probe p ON c.doc_id = p.doc_id
+      JOIN canon k ON md5(c.text) = k.h
+    ),
+    kept AS (
+      SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS sh_h
+      FROM flags WHERE q_keep = 1 AND clean = 1 AND is_canonical = 1
+    ),
+    ordered AS (
+      SELECT doc_id,
+             ((instr('{_HEX}', sh_h[1]) - 1) * 4096 + (instr('{_HEX}', sh_h[2]) - 1) * 256 +
+              (instr('{_HEX}', sh_h[3]) - 1) * 16   + (instr('{_HEX}', sh_h[4]) - 1)) % 8 AS shard,
+             row_number() OVER (
+               PARTITION BY ((instr('{_HEX}', sh_h[1]) - 1) * 4096 + (instr('{_HEX}', sh_h[2]) - 1) * 256 +
+                             (instr('{_HEX}', sh_h[3]) - 1) * 16   + (instr('{_HEX}', sh_h[4]) - 1)) % 8
+               ORDER BY sh_h, doc_id) AS pos
+      FROM kept
+    )
+    SELECT f.doc_id, f.q_keep, f.clean, f.is_canonical,
+           CASE WHEN f.q_keep = 1 AND f.clean = 1 AND f.is_canonical = 1
+           THEN 1 ELSE 0 END AS keep,
+           o.shard, o.pos
+    FROM flags f LEFT JOIN ordered o ON f.doc_id = o.doc_id
+    """,
+    doc="THE 100 TB pipeline, end to end, one declarative plan: Gopher "
+    "quality gates (narrow map) AND Bloom decontamination against the "
+    "benchmark slice (broadcast probe, no corpus shuffle) AND exact-"
+    "dedup canonicalization (digest-only shuffle) gate every document; "
+    "survivors get a deterministic (shard, pos) training order with no "
+    "global sort. Every stage is an operator graded on its own "
+    "elsewhere; this manifest is their composition — the artifact a "
+    "training run actually consumes.",
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import bloom_contamination
+
+    from .pipeline_queries import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = ("src0", "src1")
+    corpus = docs.where(~F.col("source").isin(*bench))
+
+    q = gopher_quality_flags(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    probe = bloom_contamination(docs, bench, n=5).select(
+        "doc_id",
+        F.when(F.col("n_maybe_contaminated") > 0, 1).otherwise(0).alias("dirty"),
+    )
+    canon = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    flags = (
+        corpus.select("doc_id", F.md5("text").alias("h"))
+        .join(q, "doc_id")
+        .join(probe, "doc_id", "left")
+        .join(canon, "h")
+        .select(
+            "doc_id",
+            "q_keep",
+            F.when(F.coalesce("dirty", F.lit(0)) == 0, 1).otherwise(0).alias("clean"),
+            F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0).alias(
+                "is_canonical"
+            ),
+        )
+    )
+    keep = (
+        (F.col("q_keep") == 1) & (F.col("clean") == 1) & (F.col("is_canonical") == 1)
+    )
+    kept = flags.where(keep).select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias("sh_h"),
+        (hash_bucket(F.col("doc_id"), "shuf") % 8).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("sh_h", "doc_id")
+    ordered = kept.withColumn("pos", F.row_number().over(w)).select(
+        "doc_id", "shard", "pos"
+    )
+    return (
+        flags.join(ordered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "q_keep",
+            "clean",
+            "is_canonical",
+            F.when(keep, 1).otherwise(0).alias("keep"),
+            "shard",
+            "pos",
+        )
+    )
