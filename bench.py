@@ -46,6 +46,7 @@ HEADLINE = [
     "resample_daily_locf",
     "pagerank_copurchase",
     "bloom_decontaminate",
+    "corpus_manifest",
 ]
 
 
