@@ -53,10 +53,12 @@ def cmd_run(args) -> int:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2
     spark = _spark()
-    df = reg[args.query].spark(spark, args.sf_dir)
-    df.show(args.show, truncate=False)
-    print(f"[{df.count()} rows]")
-    spark.stop()
+    try:
+        df = reg[args.query].spark(spark, args.sf_dir).persist()
+        df.show(args.show, truncate=False)
+        print(f"[{df.count()} rows]")  # reads the cache, no second run
+    finally:
+        spark.stop()
     return 0
 
 
@@ -66,8 +68,10 @@ def cmd_explain(args) -> int:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2
     spark = _spark()
-    reg[args.query].spark(spark, args.sf_dir).explain("formatted")
-    spark.stop()
+    try:
+        reg[args.query].spark(spark, args.sf_dir).explain("formatted")
+    finally:
+        spark.stop()
     return 0
 
 
@@ -85,10 +89,11 @@ def cmd_sql(args) -> int:
     from .sources.tables import register_views
 
     spark = _spark()
-    register_views(spark, args.sf_dir)
-    df = spark.sql(args.statement)
-    df.show(args.show, truncate=False)
-    spark.stop()
+    try:
+        register_views(spark, args.sf_dir)
+        spark.sql(args.statement).show(args.show, truncate=False)
+    finally:
+        spark.stop()
     return 0
 
 

@@ -96,11 +96,14 @@ def pagerank(
 
     ``persist_each`` (default on — the standard Spark iterative-algorithm
     shape, same as :func:`~..dedup.connected_components`) persists the
-    edge+degree base and each round's rank vector lazily: the single
-    downstream action walks round k -> k-1 -> ... filling each cache
-    exactly once, so nothing is re-derived and no extra per-round job
-    runs.  Without it the final action re-derives the whole edge build
-    once per round.  Turn off only for pure-plan inspection.
+    edge+degree base and each round's rank vector lazily: ONE
+    materializing action (run inside this function on the final result)
+    walks round k -> k-1 -> ... filling each cache exactly once, so
+    nothing is re-derived and no extra per-round job runs.  The
+    intermediates are then unpersisted — only the returned |V|-row
+    result stays cached, so repeated invocations in a long-lived
+    session (a grading sweep, a bench loop) cannot accumulate round
+    vectors.  Turn off only for pure-plan inspection.
     """
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
@@ -116,6 +119,7 @@ def pagerank(
     ranks = deg.crossJoin(n).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
     )
+    rounds: list[DataFrame] = []
     for _ in range(iterations):
         contrib = g.join(ranks, g.src == ranks.node).select(
             F.col("dst").alias("node"),
@@ -134,11 +138,19 @@ def pagerank(
             )
         )
         if persist_each:
-            # lazy persist is enough: a single downstream action walks
-            # round k -> k-1 -> ... and fills each cache exactly once;
-            # eager per-round counts would add an extra job per round
-            # for nothing.  The cached vectors are |V| rows each.
+            # lazy persist: the materializing count below fills each
+            # round's cache exactly once; eager per-round counts would
+            # add an extra job per round for nothing
             ranks = ranks.persist()
-    return ranks.join(
+            rounds.append(ranks)
+    out = ranks.join(
         deg.select(F.col("src").alias("node"), "deg"), "node"
     ).select("node", "deg", "rank")
+    if persist_each:
+        out = out.persist()
+        out.count()  # one action fills every cache top-down
+        for r in rounds:  # final result is cached; free the scaffolding
+            r.unpersist()
+        g.unpersist()
+        deg.unpersist()
+    return out

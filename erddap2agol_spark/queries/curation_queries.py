@@ -388,17 +388,10 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_order(docs, "doc_id", n_shards=16, salt="shuf")
 
 
-_MANIFEST_STOP = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"))
-
-
-def _hex20_m(expr: str) -> str:
-    return (
-        f"(instr('{_HEX}', ({expr})[1]) - 1) * 65536 + "
-        f"(instr('{_HEX}', ({expr})[2]) - 1) * 4096 + "
-        f"(instr('{_HEX}', ({expr})[3]) - 1) * 256 + "
-        f"(instr('{_HEX}', ({expr})[4]) - 1) * 16 + "
-        f"(instr('{_HEX}', ({expr})[5]) - 1)"
-    )
+# single sources of truth: the manifest oracle must stay bit-identical
+# to the per-stage oracles it composes
+from .pipeline_queries import _STOP_SQL as _MANIFEST_STOP  # noqa: E402
+from .text_queries import _hex20 as _hex20_m  # noqa: E402
 
 
 @register(

@@ -324,8 +324,8 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, md5(text) AS content_hash
       FROM documents WHERE doc_id % 5 = 0
     )
-    SELECT doc_id, content_hash FROM incoming
-    WHERE content_hash NOT IN (SELECT h FROM existing)
+    SELECT doc_id, content_hash FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = i.content_hash)
     """,
     doc="Incremental corpus ingestion: an incoming batch (1-in-5 docs "
     "by id here) is admitted only if its content hash is absent from "
@@ -423,12 +423,22 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = docs.select(
         F.col("doc_id").alias("doc"),
-        F.explode(F.array_distinct(dedup.word_shingles(F.col("text"), 3))).alias("sh"),
+        # word_shingles is already distinct per doc
+        F.explode(dedup.word_shingles(F.col("text"), 3)).alias("sh"),
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # the exact rescore touches ONLY candidate docs: semi-join the
+    # shingle explode down to the (tiny) candidate set before the pair
+    # join, so one boilerplate shingle shared corpus-wide can never fan
+    # out quadratically here (the df-capped ngram operator owns the
+    # corpus-wide form)
+    cand_docs = cand.select(F.col("doc_a").alias("doc")).unionAll(
+        cand.select(F.col("doc_b").alias("doc"))
+    ).distinct()
+    csh = sh.join(F.broadcast(cand_docs), "doc", "left_semi")
     common = (
-        sh.alias("x")
-        .join(sh.alias("y"), "sh")
+        csh.alias("x")
+        .join(csh.alias("y"), "sh")
         .where(F.col("x.doc") < F.col("y.doc"))
         .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))

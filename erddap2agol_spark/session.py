@@ -53,7 +53,8 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
-    if (master or "").startswith("local") or not os.environ.get("SPARK_MASTER"):
+    effective_master = master or os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
+    if effective_master.startswith("local"):
         # local[N] runs driver+executors in ONE JVM whose heap defaults to
         # 1g — far too small for N=32 concurrent tasks plus cached
         # intermediates (iterative operators persist per-round vectors).
