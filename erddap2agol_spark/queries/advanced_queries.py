@@ -880,3 +880,52 @@ def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("idx0") + 1).cast("bigint").alias("idx"),
         F.round("b", 6).alias("bound"),
     )
+
+
+@register(
+    "asof_next_purchase",
+    oracle="""
+    SELECT event_id, ts, user_id, next_purchase_ts,
+           round(CAST(epoch_us(next_purchase_ts) - epoch_us(ts) AS DOUBLE)
+                 / 1000000.0, 6) AS secs_to_purchase
+    FROM (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM events
+    ) WHERE event_type = 'click'
+    """,
+    doc="FORWARD as-of join (conversion attribution): for each click, "
+    "the user's first STRICTLY LATER purchase and the time to convert. "
+    "Same union-window trick as the backward form, mirrored: a running "
+    "conditional min over the following frame — one keyed window, no "
+    "range self-join, no state. The strict 1-FOLLOWING lower bound "
+    "keeps a same-instant purchase from attributing to itself.",
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("next_purchase_ts", nxt)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "next_purchase_ts",
+            F.round(
+                (epoch_us("next_purchase_ts") - epoch_us("ts")).cast("double")
+                / 1e6,
+                6,
+            ).alias("secs_to_purchase"),
+        )
+    )
