@@ -193,3 +193,50 @@ def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.abs(F.col("rz")) > 3.0)
     )
+
+
+@register(
+    "sensor_trend",
+    oracle="""
+    WITH x AS (
+      SELECT user_id AS station_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 86400000000.0 AS t_days,
+             value
+      FROM events
+    )
+    SELECT station_id, count(*) AS n,
+           round(covar_samp(t_days, value) / NULLIF(var_samp(t_days), 0), 6)
+             AS slope_per_day,
+           round(corr(t_days, value), 6) AS r
+    FROM x
+    GROUP BY station_id
+    HAVING count(*) >= 3
+    """,
+    doc="Per-station OLS drift detection in ONE aggregate pass: slope = "
+    "cov(t, v)/var(t) and Pearson r from the covariance family of "
+    "combinable aggregates — no window, no sort, no per-group fitting "
+    "loop; 100 TB of telemetry reduces map-side to five moments per "
+    "station. Time is rescaled to days BEFORE aggregating so the "
+    "intermediate sums stay far from double precision edges.",
+)
+def sensor_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.datetimes import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("station_id"),
+        (epoch_us("ts").cast("double") / 86400000000.0).alias("t_days"),
+        "value",
+    )
+    return (
+        ev.groupBy("station_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.covar_samp("t_days", "value")
+                / F.nullif(F.var_samp("t_days"), F.lit(0.0)),
+                6,
+            ).alias("slope_per_day"),
+            F.round(F.corr("t_days", "value"), 6).alias("r"),
+        )
+        .where(F.col("n") >= 3)
+    )
