@@ -280,3 +280,30 @@ def test_q8_dims_broadcast(spark):
     plan = _plan(spark, "q8_market_share")
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 2
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q6_pure_pushdown_scan(spark):
+    """TPC-H Q6: all three range predicates in PushedFilters, ReadSchema
+    holds exactly the four touched columns, and the plan contains no
+    join or window — a scan, a filter, and one partial aggregate."""
+    import re
+
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", plan)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_discount", plan)
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_quantity", plan)
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in rs
+    assert "l_orderkey" not in rs and "l_tax" not in rs
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_q10_topk_and_pruned_facts(spark):
+    import re
+
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", plan)
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan)
+    assert "BroadcastHashJoin" in plan
