@@ -94,16 +94,16 @@ def pagerank(
     dangling-sum correction term and a fixed iteration count is exactly
     expressible as unrolled SQL — which is what the DuckDB oracle runs.
 
-    ``persist_each`` (default on — the standard Spark iterative-algorithm
-    shape, same as :func:`~..dedup.connected_components`) persists the
-    edge+degree base and each round's rank vector lazily: ONE
-    materializing action (run inside this function on the final result)
-    walks round k -> k-1 -> ... filling each cache exactly once, so
-    nothing is re-derived and no extra per-round job runs.  The
-    intermediates are then unpersisted — only the returned |V|-row
-    result stays cached, so repeated invocations in a long-lived
-    session (a grading sweep, a bench loop) cannot accumulate round
-    vectors.  Turn off only for pure-plan inspection.
+    ``persist_each`` (default on) persists exactly what a single
+    evaluation reuses: the edge+degree base ``g`` (joined by EVERY
+    round — without the cache the final action re-derives the whole
+    edge build once per round) and ``deg``.  The round-k rank vectors
+    form a linear chain, each consumed exactly once by round k+1, so
+    caching them buys nothing and only costs 5 storage writes.  The
+    result is materialized here and the scaffolding unpersisted — only
+    the returned |V|-row result stays cached, so repeated invocations
+    in a long-lived session (a grading sweep, a bench loop) cannot
+    accumulate.  Turn off only for pure-plan inspection.
     """
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
@@ -119,7 +119,6 @@ def pagerank(
     ranks = deg.crossJoin(n).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    rounds: list[DataFrame] = []
     for _ in range(iterations):
         contrib = g.join(ranks, g.src == ranks.node).select(
             F.col("dst").alias("node"),
@@ -137,20 +136,12 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if persist_each:
-            # lazy persist: the materializing count below fills each
-            # round's cache exactly once; eager per-round counts would
-            # add an extra job per round for nothing
-            ranks = ranks.persist()
-            rounds.append(ranks)
     out = ranks.join(
         deg.select(F.col("src").alias("node"), "deg"), "node"
     ).select("node", "deg", "rank")
     if persist_each:
         out = out.persist()
-        out.count()  # one action fills every cache top-down
-        for r in rounds:  # final result is cached; free the scaffolding
-            r.unpersist()
+        out.count()  # one action; g/deg caches fill on round 1, reuse after
         g.unpersist()
         deg.unpersist()
     return out
