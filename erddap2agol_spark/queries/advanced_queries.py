@@ -929,3 +929,38 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("secs_to_purchase"),
         )
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_partkey, 'extendedprice' AS measure,
+           round(l_extendedprice, 2) AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_partkey, 'discount', round(l_discount, 2)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_partkey, 'tax', round(l_tax, 2) FROM lineitem
+    """,
+    doc="UNPIVOT (wide -> long melt) of the lineitem money measures — "
+    "the relational surface the reference's griddap melt generalizes "
+    "(operators/grid.py melts dimension grids the same way). Spark's "
+    "native unpivot is a zero-shuffle map that multiplies rows by the "
+    "measure count; no UNION re-scan of the fact (ONE scan feeds all "
+    "three measures, vs the oracle's triple scan).",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round("l_extendedprice", 2).alias("extendedprice"),
+        F.round("l_discount", 2).alias("discount"),
+        F.round("l_tax", 2).alias("tax"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_partkey"],
+        ["extendedprice", "discount", "tax"],
+        "measure",
+        "val",
+    )
