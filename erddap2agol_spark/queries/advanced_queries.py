@@ -964,3 +964,54 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+@register(
+    "intersect_converting_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="INTERSECT set op (completes the U-family next to EXCEPT and "
+    "UNION): users who both clicked and purchased. Compiles to a "
+    "left-semi hash join over the two deduplicated sides — ids only "
+    "ever shuffle, and the aggregation is partial map-side.",
+)
+def intersect_converting_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "q17_correlated_sql",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l1.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    doc="TPC-H Q17 written WITH the correlated scalar subquery (the "
+    "form a user actually types) — Catalyst decorrelates it into the "
+    "same per-part aggregate + equi-join that q17_small_quantity_"
+    "revenue hand-builds, proving the optimizer owns the rewrite; the "
+    "plan test asserts no per-row subquery survives.",
+)
+def q17_correlated_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l1.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )

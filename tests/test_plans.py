@@ -307,3 +307,13 @@ def test_q10_topk_and_pruned_facts(spark):
     assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", plan)
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", plan)
     assert "BroadcastHashJoin" in plan
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """The correlated scalar subquery form of Q17 must decorrelate into
+    an aggregate + equi-join — no per-row subquery execution node in
+    the physical plan."""
+    plan = _plan(spark, "q17_correlated_sql")
+    assert "Subquery" not in plan or "SubqueryBroadcast" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
