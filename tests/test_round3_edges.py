@@ -81,3 +81,79 @@ def test_zorder_key_locality(spark):
     assert abs(out[3] - out[4]) < abs(out[2] - out[1]) or out[3] != out[4]
     # deterministic and within 2*bits range
     assert all(0 <= v < (1 << 32) for v in out.values())
+
+
+def test_pagerank_mass_conservation_random_graph(spark):
+    """On any connected-ish undirected graph the rank vector must stay a
+    probability distribution: positive everywhere, summing to 1 (the
+    no-dangling-nodes argument in the docstring, checked numerically on
+    a seeded random graph)."""
+    import random
+
+    rng = random.Random(7)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(60), rng.randrange(60))
+                               for _ in range(300)) if a != b})
+    df = spark.createDataFrame(edges, ["a", "b"])
+    rows = pagerank(df, iterations=6).collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r.rank > 0 for r in rows)
+    # node set = exactly the vertices of the edge list
+    verts = {v for e in edges for v in e}
+    assert {r.node for r in rows} == verts
+
+
+def test_zorder_injective_on_distinct_cells(spark):
+    """The Morton interleave must be injective over distinct quantized
+    (lat, lon) cells — two different cells can never share a key (keys
+    within one cell may collide by design)."""
+    import random
+
+    rng = random.Random(11)
+    pts = [(i, rng.uniform(0, 10), rng.uniform(0, 10)) for i in range(2000)]
+    df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+    out = df.select(
+        F.floor(F.col("lat") / 10.0 * 65535).alias("qlat"),
+        F.floor(F.col("lon") / 10.0 * 65535).alias("qlon"),
+        zorder_key(F.col("lat"), F.col("lon"), 0.0, 10.0, 0.0, 10.0).alias("z"),
+    ).collect()
+    cells = {}
+    for r in out:
+        cells.setdefault((r.qlat, r.qlon), set()).add(r.z)
+    # one key per cell...
+    assert all(len(zs) == 1 for zs in cells.values())
+    # ...and no key shared across cells
+    keys = [next(iter(zs)) for zs in cells.values()]
+    assert len(keys) == len(set(keys))
+
+
+def test_bloom_no_false_negatives_random_corpus(spark):
+    """Randomized replay of the one-sided-error guarantee: on a seeded
+    corpus with planted contamination, the Bloom flag count dominates
+    the exact count for every document."""
+    import random
+
+    from erddap2agol_spark.operators.text import contamination_counts
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(80)]
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(30))
+    bench_docs = [(i, doc(), "bench") for i in range(10)]
+    # plant: some corpus docs embed a full bench doc (guaranteed overlap)
+    corpus_docs = []
+    for i in range(10, 60):
+        text = doc()
+        if i % 5 == 0:
+            text = bench_docs[i % 10][1] + " " + text
+        corpus_docs.append((i, text, "corpus"))
+    df = spark.createDataFrame(bench_docs + corpus_docs, ["doc_id", "text", "source"])
+    exact = {r.doc_id: r.n_contaminated
+             for r in contamination_counts(df, ("bench",), n=5).collect()}
+    bloom = {r.doc_id: r.n_maybe_contaminated
+             for r in bloom_contamination(df, ("bench",), n=5).collect()}
+    assert set(exact) == set(bloom)
+    assert all(bloom[d] >= n for d, n in exact.items())
+    # the planted docs really are contaminated (test isn't vacuous)
+    assert sum(1 for n in exact.values() if n > 0) >= 10
