@@ -39,7 +39,9 @@ HEADLINE = [
     "glider_features",
     # round 3
     "q3_shipping_priority",
+    "q6_forecast_revenue",
     "q8_market_share",
+    "q10_returned_items",
     "token_rarity",
     "gopher_quality_flags",
     "domain_cap_sample",
