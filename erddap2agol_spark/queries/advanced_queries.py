@@ -1015,3 +1015,30 @@ def q17_correlated_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE l2.l_partkey = l1.l_partkey)
         """
     )
+
+
+@register(
+    "value_rank_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    doc="Analytic rank distributions per group: percent_rank and "
+    "cume_dist over (event_type, value) — the normalized-rank pair "
+    "that quantile-calibrates a metric within its segment. One keyed "
+    "window (partition count = |event types|); the event_id tie-break "
+    "pins both engines to identical orderings; both ratios divide "
+    "exact integer ranks so 6dp rounding is bit-stable.",
+)
+def value_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
