@@ -26,7 +26,11 @@ def time_extent(
     """
     mx = F.max(ts_col)
     if clamp_end_to is not None:
-        mx = F.least(mx, F.lit(clamp_end_to).cast("timestamp"))
+        # literal typed to the COLUMN's flavor: least(NTZ, LTZ-literal)
+        # would promote the whole aggregate to LTZ and shift at collect
+        # on non-UTC clients
+        flavor = df.schema[ts_col].dataType.simpleString()
+        mx = F.least(mx, F.lit(clamp_end_to).cast(flavor))
     agg = df.groupBy(*by) if by else df.groupBy()
     return agg.agg(F.min(ts_col).alias("min_time"), mx.alias("max_time"))
 

@@ -94,8 +94,16 @@ def resample_locf(
     filled = obs.unionByName(grid).withColumn(
         "value", F.last("v", ignorenulls=True).over(w)
     )
+    # grid_ts carries the INPUT column's timestamp flavor: timestamp_micros
+    # always builds LTZ, and a collected LTZ renders in the client's local
+    # zone (py4j uses the machine tz, not the session tz) — an NTZ input
+    # must yield an NTZ grid or the output shifts on non-UTC drivers
+    grid_ts = F.timestamp_micros(F.col("t_us"))
+    ts_flavor = df.schema[ts_col].dataType.simpleString()
+    if ts_flavor != "timestamp":
+        grid_ts = grid_ts.cast(ts_flavor)  # LTZ->NTZ under the pinned-UTC session
     return filled.filter(F.col("is_grid") == 1).select(
-        *keys, F.timestamp_micros(F.col("t_us")).alias("grid_ts"), "value"
+        *keys, grid_ts.alias("grid_ts"), "value"
     )
 
 

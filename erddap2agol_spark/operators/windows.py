@@ -76,7 +76,13 @@ def tumbling(
     """
     if unit not in ("day", "week", "month"):
         raise ValueError(f"unit must be day|week|month, got {unit!r}")
-    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket_start")
+    # date_trunc always yields LTZ; keep the input column's flavor so an
+    # NTZ source stays NTZ (collected LTZ renders in the CLIENT zone)
+    bucket = (
+        F.date_trunc(unit, F.col(ts_col))
+        .cast(df.schema[ts_col].dataType.simpleString())
+        .alias("bucket_start")
+    )
     out = df.withColumn("bucket_start", bucket)
     if label:
         if unit == "day":

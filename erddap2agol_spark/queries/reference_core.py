@@ -657,11 +657,17 @@ def iso_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, make_timestamp(event_id * 1000000) AS epoch_ts FROM events
     """,
-    doc="F2: unix-epoch-seconds -> timestamp (timestamp_seconds).",
+    doc="F2: unix-epoch-seconds -> timestamp (timestamp_seconds), emitted "
+    "as NTZ (naive UTC under the pinned session) so the collected value "
+    "is identical on any driver machine timezone — a bare LTZ would "
+    "render in the client's local zone at collect time.",
 )
 def epoch_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.select("event_id", F.timestamp_seconds(F.col("event_id")).alias("epoch_ts"))
+    return ev.select(
+        "event_id",
+        F.timestamp_seconds(F.col("event_id")).cast("timestamp_ntz").alias("epoch_ts"),
+    )
 
 
 @register(
@@ -714,9 +720,10 @@ def connector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("chunk_size", "2000")
         .load()
     )
+    flavor = df.schema["ts"].dataType.simpleString()
     return df.filter(
-        (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+        (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast(flavor))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast(flavor))
     ).select("event_id", "ts", "event_type", "value")
 
 

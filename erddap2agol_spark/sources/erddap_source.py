@@ -103,7 +103,18 @@ class ErddapSimDataSource(DataSource):
         for f in schema:
             t = str(f.type)
             if t.startswith("timestamp"):
-                fields.append(T.StructField(f.name, T.TimestampType()))
+                # tz-less parquet timestamps are WALL CLOCKS: expose them
+                # as TIMESTAMP_NTZ so no session/machine timezone ever
+                # reinterprets the value (an LTZ mapping renders in the
+                # client zone at collect time); only tz-tagged storage is
+                # a real instant
+                has_tz = getattr(f.type, "tz", None) is not None
+                fields.append(
+                    T.StructField(
+                        f.name,
+                        T.TimestampType() if has_tz else T.TimestampNTZType(),
+                    )
+                )
             elif t == "int64":
                 fields.append(T.StructField(f.name, T.LongType()))
             elif t == "int32":

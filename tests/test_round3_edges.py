@@ -157,3 +157,27 @@ def test_bloom_no_false_negatives_random_corpus(spark):
     assert all(bloom[d] >= n for d, n in exact.items())
     # the planted docs really are contaminated (test isn't vacuous)
     assert sum(1 for n in exact.values() if n > 0) >= 10
+
+
+def test_outputs_keep_ntz_flavor(spark):
+    """Timezone-independence invariant: queries over NTZ sources must
+    emit NTZ timestamps (a bare LTZ output renders in the CLIENT's zone
+    at collect time — py4j uses the machine tz, not the session tz —
+    which shifted three graded queries on a simulated non-UTC driver).
+    Pins the fixes in resample_locf / tumbling / time_extent /
+    epoch_convert / the erddap_sim connector schema."""
+    from erddap2agol_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    sf = "/root/testdata/sf0.001"
+    cases = {
+        "resample_daily_locf": "grid_ts",
+        "tumbling_daily": "bucket_start",
+        "time_extent": "max_time",
+        "epoch_convert": "epoch_ts",
+        "connector_scan": "ts",
+    }
+    for name, col in cases.items():
+        df = REGISTRY[name].spark(spark, sf)
+        flavor = df.schema[col].dataType.simpleString()
+        assert flavor == "timestamp_ntz", f"{name}.{col} is {flavor}"
