@@ -378,3 +378,45 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 6).alias("len_avg"),
         F.round(F.stddev_samp("n_chars"), 6).alias("len_std"),
     )
+
+
+@register(
+    "source_lang_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)
+    SELECT c.source, CAST(t.tot AS BIGINT) AS n_docs,
+           count(*) AS n_langs,
+           round(-sum((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 6)
+             AS lang_entropy
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source, t.tot
+    """,
+    doc="Per-source language entropy — the mixing diagnostic that flags "
+    "monolingual crawl buckets (entropy ~0) vs balanced ones before "
+    "setting per-language quotas. Two hash aggregates over (source, "
+    "lang) counts; the corpus itself reduces map-side to |sources| x "
+    "|langs| integer cells, and the only float math is the final "
+    "p*ln(p) fold over exact integer ratios.",
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(t, "source")
+        .groupBy("source", "tot")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+        .select(
+            "source",
+            F.col("tot").cast("bigint").alias("n_docs"),
+            "n_langs",
+            "lang_entropy",
+        )
+    )
