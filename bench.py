@@ -68,9 +68,11 @@ def main() -> None:
         load_table(spark, sf_dir, t).schema
     load_table(spark, sf_dir, "region").groupBy("r_name").count().count()
 
-    # best of two runs per query: run 1 pays plan compilation + any
-    # persist materialization; run 2 is the steady-state number a
-    # repeated production query sees
+    # steady state per query: run 1 pays plan compilation + any persist
+    # materialization; later runs are what a repeated production query
+    # sees.  Up to 3 runs, stopping once a run stops improving the best
+    # by >5% (VERDICT r3: one-shot driver numbers read as a phantom
+    # regression on overhead-bound sub-second queries).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -79,10 +81,14 @@ def main() -> None:
             continue
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 spec.spark(spark, sf_dir).count()
-                best = min(best, time.time() - t0)
+                run = time.time() - t0
+                improved = run < best * 0.95
+                best = min(best, run)
+                if not improved and best < float("inf"):
+                    break
         except Exception as e:  # one broken query must not zero the bench
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             continue

@@ -129,6 +129,12 @@ def lsh_candidate_pairs(
     bucket changes.  Replication multiplies the probe side rows by
     ``n_salts`` — keep it single digits and reach for it only when a
     bucket histogram shows heat.
+
+    Cache lifecycle (VERDICT r3 #3, pagerank pattern graph.py:142-146):
+    the signature table is persisted only while this call materializes
+    the pair result, then released before returning.  The RETURNED
+    DataFrame comes back persisted + computed — the one cache entry the
+    caller owns (``result.unpersist()`` when done).
     """
     if n_perm % rows_per_band:
         raise ValueError("n_perm must be divisible by rows_per_band")
@@ -164,11 +170,15 @@ def lsh_candidate_pairs(
     else:
         a = bands.alias("a")
         b = bands.alias("b")
-    return (
+    out = (
         a.join(b, cond)
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+        .persist()
     )
+    out.count()  # one action: fills out's cache, reading sig's cache twice
+    sig.unpersist(True)  # blocking, so storage state is deterministic
+    return out
 
 
 def _hex4_to_int(h: Column) -> Column:
@@ -316,6 +326,11 @@ def ngram_jaccard_pairs(
     J <= min/max — runs INSIDE the join before any pair is aggregated,
     and the final jaccard needs no size-lookup joins at all (sizes ride
     the group key).
+
+    Cache lifecycle (VERDICT r3 #3): the shingle explode is persisted
+    only while this call materializes the pair result, then released.
+    The RETURNED DataFrame comes back persisted + computed — the one
+    cache entry the caller owns (``result.unpersist()`` when done).
     """
     src = ensure_parallelism(df)
     # persisted: the pair self-join scans the shingle explode twice
@@ -336,7 +351,7 @@ def ngram_jaccard_pairs(
     sh = sh.persist()
     a = sh.alias("a")
     b = sh.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
@@ -359,7 +374,11 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        .persist()
     )
+    out.count()  # one action: fills out's cache, reading sh's cache twice
+    sh.unpersist(True)
+    return out
 
 
 def connected_components(

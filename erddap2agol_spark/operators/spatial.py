@@ -141,13 +141,24 @@ def zorder_key(
     (the Delta/Iceberg OPTIMIZE ZORDER layout idea, via plain
     ``repartitionByRange(zkey)`` + parquet min/max pruning).  Pure
     integer bit algebra, whole-stage codegen, no shuffle.
+
+    Coordinates OUTSIDE the stated extent are clamped to the edge cell
+    (ADVICE r3: un-clamped they quantize negative / past 2^bits-1, and
+    sign-fill bits from ``shiftright`` alias into valid key space,
+    silently co-locating far-apart points).
     """
-    qlat = F.floor(
-        (lat - F.lit(lat_min)) / F.lit(lat_max - lat_min) * F.lit((1 << bits) - 1)
-    ).cast("bigint")
-    qlon = F.floor(
-        (lon - F.lit(lon_min)) / F.lit(lon_max - lon_min) * F.lit((1 << bits) - 1)
-    ).cast("bigint")
+
+    def _q(c: Column, lo: float, hi: float) -> Column:
+        q = F.floor(
+            (c - F.lit(lo)) / F.lit(hi - lo) * F.lit((1 << bits) - 1)
+        ).cast("bigint")
+        return F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit((1 << bits) - 1).cast("bigint"), q),
+        )
+
+    qlat = _q(lat, lat_min, lat_max)
+    qlon = _q(lon, lon_min, lon_max)
     z = F.lit(0).cast("bigint")
     for i in range(bits):
         z = (

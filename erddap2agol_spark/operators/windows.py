@@ -100,36 +100,81 @@ def tumbling(
     return out
 
 
+def _order_split_bounds(
+    df: DataFrame, key: str, n_parts: int
+) -> list:
+    """Deterministic range-split points for ``key``: a SEEDED sample of
+    the column (one column-pruned pass, the classic total-order-
+    partitioner sketch), sorted driver-side, split points at the
+    n_parts-quantiles.  Works for any orderable type (numeric,
+    timestamp, string); duplicates collapse, which only merges adjacent
+    ranges."""
+    cnt = df.count()
+    if cnt == 0:
+        return []
+    fraction = min(1.0, (n_parts * 200) / cnt)
+    vals = sorted(
+        r[0]
+        for r in df.select(key).na.drop(subset=[key]).sample(False, fraction, seed=42).collect()
+    )
+    if not vals:
+        return []
+    picks = {vals[min(len(vals) - 1, (i * len(vals)) // n_parts)] for i in range(1, n_parts)}
+    return sorted(picks)
+
+
 def _ranged_row_number(
     df: DataFrame, order_cols: Sequence[str], name: str
 ) -> DataFrame:
-    """Global row numbering WITHOUT a single-partition window: range-
-    partition by the order columns, number rows inside each partition,
-    then add per-partition offsets (one tiny aggregate, broadcast back).
-    Total order follows ``order_cols``; ties crossing a range boundary
-    break by partition rather than by the global window's scan order —
-    pass a unique tiebreak column in ``order_cols`` for full determinism.
+    """Global row numbering WITHOUT a single-partition window: assign a
+    range id from deterministic split points on the first order column,
+    number rows inside each range, then add per-range offsets (one tiny
+    aggregate, broadcast back).
+
+    The range id is a PURE FUNCTION of the row (a literal-array
+    ``size(filter(bounds, b -> b <= key))`` rank, whole-stage codegen) —
+    NOT ``spark_partition_id()`` after ``repartitionByRange``, whose
+    sampled boundaries are recomputed per job and can disagree between
+    the offset-count job and the numbering job (observed at sf0.01:
+    shifted offsets, duplicate row ids).  Every job stamps identical
+    ids, so the counts always match the numbering.
+
+    Total order follows ``order_cols``; rows tying on the first column
+    land in the same range, so ties order by the remaining columns —
+    pass a unique tiebreak column for full determinism.
     """
     cols = [F.col(c) for c in order_cols]
     n_parts = max(
         df.sparkSession.sparkContext.defaultParallelism,
         df.rdd.getNumPartitions(),
     )
-    ranged = (
-        df.repartitionByRange(n_parts, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    bounds = _order_split_bounds(df, order_cols[0], n_parts)
+    if bounds:
+        key_type = df.schema[order_cols[0]].dataType
+        key = F.col(order_cols[0])
+        # rank of the key among the split points, as a sum of boolean
+        # casts (plain codegen — no HOF lambda, whose outer column
+        # reference mis-binds through the later join); null keys sum
+        # null -> coalesce 0, matching NULLS FIRST ascending order
+        pid = F.coalesce(
+            sum(
+                (F.lit(b).cast(key_type) <= key).cast("int") for b in bounds
+            ),
+            F.lit(0),
+        )
+    else:
+        pid = F.lit(0)
+    stamped = df.withColumn("__pid", pid)
+    counts = stamped.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     rows = sorted((r["__pid"], r["__n"]) for r in counts.collect())
     offsets, acc = [], 0
-    for pid, n in rows:
-        offsets.append((pid, acc))
+    for p, n in rows:
+        offsets.append((p, acc))
         acc += n
     off = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
     w = Window.partitionBy("__pid").orderBy(*cols)
     return (
-        ranged.join(F.broadcast(off), "__pid")
+        stamped.join(F.broadcast(off), "__pid")
         .withColumn(name, F.row_number().over(w) + F.col("__off"))
         .drop("__pid", "__off")
     )

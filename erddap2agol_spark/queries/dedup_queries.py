@@ -406,17 +406,27 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
         for i in range(8)
     )
-    cand = (
-        a.join(
+    # ADVICE r3: an OR of equalities cannot hash-partition (Spark falls
+    # back to BroadcastNestedLoopJoin over the full signature cross
+    # product).  Generate candidates as a UNION of one equi-join per
+    # band key — each hash-partitions on its key, mirroring
+    # dedup_minhash_lsh's banded bucket join — then distinct the pairs
+    # (a pair matching on BOTH bands appears in both branches).
+    def _band(key: str) -> DataFrame:
+        return a.join(
             b,
-            (F.col("a.doc") < F.col("b.doc"))
-            & ((F.col("a.m0") == F.col("b.m0")) | (F.col("a.m4") == F.col("b.m4"))),
-        )
-        .select(
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        ).select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
             match.alias("n_match"),
         )
+
+    cand = (
+        _band("m0")
+        .unionAll(_band("m4"))
+        .distinct()
         .where(F.col("n_match") >= 4)
         .withColumn("jaccard_est", F.round(F.col("n_match") / 8.0, 6))
         .drop("n_match")

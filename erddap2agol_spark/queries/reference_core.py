@@ -429,7 +429,11 @@ def coord_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = windows.chunk_buckets(
-        _t(spark, sf_dir, "events").select("ts", "event_id"), ["ts", "event_id"], 6
+        _t(spark, sf_dir, "events").select("ts", "event_id"),
+        ["ts", "event_id"],
+        6,
+        scalable=True,  # range-partition + closed-form boundaries: no
+        # single-partition ntile stage (VERDICT r3 #2)
     )
     return ev.groupBy("chunk_id").agg(
         F.count(F.lit(1)).alias("n"),

@@ -115,6 +115,47 @@ def test_token_histogram_topk_not_global_rank(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def _top_level_bracket_groups(args: str) -> list[str]:
+    """Split a formatted-explain ``Arguments:`` line into its top-level
+    ``[...]`` groups (brackets may nest inside window-function exprs)."""
+    groups, depth, cur = [], 0, []
+    for ch in args:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _global_window_blocks(plan: str) -> list[str]:
+    """Window ``Arguments:`` lines whose partition spec is EMPTY.
+
+    Spark's formatted explain prints a partitioned window as THREE
+    top-level bracket groups ``[fns], [partSpec], [orderSpec]`` but a
+    global (order-only) window as TWO — ``[fns], [orderSpec]`` (verified
+    against Spark 4.1; VERDICT r3 #1: the old ``\\], \\[\\], \\[`` regex
+    could never match and made the audit vacuous)."""
+    import re
+
+    blocks = re.findall(
+        r"^\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)$", plan, re.M
+    )
+    out = []
+    for args in blocks:
+        groups = _top_level_bracket_groups(args)
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+            out.append(args)
+    return out
+
+
 def test_no_global_window_in_graded_queries(spark):
     """No registered query may contain a Window with an EMPTY partition
     spec over unbounded input — the single-partition shuffle is the
@@ -122,23 +163,48 @@ def test_no_global_window_in_graded_queries(spark):
     (TakeOrderedAndProject / (Global)Limit), where its input is already
     a driver-sized top-k.  Covers the ENTIRE registry (r3: was first 50)
     so nothing in the rotation tail can regress unseen."""
-    import re
-
     from erddap2agol_spark.queries import all_queries
 
     graded = list(all_queries())
     offenders = []
     for name in graded:
         plan = _plan(spark, name)
-        # formatted-explain Window block: Arguments: [fns], [part], [ord]
-        blocks = re.findall(r"^\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)$",
-                            plan, re.M)
-        for args in blocks:
-            if re.search(r"\], \[\], \[", args):  # empty partition spec
-                if "TakeOrderedAndProject" in plan or "GlobalLimit" in plan:
-                    continue  # post-limit rank over tiny input
-                offenders.append(name)
+        if _global_window_blocks(plan):
+            if "TakeOrderedAndProject" in plan or "GlobalLimit" in plan:
+                continue  # post-limit rank over tiny input
+            offenders.append(name)
     assert not offenders, offenders
+
+
+def test_global_window_audit_detects_planted_offender(spark):
+    """Self-test so the audit can never go vacuous again (VERDICT r3 #1):
+    a row_number over Window.orderBy with NO partition spec and NO limit
+    MUST be flagged, and the partitioned form MUST NOT be."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    base = spark.range(100).withColumn("g", F.col("id") % 7)
+    offender = base.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert _global_window_blocks(plan_of(offender)), (
+        "audit failed to flag a planted global window"
+    )
+    fine = base.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert not _global_window_blocks(plan_of(fine)), (
+        "audit false-positived on a partitioned window"
+    )
 
 
 def test_entry_schema_stable(spark):
@@ -197,6 +263,15 @@ def test_interval_join_is_hash_join_with_residual(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_minhash_estimate_accuracy_no_nested_loop(spark):
+    """ADVICE r3: the candidate join must be a union of hash-
+    partitionable equi-joins per band key, never a
+    BroadcastNestedLoopJoin / CartesianProduct over the signature
+    cross-product."""
+    plan = _plan(spark, "minhash_estimate_accuracy")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 

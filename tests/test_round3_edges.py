@@ -181,3 +181,30 @@ def test_outputs_keep_ntz_flavor(spark):
         df = REGISTRY[name].spark(spark, sf)
         flavor = df.schema[col].dataType.simpleString()
         assert flavor == "timestamp_ntz", f"{name}.{col} is {flavor}"
+
+
+def test_zorder_clamps_out_of_extent(spark):
+    """ADVICE r3: coordinates outside the stated extent must clamp to
+    the edge cell — never alias (via sign-fill shiftright bits) into the
+    middle of valid key space."""
+    bits = 16
+    df = spark.createDataFrame(
+        [
+            ("below", -5.0, -7.0),
+            ("corner_lo", 0.0, 0.0),
+            ("corner_hi", 1.0, 1.0),
+            ("above", 9.9, 12.3),
+        ],
+        ["id", "lat", "lon"],
+    )
+    rows = {
+        r.id: r.z
+        for r in df.select(
+            "id",
+            zorder_key(F.col("lat"), F.col("lon"), 0.0, 1.0, 0.0, 1.0, bits).alias("z"),
+        ).collect()
+    }
+    zmax = (1 << (2 * bits)) - 1
+    assert rows["below"] == rows["corner_lo"] == 0
+    assert rows["above"] == rows["corner_hi"] == zmax
+    assert all(0 <= z <= zmax for z in rows.values())

@@ -193,3 +193,28 @@ def test_lsh_band_salting_result_invariant(spark, boilerplate_docs):
         ).collect()
     }
     assert base == salted and base  # identical pairs, non-empty
+
+
+def test_dedup_pair_builders_release_scaffolding(spark):
+    """VERDICT r3 #3: lsh_candidate_pairs / ngram_jaccard_pairs must not
+    leak their internal persist (signature table / shingle explode)
+    across invocations.  Contract: the ONLY storage entry left behind is
+    the returned, already-materialized result — which the caller can
+    release — so a full-registry sweep cannot accumulate scaffolding."""
+    from erddap2agol_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents").limit(200)
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    out = dedup.lsh_candidate_pairs(docs, "doc_id", "text", n_perm=8, rows_per_band=2)
+    assert n_persisted() == base + 1  # result only; signature cache released
+    out.unpersist(True)
+    assert n_persisted() == base
+
+    out2 = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=100)
+    assert n_persisted() == base + 1  # result only; shingle cache released
+    out2.unpersist(True)
+    assert n_persisted() == base
