@@ -1,0 +1,65 @@
+"""Griddap binary-ingestion queries (SURVEY §2.1 S7 — the physical
+path).
+
+The reference spools griddap responses as real NetCDF bytes
+(src/data_wrangler.py:592-604) and decodes them with xarray
+(src/agol_wrangler.py:235-261).  Here the spool is a deterministic
+synthetic fixture (``sources/griddap_fixture.py``), Spark reads the
+BYTES through ``binaryFile`` + ``mapInPandas``
+(``sources/netcdf.read_griddap_netcdf``), and the DuckDB oracle reads an
+independently-computed long-form parquet TRUTH — so a green hash match
+proves the binary decode itself, not just the aggregation on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import grid
+from ..sources.griddap_fixture import FIXTURE_ROOT, ensure_griddap_fixture
+from ..sources.netcdf import read_griddap_netcdf
+from . import register
+
+_TRUTH = f"{FIXTURE_ROOT}/grid_long_truth.parquet"
+
+
+@register(
+    "griddap_ingest",
+    oracle=f"""
+    SELECT var, time, count(*) AS n_cells,
+           count(value) AS n_valid,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM read_parquet('{_TRUTH}')
+    WHERE lat BETWEEN 25.5 AND 29.5
+    GROUP BY var, time
+    """,
+    doc="S7 physical path: NetCDF-classic bytes (record + fixed layouts, "
+    "packed shorts, fill values) -> binaryFile + mapInPandas long form -> "
+    "lat hyperslab -> per-(var, time) cell stats. Oracle reads an "
+    "independently-computed truth parquet, so the hash grades the binary "
+    "decode end-to-end.",
+)
+def griddap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nc_dir, _ = ensure_griddap_fixture(FIXTURE_ROOT)
+    cells = read_griddap_netcdf(spark, nc_dir)
+    sliced = grid.hyperslab(
+        cells, "time", "lat", "lon", lat_range=(25.5, 29.5)
+    )
+    # fill cells decode as NaN (the reference keeps them and filters
+    # later, src/erddap_wrangler.py:380-385); null them so avg/count
+    # treat them as missing, matching the truth parquet's NULLs
+    v = F.when(F.isnan("value"), None).otherwise(F.col("value"))
+    return (
+        sliced.withColumn("value", v)
+        .groupBy("var", "time")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count("value").alias("n_valid"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )

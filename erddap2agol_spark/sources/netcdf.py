@@ -182,7 +182,10 @@ def write_netcdf_classic(
             body[begins[name] - hsize: begins[name] - hsize + len(raw)] = raw
         else:
             for r in range(m["be"].shape[0]):
-                raw = m["be"][r].tobytes()
+                # slice (not index): be[r] on a 1-D array returns a
+                # NATIVE-endian numpy scalar and tobytes() would flip
+                # the byte order; be[r:r+1] keeps the big-endian dtype
+                raw = m["be"][r: r + 1].tobytes()
                 start = begins[name] - hsize + r * recsize
                 body[start: start + len(raw)] = raw
     with open(path, "wb") as f:
@@ -322,13 +325,12 @@ def cf_decode_values(var: dict) -> np.ndarray:
     the truth side of any parity check can reproduce the arithmetic
     bit-for-bit."""
     attrs = var["attrs"]
-    data = np.asarray(var["data"]).astype(np.float64)
+    raw = np.asarray(var["data"])
+    data = raw.astype(np.float64)
     for key in ("_FillValue", "missing_value"):
         if key in attrs:
             fill = float(np.asarray(attrs[key]).ravel()[0])
-            data = np.where(np.asarray(var["data"]) == type(
-                np.asarray(var["data"]).ravel()[0:1][0] if var["data"].size else 0
-            )(fill) if False else (np.asarray(var["data"]) == fill), np.nan, data)
+            data = np.where(raw == fill, np.nan, data)
     scale = float(np.asarray(attrs.get("scale_factor", 1.0)).ravel()[0])
     offset = float(np.asarray(attrs.get("add_offset", 0.0)).ravel()[0])
     if scale != 1.0 or offset != 0.0:
