@@ -30,11 +30,9 @@ def _pair(x: Column, y: Column) -> Column:
     return F.concat(F.lit("["), _fmt(x), F.lit(","), _fmt(y), F.lit("]"))
 
 
-def point_geojson(lat_lon: Column, const_z: Column | None = None) -> Column:
-    """GeoRSS point: input "lat lon [alt]" string -> lon/lat[/alt] GeoJSON
-    Point (the reference reorders and keeps an optional third ordinate,
-    Xml2GeoJSON.py:893-896).  ``const_z`` supplies elevation when the
-    string itself carries only two ordinates (georss:elev sidecar)."""
+def _point_body(lat_lon: Column, const_z: Column | None = None) -> Column:
+    """"lat lon [alt]" string -> the "[lon,lat(,z)]" coordinate fragment
+    shared by Point and MultiPoint assembly."""
     parts = F.split(F.trim(lat_lon), r"\s+")
     lat = F.element_at(parts, 1).cast("double")
     lon = F.element_at(parts, 2).cast("double")
@@ -43,8 +41,31 @@ def point_geojson(lat_lon: Column, const_z: Column | None = None) -> Column:
     z = F.get(parts, 2).cast("double")
     if const_z is not None:
         z = F.coalesce(z, const_z.cast("double"))
-    body = F.when(z.isNotNull(), _triple(lon, lat, z)).otherwise(_pair(lon, lat))
+    return F.when(z.isNotNull(), _triple(lon, lat, z)).otherwise(_pair(lon, lat))
+
+
+def point_geojson(lat_lon: Column, const_z: Column | None = None) -> Column:
+    """GeoRSS point: input "lat lon [alt]" string -> lon/lat[/alt] GeoJSON
+    Point (the reference reorders and keeps an optional third ordinate,
+    Xml2GeoJSON.py:893-896).  ``const_z`` supplies elevation when the
+    string itself carries only two ordinates (georss:elev sidecar)."""
+    body = _point_body(lat_lon, const_z)
     return F.concat(F.lit('{"type":"Point","coordinates":'), body, F.lit("}"))
+
+
+def multipoint_geojson(parts: Column, const_z: Column | None = None) -> Column:
+    """F17 multi-part assembly: an ARRAY of "lat lon [alt]" part strings ->
+    MultiPoint.  The reference accumulates repeated geometry elements of
+    one item into a parts tuple and emits ``"Multi" + type`` when more
+    than one part is present (Json2GeoJSON.py:1043-1065); here the parts
+    array is assembled with a higher-order transform — still pure Column
+    algebra, no per-row Python."""
+    coords = F.transform(parts, lambda p: _point_body(p, const_z))
+    return F.concat(
+        F.lit('{"type":"MultiPoint","coordinates":['),
+        F.concat_ws(",", coords),
+        F.lit("]}"),
+    )
 
 
 def point_from_xy(x: Column, y: Column) -> Column:
@@ -97,6 +118,69 @@ def line_geojson(
     )
 
 
+def _line_body(
+    flat: Column,
+    srs_dim: int = 2,
+    lat_first: bool = True,
+    const_z: Column | None = None,
+) -> Column:
+    coords = _coords_from_flat(flat, srs_dim, lat_first, const_z)
+    return F.concat(F.lit("["), F.concat_ws(",", coords), F.lit("]"))
+
+
+def multiline_geojson(
+    parts: Column,
+    srs_dim: int = 2,
+    lat_first: bool = True,
+    const_z: Column | None = None,
+) -> Column:
+    """F17 multi-part assembly: an ARRAY of flat ordinate-list part
+    strings ("lat lon lat lon ..." each) -> MultiLineString
+    (Json2GeoJSON.py:1043-1065 part accumulation)."""
+    bodies = F.transform(parts, lambda p: _line_body(p, srs_dim, lat_first, const_z))
+    return F.concat(
+        F.lit('{"type":"MultiLineString","coordinates":['),
+        F.concat_ws(",", bodies),
+        F.lit("]}"),
+    )
+
+
+def _ring_body(
+    flat: Column,
+    srs_dim: int = 2,
+    lat_first: bool = True,
+    reverse: bool = False,
+    const_z: Column | None = None,
+) -> Column:
+    coords = _coords_from_flat(flat, srs_dim, lat_first, const_z)
+    if reverse:
+        coords = F.reverse(coords)
+    closed = F.when(
+        F.element_at(coords, 1) == F.element_at(coords, -1), coords
+    ).otherwise(F.concat(coords, F.array(F.element_at(coords, 1))))
+    return F.concat(F.lit("[["), F.concat_ws(",", closed), F.lit("]]"))
+
+
+def multipolygon_geojson(
+    parts: Column,
+    srs_dim: int = 2,
+    lat_first: bool = True,
+    reverse: bool = False,
+    const_z: Column | None = None,
+) -> Column:
+    """F17 multi-part assembly: an ARRAY of ring ordinate-list strings ->
+    MultiPolygon, one single-ring polygon per part, each closed and
+    optionally rewound like :func:`polygon_geojson`."""
+    bodies = F.transform(
+        parts, lambda p: _ring_body(p, srs_dim, lat_first, reverse, const_z)
+    )
+    return F.concat(
+        F.lit('{"type":"MultiPolygon","coordinates":['),
+        F.concat_ws(",", bodies),
+        F.lit("]}"),
+    )
+
+
 def polygon_geojson(
     flat: Column,
     srs_dim: int = 2,
@@ -106,17 +190,8 @@ def polygon_geojson(
 ) -> Column:
     """GeoRSS/GML polygon ring -> Polygon; ``reverse=True`` flips winding
     (the reference's CCW reversal). The ring is closed if not already."""
-    coords = _coords_from_flat(flat, srs_dim, lat_first, const_z)
-    if reverse:
-        coords = F.reverse(coords)
-    closed = F.when(
-        F.element_at(coords, 1) == F.element_at(coords, -1), coords
-    ).otherwise(F.concat(coords, F.array(F.element_at(coords, 1))))
-    return F.concat(
-        F.lit('{"type":"Polygon","coordinates":[['),
-        F.concat_ws(",", closed),
-        F.lit("]]}"),
-    )
+    body = _ring_body(flat, srs_dim, lat_first, reverse, const_z)
+    return F.concat(F.lit('{"type":"Polygon","coordinates":'), body, F.lit("}"))
 
 
 def box_geojson(corners: Column, lat_first: bool = True) -> Column:

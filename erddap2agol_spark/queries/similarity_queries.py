@@ -292,6 +292,46 @@ def ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_recall",
+    oracle="""
+    SELECT vec_id AS query_id, 5 AS n_true, TRUE AS found_true_neighbor
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="Recall floor for the KMeans IVF path (the one non-SQL-"
+    "expressible ANN variant): joins ivf_topk's neighbors against the "
+    "exact brute-force top-5 and asserts every query recovers at least "
+    "one true neighbor with 2 probes of 8 cells. Pinned invariant "
+    "(measured recall@5 per query is 0.2-1.0 at sf0.001 and sf0.01), so "
+    "the driver hash-checks a live recall property of the KMeans "
+    "quantizer instead of recording rows-only.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = similarity.brute_force_topk(
+        queries, emb, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id")
+    ivf = similarity.ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2
+    ).select("query_id", "neighbor_id")
+    hits = bf.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        bf.groupBy("query_id")
+        .agg(F.count("*").cast("int").alias("n_true"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 1).alias(
+                "found_true_neighbor"
+            ),
+        )
+    )
+
+
+@register(
     "semdedup_keep",
     oracle=f"""
     WITH RECURSIVE {_VEC_CTE},

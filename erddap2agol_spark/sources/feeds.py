@@ -18,6 +18,7 @@ consume.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Iterator
 from xml.etree import ElementTree
 
@@ -69,6 +70,21 @@ def _norm_coords(val: str) -> tuple[str, int | None]:
     return val, None
 
 
+#: multi-part separator inside the flat geometry columns.  The reference
+#: accumulates repeated geometry elements of one item into a parts tuple
+#: and emits "Multi"+type when >1 part (Json2GeoJSON.py:1043-1065); the
+#: ordinate lists themselves are space-separated numbers, so "|" is an
+#: unambiguous part delimiter that keeps the feed schema fixed.
+PART_SEP = "|"
+
+
+def _add_geom_part(row: dict, key: str, val: str) -> int | None:
+    """Accumulate a repeated geometry element as another part."""
+    norm, dims = _norm_coords(val)
+    row[key] = row[key] + PART_SEP + norm if key in row else norm
+    return dims
+
+
 def _parse_gml_where(el, row: dict) -> None:
     """GML GeoRSS ("georss:where" wrapping gml:Point/LineString/Polygon/
     Envelope, srsDimension-aware — Xml2GeoJSON.py:1075-1140): route the
@@ -94,11 +110,12 @@ def _parse_gml_where(el, row: dict) -> None:
             if dims:
                 row.setdefault("geo_dims", dims)
             if kind == "point" or (kind is None and gname == "pos"):
-                row["georss_point"] = val
+                key = "georss_point"
             elif kind == "polygon":
-                row["georss_polygon"] = val
+                key = "georss_polygon"
             else:
-                row["georss_line"] = val
+                key = "georss_line"
+            row[key] = row[key] + PART_SEP + val if key in row else val
         elif gname == "lowercorner":
             lower = text
         elif gname == "uppercorner":
@@ -131,15 +148,15 @@ def parse_feed_xml(text: str, source: str = "") -> list[dict]:
             elif name in ("guid", "id"):
                 row.setdefault("guid", val)
             elif name == "point":
-                row["georss_point"], d = _norm_coords(val)
+                d = _add_geom_part(row, "georss_point", val)
                 if d:
                     row["geo_dims"] = d
             elif name in ("line", "linestring"):
-                row["georss_line"], d = _norm_coords(val)
+                d = _add_geom_part(row, "georss_line", val)
                 if d:
                     row["geo_dims"] = d
             elif name == "polygon":  # also CAP "lat1,lon1 lat2,lon2 ..."
-                row["georss_polygon"], d = _norm_coords(val)
+                d = _add_geom_part(row, "georss_polygon", val)
                 if d:
                     row["geo_dims"] = d
             elif name in ("box", "envelope"):
@@ -206,8 +223,11 @@ def with_feed_geometry(items: DataFrame, geometry_col: str = "geometry") -> Data
     conventions (lat-first input reordered to lon/lat; polygons reversed
     to CCW exterior winding, Xml2GeoJSON.py:902-908; georss:elev adds a
     constant Z to every coordinate; srsDimension=3 consumes a third
-    ordinate per point).  Pure Column algebra — rides codegen, NULL when
-    an item carries no recognizable shape."""
+    ordinate per point).  Repeated geometry elements arrive as
+    PART_SEP-joined parts and assemble into Multi* shapes, mirroring the
+    reference's parts accumulation (Json2GeoJSON.py:1043-1065).  Pure
+    Column algebra — rides codegen, NULL when an item carries no
+    recognizable shape."""
     from pyspark.sql import functions as F
 
     from ..functions import geometry as G
@@ -215,30 +235,69 @@ def with_feed_geometry(items: DataFrame, geometry_col: str = "geometry") -> Data
     elev = F.col("georss_elev").cast("double")
     elev_or_null = F.when(elev.isNotNull(), elev)
     dims3 = F.col("geo_dims") == 3
+    sep = r"\s*" + re.escape(PART_SEP) + r"\s*"
 
-    def shaped(flat: str, builder) -> F.Column:
-        c = F.col(flat)
+    def parts_of(col: str) -> F.Column:
+        return F.split(F.col(col), sep)
+
+    def shaped(flat: str, builder, multi_builder) -> F.Column:
+        parts = parts_of(flat)
+        single = F.element_at(parts, 1)
         return F.when(
-            dims3, builder(c, srs_dim=3, lat_first=True)
-        ).otherwise(builder(c, srs_dim=2, lat_first=True, const_z=elev_or_null))
+            F.size(parts) > 1,
+            F.when(dims3, multi_builder(parts, srs_dim=3, lat_first=True)).otherwise(
+                multi_builder(parts, srs_dim=2, lat_first=True, const_z=elev_or_null)
+            ),
+        ).otherwise(
+            F.when(dims3, builder(single, srs_dim=3, lat_first=True)).otherwise(
+                builder(single, srs_dim=2, lat_first=True, const_z=elev_or_null)
+            )
+        )
 
+    pt_parts = parts_of("georss_point")
     geom = (
         F.when(
             F.col("georss_point").isNotNull(),
-            G.point_geojson(F.col("georss_point"), const_z=elev_or_null),
+            F.when(
+                F.size(pt_parts) > 1,
+                G.multipoint_geojson(pt_parts, const_z=elev_or_null),
+            ).otherwise(
+                G.point_geojson(F.element_at(pt_parts, 1), const_z=elev_or_null)
+            ),
         )
         .when(
             F.col("georss_line").isNotNull(),
-            shaped("georss_line", G.line_geojson),
+            shaped("georss_line", G.line_geojson, G.multiline_geojson),
         )
         .when(
             F.col("georss_polygon").isNotNull(),
             F.when(
+                F.size(parts_of("georss_polygon")) > 1,
+                F.when(
+                    dims3,
+                    G.multipolygon_geojson(
+                        parts_of("georss_polygon"),
+                        srs_dim=3,
+                        lat_first=True,
+                        reverse=True,
+                    ),
+                ).otherwise(
+                    G.multipolygon_geojson(
+                        parts_of("georss_polygon"),
+                        srs_dim=2,
+                        lat_first=True,
+                        reverse=True,
+                        const_z=elev_or_null,
+                    )
+                ),
+            )
+            .when(
                 dims3,
                 G.polygon_geojson(
                     F.col("georss_polygon"), srs_dim=3, lat_first=True, reverse=True
                 ),
-            ).otherwise(
+            )
+            .otherwise(
                 G.polygon_geojson(
                     F.col("georss_polygon"),
                     srs_dim=2,

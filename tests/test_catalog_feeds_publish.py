@@ -241,6 +241,74 @@ def test_feed_geometry_end_to_end(spark):
     assert w3c == {"type": "Point", "coordinates": [12.57, 55.7]}
 
 
+MULTI_FEED = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom"
+      xmlns:cap="urn:oasis:names:tc:emergency:cap:1.1"
+      xmlns:georss="http://www.georss.org/georss"
+      xmlns:gml="http://www.opengis.net/gml">
+  <title>multi</title>
+  <entry>
+    <id>mp</id><title>Two Buoys</title>
+    <georss:point>27.5 -82.25</georss:point>
+    <georss:point>28.0 -83.0</georss:point>
+  </entry>
+  <entry>
+    <id>ml</id><title>Two Tracks</title>
+    <georss:line>27.0 -82.0 27.1 -82.1</georss:line>
+    <georss:line>28.0 -83.0 28.2 -83.3</georss:line>
+  </entry>
+  <entry>
+    <id>mpoly</id><title>Two Cells</title>
+    <cap:polygon>30.0,-95.0 31.0,-95.0 31.0,-94.0 30.0,-95.0</cap:polygon>
+    <cap:polygon>10.0,-60.0 11.0,-60.0 11.0,-59.0 10.0,-60.0</cap:polygon>
+  </entry>
+  <entry>
+    <id>single</id><title>One Buoy</title>
+    <georss:point>27.9 -93.6</georss:point>
+  </entry>
+</feed>
+"""
+
+
+def test_feed_geometry_multipart(spark):
+    """F17 multi-part assembly: repeated geometry elements in one item
+    become Multi* shapes (reference Json2GeoJSON.py:1043-1065), while a
+    single part keeps the plain geometry type."""
+    import json as _json
+
+    from erddap2agol_spark.sources import feeds
+
+    src = spark.createDataFrame([("multi.xml", MULTI_FEED)], ["path", "content"])
+    out = feeds.with_feed_geometry(feeds.feeds_to_dataframe(spark, src))
+    got = {r.guid: _json.loads(r.geometry) for r in out.collect()}
+
+    assert got["mp"] == {
+        "type": "MultiPoint",
+        "coordinates": [[-82.25, 27.5], [-83, 28]],
+    }
+    assert got["ml"] == {
+        "type": "MultiLineString",
+        "coordinates": [
+            [[-82, 27], [-82.1, 27.1]],
+            [[-83, 28], [-83.3, 28.2]],
+        ],
+    }
+    mpoly = got["mpoly"]
+    assert mpoly["type"] == "MultiPolygon"
+    assert len(mpoly["coordinates"]) == 2
+    # each part: one closed, CCW-rewound ring
+    for part in mpoly["coordinates"]:
+        assert len(part) == 1 and part[0][0] == part[0][-1]
+    assert mpoly["coordinates"][0][0] == [
+        [-95, 30], [-94, 31], [-95, 31], [-95, 30]
+    ]
+    assert mpoly["coordinates"][1][0] == [
+        [-60, 10], [-59, 11], [-60, 11], [-60, 10]
+    ]
+    # a lone part is NOT wrapped in a Multi
+    assert got["single"]["type"] == "Point"
+
+
 def test_feed_geometry_null_when_absent(spark):
     from erddap2agol_spark.sources import feeds
 
