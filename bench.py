@@ -49,6 +49,10 @@ HEADLINE = [
     "pagerank_copurchase",
     "bloom_decontaminate",
     "corpus_manifest",
+    # round 4: the join-heaviest of the completed TPC-H suite
+    "q2_min_cost_supplier",
+    "q18_large_volume_customers",
+    "q21_late_sole_suppliers",
 ]
 
 
