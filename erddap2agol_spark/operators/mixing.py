@@ -36,6 +36,113 @@ def _u48(id_col: Column, salt: str) -> Column:
     return hv / F.lit(float(16**KMV_NIBBLES))
 
 
+#: hashed-feature space for importance weighting (2 hex chars -> 256)
+DSIR_BUCKETS = 256
+
+
+def _token_buckets(
+    df: DataFrame, id_col: str, text_col: str, salt: str = "dsir"
+) -> DataFrame:
+    """One row per token OCCURRENCE: ``(doc, bucket)`` with bucket =
+    first 2 md5 hex chars of the salted token — the hashed-n-gram
+    featurization of DSIR (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): a fixed small feature space no
+    matter how large the vocabulary, so the distribution estimates below
+    are B-row tables, never vocabulary-sized."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select(
+        "doc",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col("tok"))), 1, 2),
+            16,
+            10,
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+
+
+def dsir_log_ratios(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-bucket importance log-ratio ``log p_target(b) - log q_source(b)``
+    over the hashed feature space, add-0.5 smoothed so unseen buckets are
+    defined.  Two token-count aggregates (each collapses to <=256 rows,
+    map-side combinable) + a full bucket spine — the result is a tiny
+    broadcastable table; the corpora themselves never shuffle.  Ratios
+    round to 6dp so downstream per-doc sums are engine-identical."""
+    spark = source.sparkSession
+    B = DSIR_BUCKETS
+    pc = (
+        _token_buckets(target, id_col, text_col, salt)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    qc = (
+        _token_buckets(source, id_col, text_col, salt)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("nq"))
+    )
+    tp = pc.agg(F.sum("np").alias("tp"))
+    tq = qc.agg(F.sum("nq").alias("tq"))
+    spine = spark.range(B).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        spine.join(F.broadcast(pc), "bucket", "left")
+        .join(F.broadcast(qc), "bucket", "left")
+        .join(F.broadcast(tp))
+        .join(F.broadcast(tq))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("np"), F.lit(0)) + 0.5)
+                    / (F.col("tp") + 0.5 * B)
+                )
+                - F.log(
+                    (F.coalesce(F.col("nq"), F.lit(0)) + 0.5)
+                    / (F.col("tq") + 0.5 * B)
+                ),
+                6,
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_weights(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weight per source document: the length-normalized
+    sum of its tokens' bucket log-ratios — ``(doc, n_tokens,
+    dsir_weight)``, weight rounded to 4dp.
+
+    Plan shape at 100 TB: the ratio table (256 rows) broadcasts onto the
+    token stream inside the scan stage; the only corpus-sized exchange is
+    the per-doc hash aggregate, carrying (doc, partial sum, count) after
+    map-side combine — never tokens.  Resampling then composes with
+    ``sampling.weighted_hash_sample`` (sigmoid- or clip-normalized
+    weight) or a top-k, both deterministic."""
+    ratios = dsir_log_ratios(source, target, id_col, text_col, salt)
+    return (
+        _token_buckets(source, id_col, text_col, salt)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("log_ratio"), 4).alias("dsir_weight"),
+        )
+    )
+
+
 def temperature_rates(
     df: DataFrame, group_col: str, alpha: float, budget_ratio: float
 ) -> DataFrame:

@@ -94,3 +94,102 @@ def mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rate", 4).alias("keep_rate"),
         )
     )
+
+
+_DSIR_CTE = """
+    toks AS (
+      SELECT doc_id AS doc, lang,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc, lang,
+             CAST(('0x' || substring(md5('dsir:' || tok), 1, 2)) AS BIGINT)
+               AS bucket
+      FROM toks
+    ),
+    pc AS (SELECT bucket, count(*) AS np FROM tb WHERE lang = 'en'
+           GROUP BY bucket),
+    qc AS (SELECT bucket, count(*) AS nq FROM tb GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM tb) AS tq,
+                   (SELECT count(*) FROM tb WHERE lang = 'en') AS tp),
+    ratio AS (
+      SELECT s.bucket,
+             round(ln((COALESCE(np, 0) + 0.5) / (tp + 0.5 * 256))
+                 - ln((COALESCE(nq, 0) + 0.5) / (tq + 0.5 * 256)), 6)
+               AS log_ratio
+      FROM (SELECT unnest(generate_series(0, 255)) AS bucket) s
+      LEFT JOIN pc ON pc.bucket = s.bucket
+      LEFT JOIN qc ON qc.bucket = s.bucket
+      CROSS JOIN tot
+    ),
+    wts AS (
+      SELECT doc, count(*) AS n_tokens,
+             round(avg(log_ratio), 4) AS dsir_weight
+      FROM tb JOIN ratio ON ratio.bucket = tb.bucket
+      GROUP BY doc
+    )
+"""
+
+
+@register(
+    "dsir_lang_lift",
+    oracle=f"""
+    WITH {_DSIR_CTE}
+    SELECT lang, count(*) AS n_docs,
+           round(avg(dsir_weight), 4) AS avg_weight
+    FROM wts JOIN documents ON doc_id = doc
+    GROUP BY lang
+    ORDER BY avg_weight DESC, lang
+    """,
+    doc="DSIR importance weighting (hashed-n-gram features, Xie et al. "
+    "2023), audited per language: with lang='en' documents as the "
+    "target distribution, English documents must average the highest "
+    "importance weight — the per-lang lift IS the check that the "
+    "estimator works. The 256-bucket ratio table broadcasts onto the "
+    "token stream; the only corpus-sized shuffle carries per-doc "
+    "partial sums.",
+)
+def dsir_lang_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, "doc_id", "text")
+    return (
+        w.join(docs.select("doc_id", "lang"), w["doc"] == F.col("doc_id"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dsir_weight"), 4).alias("avg_weight"),
+        )
+        .orderBy(F.desc("avg_weight"), "lang")
+    )
+
+
+@register(
+    "dsir_weights_topk",
+    oracle=f"""
+    WITH {_DSIR_CTE}
+    SELECT doc, n_tokens, dsir_weight
+    FROM wts
+    ORDER BY dsir_weight DESC, doc
+    LIMIT 40
+    """,
+    doc="The 40 source documents most target-like under the DSIR "
+    "importance weight (target = lang='en'). Ranking uses the "
+    "4dp-rounded length-normalized weight with the doc id as "
+    "tie-break, so the top-k is engine-portable; compiles to "
+    "TakeOrderedAndProject — per-partition top-40, no global sort.",
+)
+def dsir_weights_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return (
+        dsir_weights(docs, target, "doc_id", "text")
+        .select("doc", "n_tokens", "dsir_weight")
+        .orderBy(F.desc("dsir_weight"), "doc")
+        .limit(40)
+    )

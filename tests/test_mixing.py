@@ -71,3 +71,55 @@ def test_corpus_never_shuffles(spark):
     # join by broadcast, never sort-merge
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _bilingual_corpus(spark):
+    """Two sharply separated vocabularies: 'latin' docs vs 'greek' docs."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "lorem ipsum dolor sit amet consectetur", "latin"))
+    for i in range(40, 60):
+        rows.append((i, "alpha beta gamma delta epsilon zeta", "greek"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_dsir_separates_target_vocabulary(spark):
+    from erddap2agol_spark.operators.mixing import dsir_weights
+
+    docs = _bilingual_corpus(spark)
+    target = docs.filter("lang = 'latin'")
+    w = dsir_weights(docs, target, "doc_id", "text")
+    got = {r["doc"]: r["dsir_weight"] for r in w.collect()}
+    latin = [got[i] for i in range(40)]
+    greek = [got[i] for i in range(40, 60)]
+    # every latin doc must outweigh every greek doc — disjoint vocab
+    assert min(latin) > max(greek)
+
+
+def test_dsir_ratio_table_is_full_spine(spark):
+    from erddap2agol_spark.operators.mixing import (
+        DSIR_BUCKETS,
+        dsir_log_ratios,
+    )
+
+    docs = _bilingual_corpus(spark)
+    ratios = dsir_log_ratios(docs, docs.filter("lang = 'latin'"), "doc_id", "text")
+    rows = ratios.collect()
+    assert len(rows) == DSIR_BUCKETS
+    assert all(r["log_ratio"] is not None for r in rows)
+
+
+def test_dsir_corpus_side_broadcasts(spark):
+    from erddap2agol_spark.operators.mixing import dsir_weights
+
+    docs = _bilingual_corpus(spark)
+    out = dsir_weights(docs, docs.filter("lang = 'latin'"), "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # ratio table joins the token stream by broadcast only
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
