@@ -487,3 +487,65 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def cross_doc_tile_dedup(
+    df: DataFrame, id_col: str, text_col: str, tile: int = 8
+) -> DataFrame:
+    """Cross-document exact-substring dedup over fixed token tiles —
+    the suffix-array-free approximation of ExactSubstr dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): text is cut into consecutive ``tile``-token tiles, a tile
+    is a duplicate when the SAME token run appeared earlier anywhere in
+    the corpus (global first-occurrence policy, order = (doc, tile
+    position)), and per-document stats report how much of each doc is
+    corpus-duplicated text.
+
+    Returns ``(doc, n_tiles, n_dup_tiles, dup_frac)``.
+
+    Scale shape: the tile explode multiplies rows by ~n_tokens/tile but
+    each carries only a 16-byte digest and a composite position; the
+    keeper choice is ONE hash aggregate on the digest (min composite
+    position — map-side combinable), re-joined on the digest, so both
+    sides of the join reuse one digest partitioning. Document bodies
+    never shuffle. Suffix arrays find duplicates at arbitrary offsets;
+    the tile grid trades that exactness for a plan with no sort and no
+    per-node index build, catching any duplicated run of >= 2*tile-1
+    tokens at some alignment.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), toks.alias("t")
+    )
+    n_tiles = F.ceil(F.size("t") / tile).cast("int")
+    tiles = base.select(
+        "doc",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_tiles - 1)).alias("i"),
+    ).select(
+        "doc",
+        "i",
+        F.md5(
+            F.concat_ws(" ", F.slice("t", F.col("i") * tile + 1, tile))
+        ).alias("h"),
+        # composite order key: first by doc, then by tile position —
+        # position bounded far under 1e6 per contract of tile>=1 docs
+        (F.col("doc") * F.lit(1_000_000) + F.col("i")).alias("pos"),
+    )
+    first = tiles.groupBy("h").agg(F.min("pos").alias("first_pos"))
+    return (
+        tiles.join(first, "h")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.count(F.when(F.col("pos") != F.col("first_pos"), 1)).alias(
+                "n_dup_tiles"
+            ),
+        )
+        .select(
+            "doc",
+            "n_tiles",
+            "n_dup_tiles",
+            F.round(F.col("n_dup_tiles") / F.col("n_tiles"), 4).alias("dup_frac"),
+        )
+    )

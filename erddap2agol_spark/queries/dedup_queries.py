@@ -467,3 +467,39 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_exact"),
         )
     )
+
+
+@register(
+    "tile_dedup_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS doc, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    tiles AS (
+      SELECT doc, i - 1 AS i,
+             md5(array_to_string(t[(i - 1) * 8 + 1 : (i - 1) * 8 + 8], ' ')) AS h,
+             doc * 1000000 + (i - 1) AS pos
+      FROM base, unnest(generate_series(1, CAST(ceil(len(t) / 8.0) AS INT))) AS u(i)
+    ),
+    first AS (SELECT h, min(pos) AS first_pos FROM tiles GROUP BY h)
+    SELECT doc, count(*) AS n_tiles,
+           count(CASE WHEN pos <> first_pos THEN 1 END) AS n_dup_tiles,
+           round(count(CASE WHEN pos <> first_pos THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+    FROM tiles JOIN first USING (h)
+    GROUP BY doc
+    ORDER BY doc
+    """,
+    doc="Cross-document exact-substring dedup over 8-token tiles "
+    "(ExactSubstr approximation, Lee et al. 2021): per document, how "
+    "many of its tiles already appeared earlier in the corpus (global "
+    "first-occurrence keeper by (doc, position)). One digest aggregate "
+    "+ one digest equi-join, both on the same 16-byte key — document "
+    "bodies never shuffle.",
+)
+def tile_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.cross_doc_tile_dedup(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", tile=8
+    )
+    return out.orderBy("doc")

@@ -161,3 +161,34 @@ def test_bloom_contamination_no_false_negatives(spark):
     assert flagged_exact <= flagged_bloom
     # and per-doc: bloom count dominates the exact count
     assert all(bloom[d] >= n for d, n in exact.items())
+
+
+def test_cross_doc_tile_dedup_planted(spark):
+    """A doc that repeats an earlier doc's text verbatim is flagged as
+    fully duplicated; the first occurrence stays clean; an unrelated doc
+    stays clean (ExactSubstr tile approximation)."""
+    from erddap2agol_spark.operators.dedup import cross_doc_tile_dedup
+
+    body = " ".join(f"w{i}" for i in range(32))  # 4 exact 8-token tiles
+    other = " ".join(f"x{i}" for i in range(32))
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, other)], ["doc_id", "text"]
+    )
+    got = {r["doc"]: r for r in cross_doc_tile_dedup(df, "doc_id", "text").collect()}
+    assert got[1]["n_dup_tiles"] == 0           # first occurrence keeps all
+    assert got[2]["dup_frac"] == 1.0            # verbatim copy fully flagged
+    assert got[3]["n_dup_tiles"] == 0           # disjoint vocabulary clean
+    assert all(g["n_tiles"] == 4 for g in got.values())
+
+
+def test_cross_doc_tile_dedup_partial_overlap(spark):
+    from erddap2agol_spark.operators.dedup import cross_doc_tile_dedup
+
+    shared = " ".join(f"s{i}" for i in range(16))   # 2 shared tiles
+    unique = " ".join(f"u{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared + " " + unique)], ["doc_id", "text"]
+    )
+    got = {r["doc"]: r for r in cross_doc_tile_dedup(df, "doc_id", "text").collect()}
+    assert got[2]["n_tiles"] == 4 and got[2]["n_dup_tiles"] == 2
+    assert got[2]["dup_frac"] == 0.5
