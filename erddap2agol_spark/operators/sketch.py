@@ -160,3 +160,92 @@ def countmin_estimates(
     return truth.join(est, "key").select(
         "key", "n_true", "n_est", (F.col("n_est") - F.col("n_true")).alias("overcount")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (round 4) — register-max sketch beside KMV's k-smallest
+# ---------------------------------------------------------------------------
+
+#: md5 nibbles feeding the rank field: 48 bits, exact in a double
+HLL_VAL_NIBBLES = 12
+
+#: standard alpha_m bias constants (Flajolet et al. 2007)
+_HLL_ALPHA = {16: 0.673, 256: 0.7213 / (1 + 1.079 / 256)}
+
+
+def hll_registers(df: DataFrame, key: Column, reg_nibbles: int = 2) -> DataFrame:
+    """HyperLogLog register table ``(reg, mx)`` over ``16^reg_nibbles``
+    registers: reg = first hex nibbles of md5(key), rank rho = leading
+    zeros + 1 in the next 48 bits, register value = max rho seen.
+
+    ONE map-side-combinable max aggregate whose output is m rows — the
+    mergeable-sketch property that makes HLL the 100 TB distinct
+    counter: shards sketch independently, register-wise max merges them.
+    A full register spine is joined in so empty registers are explicit
+    zeros (they carry weight 2^0 in the harmonic mean)."""
+    m = 16**reg_nibbles
+    h = F.md5(key)
+    v = F.conv(
+        F.substring(h, reg_nibbles + 1, HLL_VAL_NIBBLES), 16, 10
+    ).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(4 * HLL_VAL_NIBBLES + 1))
+        .otherwise(F.lit(4 * HLL_VAL_NIBBLES) - F.floor(F.log2(v)))
+        .cast("int")
+    )
+    regs = (
+        df.select(
+            F.conv(F.substring(h, 1, reg_nibbles), 16, 10)
+            .cast("int")
+            .alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    spine = df.sparkSession.range(m).select(F.col("id").cast("int").alias("reg"))
+    return spine.join(F.broadcast(regs), "reg", "left").select(
+        "reg", F.coalesce(F.col("mx"), F.lit(0)).alias("mx")
+    )
+
+
+def hll_estimate(df: DataFrame, key: Column, reg_nibbles: int = 2) -> DataFrame:
+    """One-row HLL readout: ``(n_registers, n_zero_registers,
+    raw_estimate, linear_count)``.
+
+    The harmonic sum folds in REGISTER-SORTED order (the pinned-order
+    float-fold pattern shared with BM25/temperature mixing) so the
+    estimate is bit-identical cross-engine; both the raw alpha-corrected
+    estimate and the small-range linear count are emitted unconditionally
+    — no data-dependent branch that a float boundary could flip."""
+    m = 16**reg_nibbles
+    alpha = _HLL_ALPHA[m]
+    regs = hll_registers(df, key, reg_nibbles)
+    return (
+        regs.agg(F.collect_list(F.struct("reg", "mx")).alias("rs"))
+        .select(
+            F.aggregate(
+                F.array_sort("rs"),
+                F.lit(0.0),
+                lambda acc, s: acc + F.pow(F.lit(2.0), -s["mx"]),
+            ).alias("s"),
+            F.aggregate(
+                F.col("rs"),
+                F.lit(0),
+                lambda acc, s: acc + F.when(s["mx"] == 0, 1).otherwise(0),
+            ).alias("n_zero_registers"),
+        )
+        .select(
+            F.lit(m).alias("n_registers"),
+            "n_zero_registers",
+            F.round(F.lit(alpha * m * m) / F.col("s"), 1).alias("raw_estimate"),
+            F.when(
+                F.col("n_zero_registers") > 0,
+                F.round(
+                    F.lit(float(m))
+                    * F.log(F.lit(float(m)) / F.col("n_zero_registers")),
+                    1,
+                ),
+            ).alias("linear_count"),
+        )
+    )

@@ -110,3 +110,59 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("key").cast("long").alias("user_id"), "n_true", "n_est", "overcount"
     )
+
+
+@register(
+    "hll_distinct_users",
+    oracle="""
+    WITH h AS (
+      SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ),
+    rv AS (
+      SELECT CAST(('0x' || substring(hx, 1, 1)) AS BIGINT) AS reg,
+             CAST(('0x' || substring(hx, 2, 12)) AS BIGINT) AS v
+      FROM h
+    ),
+    mx AS (
+      SELECT s.reg, COALESCE(max(CASE WHEN v = 0 THEN 49
+                                      ELSE 48 - CAST(floor(log2(v)) AS INT)
+                                 END), 0) AS mx
+      FROM (SELECT unnest(generate_series(0, 15)) AS reg) s
+      LEFT JOIN rv ON rv.reg = s.reg
+      GROUP BY s.reg
+    ),
+    fold AS (
+      SELECT list_aggregate(list(pow(2.0, -mx) ORDER BY reg), 'sum') AS s,
+             count(CASE WHEN mx = 0 THEN 1 END) AS n_zero_registers
+      FROM mx
+    )
+    SELECT 16 AS n_registers, CAST(n_zero_registers AS INT) AS n_zero_registers,
+           round(0.673 * 256 / s, 1) AS raw_estimate,
+           CASE WHEN n_zero_registers > 0
+                THEN round(16.0 * ln(16.0 / n_zero_registers), 1)
+           END AS linear_count,
+           (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
+    FROM fold
+    """,
+    doc="HyperLogLog distinct-user readout (16 registers, 48-bit rank "
+    "field, Flajolet alpha): register build is one map-side-combinable "
+    "max aggregate emitting m rows at ANY corpus size — the mergeable "
+    "sketch that replaces COUNT(DISTINCT)'s full shuffle at 100 TB. "
+    "The harmonic sum folds in register-sorted order (pinned-order "
+    "float fold) and both the raw and the small-range linear estimates "
+    "emit unconditionally, so no float boundary can flip a branch; "
+    "exact_distinct sits beside them as the accuracy witness.",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(ev, F.col("user_id").cast("string"), reg_nibbles=1)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(F.broadcast(exact)).select(
+        "n_registers",
+        F.col("n_zero_registers").cast("int").alias("n_zero_registers"),
+        "raw_estimate",
+        "linear_count",
+        "exact_distinct",
+    )
