@@ -476,3 +476,60 @@ def ivf_topk_deterministic(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def _jl_sign(i: Column, j: Column, salt: str) -> Column:
+    """Deterministic ±1 from md5(salt:i:j) first nibble — the same
+    coin both engines can flip, so the projection matrix needs no
+    materialized state anywhere."""
+    nib = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    i.cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                )
+            ),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return F.when(nib < 8, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def jl_project(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 16, salt: str = "jl"
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection d -> ``k`` dims with a
+    dense ±1/sqrt(k) sign matrix (Achlioptas 2001 database-friendly
+    variant).  Returns ``(id, jvec)``.
+
+    The matrix is never stored: sign(i, j) derives from md5 on the fly,
+    so the op is a pure narrow map — no broadcast, no shuffle, trivially
+    resumable, and bit-reproducible across engines and retries.  Each
+    output component folds the input in ascending-dimension order
+    (zip_with order) and rounds to 6dp, making downstream distance math
+    oracle-comparable.  At 100 TB this is the standard pre-step that
+    cuts ANN/dedup vector bytes ~d/k before any pairwise work."""
+    import math
+
+    inv = 1.0 / math.sqrt(k)
+
+    def component(j: Column) -> Column:
+        signed = F.zip_with(
+            F.col(vec_col),
+            F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+            lambda x, i: x.cast("double") * _jl_sign(i, j, salt),
+        )
+        return F.round(
+            F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x) * inv, 6
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.sequence(F.lit(0), F.lit(k - 1)), component).alias("jvec"),
+    )

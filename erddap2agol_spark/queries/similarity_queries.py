@@ -417,3 +417,77 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") == F.col("cluster_id")).cast("int").alias("keep"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+@register(
+    "jl_distortion",
+    oracle="""
+    WITH proj AS (
+      SELECT vec_id AS id,
+             list_transform(generate_series(0, 15), j ->
+               round(list_sum(list_transform(generate_series(1, 64), i ->
+                 CAST(embedding[i] AS DOUBLE) *
+                 (CASE WHEN instr('0123456789abcdef',
+                        md5('jl:' || (i - 1) || ':' || j)[1]) - 1 < 8
+                       THEN 1.0 ELSE -1.0 END)
+               )) / sqrt(16.0), 6)
+             ) AS jvec,
+             CAST(embedding AS DOUBLE[]) AS vec
+      FROM embeddings WHERE vec_id < 30
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> (a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i])))), 6) AS d_full,
+             round(sqrt(list_sum(list_transform(generate_series(1, 16),
+               i -> (a.jvec[i] - b.jvec[i]) * (a.jvec[i] - b.jvec[i])))), 6) AS d_proj
+      FROM proj a JOIN proj b ON a.id < b.id
+    )
+    SELECT count(*) AS n_pairs,
+           round(avg(d_proj / d_full), 3) AS avg_ratio,
+           round(min(d_proj / d_full), 3) AS min_ratio,
+           round(max(d_proj / d_full), 3) AS max_ratio
+    FROM pairs
+    """,
+    doc="Johnson-Lindenstrauss distortion audit: project 64-dim "
+    "embeddings to 16 dims with the on-the-fly md5 ±1/sqrt(k) matrix "
+    "(no stored state, pure narrow map) and measure pairwise L2 "
+    "distance ratios over all pairs of 30 vectors. The ratio "
+    "concentrates near 1 — the lemma made visible — and the audit "
+    "doubles as the cross-engine proof that the projection is "
+    "bit-reproducible.",
+)
+def jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    proj = similarity.jl_project(emb, "vec_id", "embedding", k=16)
+    full = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    both = full.join(proj, "id")
+    a = both.alias("a")
+    b = both.alias("b")
+
+    def l2(col_a, col_b):
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(col_a, col_b, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        l2(F.col("a.vec"), F.col("b.vec")).alias("d_full"),
+        l2(F.col("a.jvec"), F.col("b.jvec")).alias("d_proj"),
+    )
+    r = F.col("d_proj") / F.col("d_full")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(r), 3).alias("avg_ratio"),
+        F.round(F.min(r), 3).alias("min_ratio"),
+        F.round(F.max(r), 3).alias("max_ratio"),
+    )

@@ -254,3 +254,18 @@ def test_ivf_deterministic_recall_and_cells(spark, emb):
     assert hits / total >= 0.4
     for s in ivf.values():
         assert len(s) <= 5
+
+
+def test_jl_project_reproducible_and_shaped(spark):
+    from erddap2agol_spark.operators.similarity import jl_project
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)]), (2, [1.0] * 64)],
+        ["vec_id", "embedding"],
+    )
+    a = {r["id"]: r["jvec"] for r in jl_project(df, "vec_id", "embedding", k=16).collect()}
+    b = {r["id"]: r["jvec"] for r in jl_project(df, "vec_id", "embedding", k=16).collect()}
+    assert a == b                      # no stored state, still reproducible
+    assert all(len(v) == 16 for v in a.values())
+    c = jl_project(df, "vec_id", "embedding", k=16, salt="other").collect()
+    assert {r["id"]: r["jvec"] for r in c} != a   # salt draws a new matrix
