@@ -549,3 +549,52 @@ def cross_doc_tile_dedup(
             F.round(F.col("n_dup_tiles") / F.col("n_tiles"), 4).alias("dup_frac"),
         )
     )
+
+
+def cross_doc_tile_clean(
+    df: DataFrame, id_col: str, text_col: str, tile: int = 8
+) -> DataFrame:
+    """ExactSubstr-style cleaning: rebuild each document with its
+    corpus-duplicated tiles REMOVED (keeping each tile's global first
+    occurrence).  Returns ``(doc, clean_text, n_kept, n_dropped)``.
+
+    Same digest aggregate + digest join as
+    :func:`cross_doc_tile_dedup`; reassembly is one per-doc
+    ``collect_list`` of kept (position, tile_text) pairs sorted in
+    array space — the sort happens on each doc's own handful of tiles
+    inside the aggregate row, never as a global sort."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), toks.alias("t")
+    )
+    n_tiles = F.ceil(F.size("t") / tile).cast("int")
+    tiles = base.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), n_tiles - 1)).alias("i"),
+        "t",
+    ).select(
+        "doc",
+        "i",
+        F.concat_ws(" ", F.slice("t", F.col("i") * tile + 1, tile)).alias("tile_text"),
+        (F.col("doc") * F.lit(1_000_000) + F.col("i")).alias("pos"),
+    ).withColumn("h", F.md5("tile_text"))
+    first = tiles.groupBy("h").agg(F.min("pos").alias("first_pos"))
+    joined = tiles.join(first, "h")
+    kept = F.when(F.col("pos") == F.col("first_pos"), F.struct("i", "tile_text"))
+    return (
+        joined.groupBy("doc")
+        .agg(
+            F.sort_array(F.collect_list(kept)).alias("ks"),
+            F.count(F.when(F.col("pos") != F.col("first_pos"), 1)).alias(
+                "n_dropped"
+            ),
+        )
+        .select(
+            "doc",
+            F.concat_ws(
+                " ", F.transform("ks", lambda s: s["tile_text"])
+            ).alias("clean_text"),
+            F.size("ks").alias("n_kept"),
+            "n_dropped",
+        )
+    )

@@ -503,3 +503,44 @@ def tile_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text", tile=8
     )
     return out.orderBy("doc")
+
+
+@register(
+    "tile_dedup_clean",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS doc, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    tiles AS (
+      SELECT doc, i - 1 AS i,
+             array_to_string(t[(i - 1) * 8 + 1 : (i - 1) * 8 + 8], ' ') AS tile_text,
+             doc * 1000000 + (i - 1) AS pos
+      FROM base, unnest(generate_series(1, CAST(ceil(len(t) / 8.0) AS INT))) AS u(i)
+    ),
+    first AS (
+      SELECT md5(tile_text) AS h, min(pos) AS first_pos
+      FROM tiles GROUP BY md5(tile_text)
+    ),
+    j AS (SELECT tiles.*, first_pos FROM tiles
+          JOIN first ON first.h = md5(tiles.tile_text))
+    SELECT doc,
+           COALESCE(string_agg(CASE WHEN pos = first_pos THEN tile_text END,
+                      ' ' ORDER BY i), '') AS clean_text,
+           count(CASE WHEN pos = first_pos THEN 1 END) AS n_kept,
+           count(CASE WHEN pos <> first_pos THEN 1 END) AS n_dropped
+    FROM j
+    GROUP BY doc
+    ORDER BY doc
+    """,
+    doc="ExactSubstr-style cleaning: each document rebuilt with its "
+    "corpus-duplicated 8-token tiles removed (global first-occurrence "
+    "keeper). The reassembly sorts only each doc's own tiles inside its "
+    "aggregate row — no global sort; text moves exactly once, in the "
+    "per-doc collect.",
+)
+def tile_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.cross_doc_tile_clean(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", tile=8
+    )
+    return out.orderBy("doc")
