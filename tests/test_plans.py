@@ -392,3 +392,42 @@ def test_correlated_subquery_decorrelates(spark):
     assert "Subquery" not in plan or "SubqueryBroadcast" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_tpch_suite_plan_shapes(spark):
+    """Round-4 TPC-H family: dims must broadcast (no sort-merge join
+    against part/supplier/nation/region), top-k queries must compile to
+    TakeOrderedAndProject, and the only nested-loop joins allowed are
+    the documented ONE-ROW scalar-threshold broadcasts (Q11/Q15/Q22 —
+    the canonical scalar-subquery plan)."""
+    import re
+
+    scalar_ok = {"q11_important_stock", "q15_top_supplier", "q22_idle_rich_customers"}
+    topk = {
+        "q2_min_cost_supplier",
+        "q18_large_volume_customers",
+        "q21_late_sole_suppliers",
+    }
+    for q in (
+        "q2_min_cost_supplier",
+        "q7_volume_shipping",
+        "q9_product_type_profit",
+        "q11_important_stock",
+        "q12_late_priority_counts",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_part_supplier_counts",
+        "q18_large_volume_customers",
+        "q19_discounted_revenue",
+        "q20_part_promotion",
+        "q21_late_sole_suppliers",
+        "q22_idle_rich_customers",
+    ):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+        if q not in scalar_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
+        if q in topk:
+            assert "TakeOrderedAndProject" in plan, q

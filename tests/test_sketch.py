@@ -93,3 +93,36 @@ def test_countmin_wide_sketch_is_near_exact(spark):
 def test_countmin_cells_bounded(spark):
     cells = countmin_cells(_keys(spark, 5000), F.col("k"), depth=3, width=32)
     assert cells.count() <= 3 * 32
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The mergeable-sketch property: sketching two shards independently
+    and taking the register-wise max equals sketching the union — the
+    reason HLL replaces COUNT(DISTINCT) at fleet scale."""
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.sketch import hll_registers
+
+    a = spark.range(0, 400).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(300, 700).select(F.col("id").cast("string").alias("k"))
+    u = a.union(b)
+    ra = hll_registers(a, F.col("k"), reg_nibbles=1)
+    rb = hll_registers(b, F.col("k"), reg_nibbles=1)
+    merged = (
+        ra.union(rb).groupBy("reg").agg(F.max("mx").alias("mx")).orderBy("reg")
+    )
+    direct = hll_registers(u, F.col("k"), reg_nibbles=1).orderBy("reg")
+    assert [tuple(r) for r in merged.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+
+
+def test_hll_estimate_tracks_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.sketch import hll_estimate
+
+    df = spark.range(0, 2000).select(F.col("id").cast("string").alias("k"))
+    row = hll_estimate(df, F.col("k"), reg_nibbles=2).first()
+    # m=256 registers: standard error ~1.04/sqrt(m) ~ 6.5%; allow 3 sigma
+    assert abs(row["raw_estimate"] - 2000) / 2000 < 0.2
