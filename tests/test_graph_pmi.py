@@ -74,3 +74,41 @@ def test_pmi_pairing_stays_in_doc(spark):
     out = cooccurrence_pmi(df, "doc_id", "text", min_df=2, max_df_ratio=0.9, min_pair_n=2)
     got = {(r["term_a"], r["term_b"]) for r in out.collect()}
     assert got == {("x", "y"), ("p", "q")}
+
+
+def test_kcore_planted_triangle_with_tail(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle,
+    each member with in-core degree 2."""
+    from erddap2agol_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["a", "b"]
+    )
+    got = {r["node"]: r["deg"] for r in kcore(edges, k=2, iterations=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_fixed_iterations_past_convergence(spark):
+    """Peeling is monotone: once converged, extra rounds are exact
+    no-ops — the property the unrolled oracle relies on."""
+    from erddap2agol_spark.operators.graph import kcore
+    from erddap2agol_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = li.distinct()
+    x = p.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    y = p.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    a = sorted(map(tuple, kcore(edges, 2, 8, a="pa", b="pb").collect()))
+    b = sorted(map(tuple, kcore(edges, 2, 10, a="pa", b="pb").collect()))
+    assert a == b and len(a) > 0
