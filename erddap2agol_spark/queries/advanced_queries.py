@@ -1087,3 +1087,158 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(share), 4).alias("p_transition"),
     ).orderBy("prev_type", "event_type")
+
+
+@register(
+    "scd2_user_tiers",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN value < 20 THEN 'low'
+                  WHEN value < 60 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN tier IS DISTINCT FROM
+                          lag(tier) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                     THEN 1 ELSE 0 END AS changed
+      FROM e
+    ),
+    seg AS (
+      SELECT *, sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, seg_id, tier, min(ts) AS valid_from,
+             count(*) AS n_events
+      FROM seg GROUP BY user_id, seg_id, tier
+    )
+    SELECT user_id, CAST(seg_id AS BIGINT) AS version, tier, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, seg_id) AS valid_to,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                     ORDER BY valid_from, seg_id) IS NULL
+                THEN TRUE ELSE FALSE END AS is_current,
+           n_events
+    FROM intervals
+    ORDER BY user_id, version
+    """,
+    doc="SCD Type-2 dimension build from an event stream: per-user tier "
+    "(bucketed value) tracked as validity intervals — change detection "
+    "via lag, segment ids via running sum (the sessionization pattern "
+    "repurposed), one aggregate per segment, valid_to/is_current via "
+    "lead over the TINY interval table. All windows hash-partition on "
+    "user_id; the warehouse dimension-maintenance op, derived entirely "
+    "in one pass over events.",
+)
+def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    tier = (
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.withColumn("tier", tier)
+        .withColumn(
+            "changed",
+            F.when(
+                ~F.col("tier").eqNullSafe(F.lag("tier").over(w)), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "seg_id",
+            F.sum("changed").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    intervals = seg.groupBy("user_id", "seg_id", "tier").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    iw = Window.partitionBy("user_id").orderBy("valid_from", "seg_id")
+    return (
+        intervals.select(
+            "user_id",
+            F.col("seg_id").cast("long").alias("version"),
+            "tier",
+            "valid_from",
+            F.lead("valid_from").over(iw).alias("valid_to"),
+            F.lead("valid_from").over(iw).isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Incremental aggregate maintenance, proven by the oracle: Spark "
+    "computes per-user (count, sum, min, max) as TWO partial aggregates "
+    "— a 'base' batch (before Jan 20) and a 'delta' batch (after) — "
+    "and MERGES them (counts add, sums add, min/max fold), while the "
+    "oracle recomputes from scratch over all events; the hash match IS "
+    "the proof that the merge law holds, i.e. the aggregate state can "
+    "be maintained under append-only ingestion without reprocessing "
+    "history. Values sum as exact decimals so base+delta order cannot "
+    "drift from the recompute.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    from ..functions.datetimes import epoch_us
+    cut_us = 1_705_708_800_000_000  # 2024-01-20 00:00:00 UTC
+    base = ev.filter(epoch_us("ts") < cut_us)
+    delta = ev.filter(epoch_us("ts") >= cut_us)
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    b = partial(base).select(
+        "user_id",
+        F.col("n").alias("bn"), F.col("s").alias("bs"),
+        F.col("mn").alias("bmn"), F.col("mx").alias("bmx"),
+    )
+    d = partial(delta).select(
+        "user_id",
+        F.col("n").alias("dn"), F.col("s").alias("ds"),
+        F.col("mn").alias("dmn"), F.col("mx").alias("dmx"),
+    )
+    return (
+        b.join(d, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_events"
+            ),
+            (
+                F.coalesce(F.col("bs"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,6)"))
+            )
+            .cast("double")
+            .alias("total"),
+            F.least(
+                F.coalesce("bmn", F.col("dmn")), F.coalesce("dmn", F.col("bmn"))
+            ).alias("vmin"),
+            F.greatest(
+                F.coalesce("bmx", F.col("dmx")), F.coalesce("dmx", F.col("bmx"))
+            ).alias("vmax"),
+        )
+        .orderBy("user_id")
+    )

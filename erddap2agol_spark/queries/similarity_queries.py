@@ -293,17 +293,79 @@ def ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_recall",
-    oracle="""
-    SELECT vec_id AS query_id, 5 AS n_true, TRUE AS found_true_neighbor
-    FROM embeddings WHERE vec_id < 10
+    oracle=f"""
+    WITH {_VEC_CTE},
+    cent_long AS (
+      SELECT label, pos, round(avg(val), 6) AS c
+      FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ),
+    cells AS (
+      SELECT label, cvec,
+             sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+      FROM (SELECT label, list(c ORDER BY pos) AS cvec
+            FROM cent_long GROUP BY label)
+    ),
+    assign AS (
+      SELECT id, cell FROM (
+        SELECT e.id, ce.label AS cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY round(list_dot_product(e.vec, ce.cvec)
+                                / (e.nrm * ce.cnrm), 6) DESC, ce.label) AS crk
+        FROM v e CROSS JOIN cells ce
+      ) WHERE crk = 1
+    ),
+    probes AS (
+      SELECT id, cell FROM (
+        SELECT q.id, ce.label AS cell,
+               row_number() OVER (PARTITION BY q.id
+                 ORDER BY round(list_dot_product(q.vec, ce.cvec)
+                                / (q.nrm * ce.cnrm), 6) DESC, ce.label) AS crk
+        FROM (SELECT * FROM v WHERE id < 10) q CROSS JOIN cells ce
+      ) WHERE crk <= 3
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.id AS query_id, a.id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY round(list_dot_product(q.vec, c.vec)
+                                / (q.nrm * c.nrm), 6) DESC, a.id) AS rk
+        FROM probes p
+        JOIN assign a ON p.cell = a.cell AND a.id <> p.id
+        JOIN v q ON q.id = p.id
+        JOIN v c ON c.id = a.id
+      ) WHERE rk <= 5
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.id AS query_id, c.id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.id
+                 ORDER BY round(list_dot_product(q.vec, c.vec)
+                                / (q.nrm * c.nrm), 6) DESC, c.id) AS rk
+        FROM (SELECT * FROM v WHERE id < 10) q JOIN v c ON q.id <> c.id
+      ) WHERE rk <= 5
+    )
+    SELECT bf.query_id, count(*) AS n_true,
+           count(ivf.neighbor_id) AS n_hits,
+           round(count(ivf.neighbor_id) / CAST(count(*) AS DOUBLE), 1)
+             AS recall_at_5
+    FROM bf LEFT JOIN ivf ON bf.query_id = ivf.query_id
+                         AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.query_id
+    ORDER BY bf.query_id
     """,
-    doc="Recall floor for the KMeans IVF path (the one non-SQL-"
-    "expressible ANN variant): joins ivf_topk's neighbors against the "
-    "exact brute-force top-5 and asserts every query recovers at least "
-    "one true neighbor with 2 probes of 8 cells. Pinned invariant "
-    "(measured recall@5 per query is 0.2-1.0 at sf0.001 and sf0.01), so "
-    "the driver hash-checks a live recall property of the KMeans "
-    "quantizer instead of recording rows-only.",
+    doc="Recall@5 of the IVF path against exact brute force, per query, "
+    "FULLY derived on both engines (no pinned constants): the oracle "
+    "recomputes the deterministic-quantizer IVF and the exact top-5 in "
+    "SQL and measures the same intersection Spark does. Grades the "
+    "recall property of cell-probing itself. The KMeans variant "
+    "(ann_ivf) stays rows-only by design: pyspark.ml KMeans "
+    "initialization samples by partition, so its exact cell assignment "
+    "is not stable across sessions — a pinned invariant over it proved "
+    "flaky in a full-registry sweep, which is itself the documented "
+    "finding.",
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -311,23 +373,28 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = similarity.brute_force_topk(
         queries, emb, "vec_id", "embedding", k=5
     ).select("query_id", "neighbor_id")
-    ivf = similarity.ivf_topk(
-        queries, emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2
-    ).select("query_id", "neighbor_id")
-    hits = bf.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
-        F.count("*").alias("n_hits")
-    )
+    ivf = similarity.ivf_topk_deterministic(
+        queries, emb, "vec_id", "embedding", label_col="label", k=5, n_probe=3
+    ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor"))
     return (
-        bf.groupBy("query_id")
-        .agg(F.count("*").cast("int").alias("n_true"))
-        .join(hits, "query_id", "left")
+        bf.join(
+            ivf,
+            (bf["query_id"] == ivf["query_id"])
+            & (F.col("neighbor_id") == F.col("ivf_neighbor")),
+            "left",
+        )
+        .groupBy(bf["query_id"])
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("ivf_neighbor").alias("n_hits"),
+        )
         .select(
             "query_id",
             "n_true",
-            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 1).alias(
-                "found_true_neighbor"
-            ),
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_true"), 1).alias("recall_at_5"),
         )
+        .orderBy("query_id")
     )
 
 

@@ -186,3 +186,46 @@ def climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("anomaly", 6).alias("anomaly"),
         "clim_n",
     )
+
+
+@register(
+    "rolling_weekly_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      SELECT user_id, CAST(d + CAST(o AS INTEGER) AS DATE) AS wday
+      FROM ud, unnest(generate_series(0, 6)) AS t(o)
+    )
+    SELECT s.d AS day, count(DISTINCT c.user_id) AS wau
+    FROM spine s JOIN contrib c ON c.wday = s.d
+    GROUP BY s.d
+    ORDER BY s.d
+    """,
+    doc="Rolling 7-day distinct users per day (WAU). COUNT(DISTINCT) "
+    "over a sliding RANGE frame is not window-expressible in either "
+    "engine, so the sliding window becomes a CONTRIBUTION explode: "
+    "each (user, active-day) pair feeds the 7 window-end days it "
+    "belongs to, then one distinct aggregate per day. The explode is a "
+    "fixed x7 on the (user, day) DISTINCT pairs — already collapsed "
+    "far below event volume — and the day spine keeps output to "
+    "observed days. The standard scale answer to sliding distinct "
+    "counts (swap in HLL registers per day for the approximate form).",
+)
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    spine = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("wday"),
+    )
+    return (
+        spine.join(contrib, spine["d"] == contrib["wday"])
+        .groupBy(spine["d"].alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
