@@ -83,3 +83,35 @@ def test_planar_d2_exact(spark):
         planar_d2(F.lit(1.5), F.lit(2.0), F.lit(1.0), F.lit(4.0)).alias("d2")
     )
     assert df.collect()[0]["d2"] == 0.25 + 4.0
+
+
+def test_zorder_out_of_extent_clamps_to_edge(spark):
+    """ADVICE r3: coordinates outside the stated extent must clamp to
+    the edge cell — never alias into interior key space via sign-fill."""
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.spatial import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            ("below", -80.0, -200.0),   # far outside both axes (low side)
+            ("corner_lo", 18.0, -98.0), # exact low corner
+            ("above", 89.0, 179.0),     # far outside both axes (high side)
+            ("corner_hi", 31.0, -76.0), # exact high corner
+            ("inside", 25.0, -85.0),
+        ],
+        ["name", "lat", "lon"],
+    )
+    keys = {
+        r["name"]: r["z"]
+        for r in df.select(
+            "name",
+            zorder_key(
+                F.col("lat"), F.col("lon"), 18.0, 31.0, -98.0, -76.0, bits=8
+            ).alias("z"),
+        ).collect()
+    }
+    assert keys["below"] == keys["corner_lo"]   # clamped to low edge cell
+    assert keys["above"] == keys["corner_hi"]   # clamped to high edge cell
+    assert all(0 <= v < (1 << 16) for v in keys.values())
+    assert keys["inside"] not in (keys["below"], keys["above"])
