@@ -193,3 +193,83 @@ def dsir_weights_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_weight"), "doc")
         .limit(40)
     )
+
+
+@register(
+    "source_token_kl",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tb AS (
+      SELECT source,
+             CAST(('0x' || substring(md5('dsir:' || tok), 1, 2)) AS BIGINT)
+               AS bucket
+      FROM toks
+    ),
+    qc AS (SELECT bucket, count(*) AS nq FROM tb GROUP BY bucket),
+    tot AS (SELECT count(*) AS tq FROM tb),
+    sc AS (SELECT source, bucket, count(*) AS ns FROM tb GROUP BY source, bucket),
+    st AS (SELECT source, count(*) AS ts FROM tb GROUP BY source),
+    terms AS (
+      SELECT sc.source,
+             round((ns + 0.5) / (ts + 0.5 * 256) *
+                   (ln((ns + 0.5) / (ts + 0.5 * 256))
+                  - ln((nq + 0.5) / (tq + 0.5 * 256))), 8) AS term
+      FROM sc
+      JOIN st ON st.source = sc.source
+      JOIN qc ON qc.bucket = sc.bucket
+      CROSS JOIN tot
+    )
+    SELECT source, round(list_aggregate(list(term ORDER BY term), 'sum'), 6)
+             AS kl_bits
+    FROM terms
+    GROUP BY source
+    ORDER BY kl_bits DESC, source
+    """,
+    doc="Per-source KL divergence from the corpus token distribution "
+    "over the 256-bucket hashed feature space (smoothed) — the drift / "
+    "odd-one-out diagnostic for crawl buckets: a source whose text "
+    "distribution diverges from the pool surfaces at the top. Both "
+    "distribution tables are <=256 rows per source and the KL fold "
+    "sums its terms in PINNED (term-sorted) order so the float sum is "
+    "bit-identical cross-engine. Only the token bucketing touches "
+    "corpus-sized data, as one map + one aggregate.",
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import _token_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    tb = _token_buckets(
+        docs.withColumnRenamed("source", "src"), "src", "text"
+    ).withColumnRenamed("doc", "source")
+    qc = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("nq"))
+    tot = tb.agg(F.count(F.lit(1)).alias("tq"))
+    sc = tb.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("ns"))
+    st = tb.groupBy(F.col("source").alias("s2")).agg(
+        F.count(F.lit(1)).alias("ts")
+    )
+    B = 256
+    p = (F.col("ns") + 0.5) / (F.col("ts") + 0.5 * B)
+    q = (F.col("nq") + 0.5) / (F.col("tq") + 0.5 * B)
+    terms = (
+        sc.join(F.broadcast(st), F.col("s2") == F.col("source"))
+        .join(F.broadcast(qc), "bucket")
+        .join(F.broadcast(tot))
+        .select("source", F.round(p * (F.log(p) - F.log(q)), 8).alias("term"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("term")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("kl_bits")
+        )
+        .orderBy(F.desc("kl_bits"), "source")
+    )

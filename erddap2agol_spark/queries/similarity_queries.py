@@ -558,3 +558,99 @@ def jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(r), 3).alias("min_ratio"),
         F.round(F.max(r), 3).alias("max_ratio"),
     )
+
+
+@register(
+    "contrastive_negatives",
+    oracle="""
+    WITH cand AS (
+      SELECT vec_id AS cid, label AS clabel,
+             CAST(('0x' || substring(md5('negb:' || vec_id), 1, 4)) AS BIGINT)
+               % 16 AS bucket
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT vec_id AS aid, label AS alabel,
+             CAST(('0x' || substring(md5('negp:' || vec_id), 1, 4)) AS BIGINT)
+               % 16 AS pb
+      FROM embeddings WHERE vec_id < 20
+    ),
+    probes AS (
+      SELECT aid, alabel, (pb + o) % 16 AS bucket
+      FROM anchors, unnest(generate_series(0, 2)) AS t(o)
+    ),
+    ranked AS (
+      SELECT aid, cid,
+             row_number() OVER (
+               PARTITION BY aid
+               ORDER BY md5('ord:' || aid || ':' || cid), cid) AS rk
+      FROM probes JOIN cand USING (bucket)
+      WHERE clabel <> alabel AND cid <> aid
+    )
+    SELECT aid AS anchor_id, cid AS negative_id, rk
+    FROM ranked WHERE rk <= 4
+    ORDER BY anchor_id, rk
+    """,
+    doc="Deterministic in-batch negative mining for contrastive "
+    "training: each anchor draws 4 negatives (different label) from 3 "
+    "hash buckets of a 16-bucket candidate partition — a bucket "
+    "EQUI-join, so negatives come from O(corpus/16) candidates per "
+    "anchor instead of a full cross join, and the draw is a pure "
+    "function of ids (retry-stable, epoch-reseedable via the salt). "
+    "Per-anchor order ranks by a per-(anchor, candidate) hash, so no "
+    "two anchors share a bias toward low ids.",
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h16 = lambda salt, c: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        h16("negb", F.col("vec_id")).alias("bucket"),
+    )
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        h16("negp", F.col("vec_id")).alias("pb"),
+    )
+    probes = anchors.select(
+        "aid",
+        "alabel",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("o"),
+        "pb",
+    ).select("aid", "alabel", ((F.col("pb") + F.col("o")) % 16).alias("bucket"))
+    # the 3 probe offsets are distinct mod 16, so each candidate meets an
+    # anchor through exactly one bucket — no dedup needed before ranking
+    joined = probes.join(cand, "bucket").filter(
+        (F.col("clabel") != F.col("alabel")) & (F.col("cid") != F.col("aid"))
+    ).select("aid", "cid")
+    w = Window.partitionBy("aid").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("ord:"),
+                F.col("aid").cast("string"),
+                F.lit(":"),
+                F.col("cid").cast("string"),
+            )
+        ),
+        "cid",
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 4)
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("cid").alias("negative_id"),
+            "rk",
+        )
+        .orderBy("anchor_id", "rk")
+    )
