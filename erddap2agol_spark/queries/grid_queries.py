@@ -63,3 +63,65 @@ def griddap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_value"),
         )
     )
+
+
+_CSVP = "/root/repo/fixtures/csvp/glider_track.csvp"
+
+
+@register(
+    "csvp_glider_segments",
+    oracle=f"""
+    WITH raw AS (
+      SELECT "time (UTC)" AS t,
+             "latitude (degrees_north)" AS lat,
+             "longitude (degrees_east)" AS lon,
+             "depth (m)" AS depth,
+             "sea_water_temperature (degree_C)" AS temp
+      FROM read_csv('{_CSVP}', header=true, nullstr='NaN')
+    ),
+    pts AS (
+      SELECT t, lat, lon, depth, temp,
+             row_number() OVER (ORDER BY t) AS rn
+      FROM raw WHERE lat IS NOT NULL AND lon IS NOT NULL
+    )
+    SELECT a.rn AS seg_id,
+           a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2,
+           b.depth AS depth_end, b.temp AS temp_end
+    FROM pts a JOIN pts b ON b.rn = a.rn + 1
+    ORDER BY seg_id
+    """,
+    doc="S6 physical path, tabledap flavor: the reference's csvp wire "
+    "format (units inline in the header row, literal 'NaN' missing "
+    "values — data_wrangler.py:324/609) read as a distributed csv scan "
+    "with units lifted to a sidecar, then the glider consecutive-point "
+    "segment build (agol_wrangler.pointTableToGeojsonLine:767-810): "
+    "invalid-coordinate rows dropped BEFORE pairing, properties taken "
+    "from each segment's END point, one lead window ordered by time — "
+    "never a self-join at corpus scale (the oracle's rn-join is the "
+    "same semantics in DuckDB's idiom).",
+)
+def csvp_glider_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.csvp import read_csvp
+
+    df, units = read_csvp(spark, _CSVP)
+    assert units["latitude"] == "degrees_north"  # header units survived
+    pts = df.filter(
+        F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    )
+    w = Window.orderBy("time")
+    seg = (
+        pts.select(
+            F.row_number().over(w).alias("seg_id"),
+            F.col("longitude").alias("x1"),
+            F.col("latitude").alias("y1"),
+            F.lead("longitude").over(w).alias("x2"),
+            F.lead("latitude").over(w).alias("y2"),
+            F.lead("depth").over(w).alias("depth_end"),
+            F.lead("sea_water_temperature").over(w).alias("temp_end"),
+        )
+        .filter(F.col("x2").isNotNull())
+        .orderBy("seg_id")
+    )
+    return seg

@@ -283,3 +283,34 @@ def test_directory_dataset_multi_file(spark, tmp_path):
     expect = [i for i in range(600)
               if s_ns <= base + i * 1_000_000_000 < e_ns]
     assert filtered == expect
+
+
+# ---------------------------------------------------------------------------
+# csvp wire format (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_csvp_header_units_split():
+    from erddap2agol_spark.sources.csvp import split_csvp_name
+
+    assert split_csvp_name("latitude (degrees_north)") == (
+        "latitude",
+        "degrees_north",
+    )
+    assert split_csvp_name("time (UTC)") == ("time", "UTC")
+    assert split_csvp_name("station_id") == ("station_id", None)
+    assert split_csvp_name("ratio (m (per) s)") == ("ratio", "m (per) s")
+
+
+def test_csvp_read_nan_is_missing(spark, tmp_path):
+    from erddap2agol_spark.sources.csvp import read_csvp
+
+    p = tmp_path / "t.csvp"
+    p.write_text(
+        "time (UTC),v (m)\n2024-01-01T00:00:00Z,1.5\n2024-01-01T01:00:00Z,NaN\n"
+    )
+    df, units = read_csvp(spark, str(p))
+    assert units == {"time": "UTC", "v": "m"}
+    rows = df.orderBy("time").collect()
+    assert rows[0]["v"] == 1.5
+    assert rows[1]["v"] is None  # literal NaN = ERDDAP missing, not float NaN
