@@ -64,3 +64,65 @@ def snapshot_diff(
         ",", *[F.when(d, F.lit(c)) for c, d in diffs]
     )
     return j.select(*keys, status.alias("status"), changed_cols.alias("changed_cols"))
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics over DataFrames: apply a keyed change set to
+    a base snapshot — update matched keys, insert unmatched ones, and
+    (when ``delete_col`` names a boolean column in ``changes``) delete
+    matched keys flagged for removal.  Returns the merged snapshot plus
+    a ``_merge_action`` column (``insert|update|delete|keep``) so the
+    caller can audit counts before committing the swap (the
+    reference's overwrite flow is all-or-nothing; this is the
+    incremental form, pairing with ``streaming.nrt.atomic_overwrite``
+    for the exactly-once publish).
+
+    Scale shape: ONE full-outer hash join on the key — the same single
+    exchange as :func:`snapshot_diff`; action classification is pure
+    column algebra.  ``changes`` must be unique per key (enforce
+    upstream with a last-writer-wins window if needed).
+    """
+    value_cols = [c for c in base.columns if c != key]
+    ch_cols = [
+        c for c in changes.columns if c != key and c != delete_col
+    ]
+    if set(ch_cols) != set(value_cols):
+        raise ValueError(
+            f"changes columns {sorted(ch_cols)} != base columns {sorted(value_cols)}"
+        )
+    b = base.select(
+        F.col(key).alias("_bk"), *[F.col(c).alias(f"_b_{c}") for c in value_cols]
+    )
+    c = changes.select(
+        F.col(key).alias("_ck"),
+        *[F.col(cc).alias(f"_c_{cc}") for cc in value_cols],
+        *(
+            [F.coalesce(F.col(delete_col), F.lit(False)).alias("_del")]
+            if delete_col
+            else [F.lit(False).alias("_del")]
+        ),
+    )
+    j = b.join(c, b["_bk"] == c["_ck"], "full_outer")
+    action = (
+        F.when(c["_ck"].isNull(), "keep")
+        .when(F.col("_del") & b["_bk"].isNotNull(), "delete")
+        .when(b["_bk"].isNull() & ~F.col("_del"), "insert")
+        .when(b["_bk"].isNotNull() & ~F.col("_del"), "update")
+        .otherwise("noop_delete")  # delete of a key that never existed
+    )
+    merged = j.select(
+        F.coalesce(b["_bk"], c["_ck"]).alias(key),
+        *[
+            F.when(
+                c["_ck"].isNotNull(), F.col(f"_c_{v}")
+            ).otherwise(F.col(f"_b_{v}")).alias(v)
+            for v in value_cols
+        ],
+        action.alias("_merge_action"),
+    )
+    return merged.filter(~F.col("_merge_action").isin("delete", "noop_delete"))

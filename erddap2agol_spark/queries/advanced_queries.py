@@ -1242,3 +1242,87 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "merge_upsert_users",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+        AND user_id % 3 <> 0
+      GROUP BY user_id
+    ),
+    c AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+             count(CASE WHEN event_type = 'error' THEN 1 END)
+               > count(CASE WHEN event_type = 'purchase' THEN 1 END) AS deleted
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00'
+        AND user_id % 5 <> 1
+      GROUP BY user_id
+    ),
+    j AS (
+      SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+             CASE WHEN c.user_id IS NULL THEN 'keep'
+                  WHEN COALESCE(c.deleted, FALSE) AND b.user_id IS NOT NULL
+                       THEN 'delete'
+                  WHEN b.user_id IS NULL AND NOT COALESCE(c.deleted, FALSE)
+                       THEN 'insert'
+                  WHEN b.user_id IS NOT NULL AND NOT COALESCE(c.deleted, FALSE)
+                       THEN 'update'
+                  ELSE 'noop_delete' END AS _merge_action,
+             CASE WHEN c.user_id IS NOT NULL THEN c.n_events
+                  ELSE b.n_events END AS n_events,
+             CASE WHEN c.user_id IS NOT NULL THEN c.total
+                  ELSE b.total END AS total
+      FROM b FULL OUTER JOIN c ON b.user_id = c.user_id
+    )
+    SELECT user_id, n_events, total, _merge_action
+    FROM j WHERE _merge_action NOT IN ('delete', 'noop_delete')
+    ORDER BY user_id
+    """,
+    doc="MERGE INTO semantics over snapshots (the warehouse upsert the "
+    "reference's all-or-nothing overwrite lacks): a keyed change set "
+    "updates matched users, inserts new ones, deletes users whose "
+    "late-window errors outnumber purchases, keeps the rest — ONE "
+    "full-outer hash join on the key, action classification in pure "
+    "column algebra, audit column emitted so counts are checkable "
+    "before the atomic pointer swap publishes the result. Exercises "
+    "all four actions via disjoint user slices.",
+)
+def merge_upsert_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.datetimes import epoch_us
+    from ..operators.diff import merge_upsert
+
+    cut_us = 1_705_708_800_000_000  # 2024-01-20 00:00:00 UTC
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_type"
+    )
+
+    def stats(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+
+    base = stats(
+        ev.filter((epoch_us("ts") < cut_us) & (F.col("user_id") % 3 != 0))
+    )
+    after = ev.filter((epoch_us("ts") >= cut_us) & (F.col("user_id") % 5 != 1))
+    changes = after.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        (
+            F.count(F.when(F.col("event_type") == "error", 1))
+            > F.count(F.when(F.col("event_type") == "purchase", 1))
+        ).alias("deleted"),
+    )
+    return merge_upsert(base, changes, "user_id", delete_col="deleted").orderBy(
+        "user_id"
+    )

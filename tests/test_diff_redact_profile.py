@@ -117,3 +117,32 @@ def test_cell_near_dup_pairs_subset_of_brute_force(spark, sf_dir):
         .collect()
     }
     assert seen <= brute
+
+
+def test_merge_upsert_actions(spark):
+    from erddap2agol_spark.operators.diff import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "d", False), (9, "x", True)],
+        ["k", "v", "rm"],
+    )
+    out = {r["k"]: r for r in merge_upsert(base, changes, "k", "rm").collect()}
+    assert out[1]["_merge_action"] == "keep" and out[1]["v"] == "a"
+    assert out[2]["_merge_action"] == "update" and out[2]["v"] == "B"
+    assert 3 not in out                      # deleted
+    assert out[4]["_merge_action"] == "insert"
+    assert 9 not in out                      # delete of a nonexistent key: no-op
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    import pytest
+
+    from erddap2agol_spark.operators.diff import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame([(1, "a", 2)], ["k", "v", "extra"])
+    with pytest.raises(ValueError):
+        merge_upsert(base, changes, "k")
