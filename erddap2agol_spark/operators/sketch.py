@@ -249,3 +249,73 @@ def hll_estimate(df: DataFrame, key: Column, reg_nibbles: int = 2) -> DataFrame:
             ).alias("linear_count"),
         )
     )
+
+
+def hll_registers_by(
+    df: DataFrame, key: Column, by: Column, reg_nibbles: int = 2
+) -> DataFrame:
+    """Grouped HLL registers ``(grp, reg, mx)`` — only PRESENT registers
+    emit rows (an absent register is an implicit zero; with rho >= 1 for
+    every hashed key, zeros never appear as rows, so downstream readouts
+    derive ``n_zero = m - n_present``).  One map-side-combinable max
+    aggregate with <= groups x m output rows; grouped sketches then
+    merge by register-wise max across any re-grouping — the rollup
+    property the weekly query demonstrates."""
+    h = F.md5(key)
+    v = F.conv(
+        F.substring(h, reg_nibbles + 1, HLL_VAL_NIBBLES), 16, 10
+    ).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(4 * HLL_VAL_NIBBLES + 1))
+        .otherwise(F.lit(4 * HLL_VAL_NIBBLES) - F.floor(F.log2(v)))
+        .cast("int")
+    )
+    return (
+        df.select(
+            by.alias("grp"),
+            F.conv(F.substring(h, 1, reg_nibbles), 16, 10)
+            .cast("int")
+            .alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_readout(regs: DataFrame, reg_nibbles: int = 2) -> DataFrame:
+    """Per-group readout of grouped registers: ``(grp, n_zero_registers,
+    raw_estimate, linear_count)`` with the pinned-order harmonic fold."""
+    m = 16**reg_nibbles
+    alpha = _HLL_ALPHA[m]
+    return (
+        regs.groupBy("grp")
+        .agg(
+            F.collect_list(F.struct("reg", "mx")).alias("rs"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .select(
+            "grp",
+            (F.lit(m) - F.col("n_present")).cast("int").alias("n_zero_registers"),
+            F.round(
+                F.lit(alpha * m * m)
+                / (
+                    F.aggregate(
+                        F.array_sort("rs"),
+                        F.lit(0.0),
+                        lambda acc, s: acc + F.pow(F.lit(2.0), -s["mx"]),
+                    )
+                    + (F.lit(m) - F.col("n_present")).cast("double")
+                ),
+                1,
+            ).alias("raw_estimate"),
+            F.when(
+                F.col("n_present") < m,
+                F.round(
+                    F.lit(float(m))
+                    * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_present"))),
+                    1,
+                ),
+            ).alias("linear_count"),
+        )
+    )

@@ -166,3 +166,79 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "linear_count",
         "exact_distinct",
     )
+
+
+@register(
+    "hll_weekly_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                         - DATE '2024-01-01') / 7) AS INT) AS wk,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    rv AS (
+      SELECT wk,
+             CAST(('0x' || substring(hx, 1, 1)) AS BIGINT) AS reg,
+             CAST(('0x' || substring(hx, 2, 12)) AS BIGINT) AS v
+      FROM h
+    ),
+    daily AS (
+      SELECT wk, reg, max(CASE WHEN v = 0 THEN 49
+                               ELSE 48 - CAST(floor(log2(v)) AS INT) END) AS mx
+      FROM rv GROUP BY wk, reg
+    ),
+    fold AS (
+      SELECT wk,
+             list_aggregate(list(pow(2.0, -mx) ORDER BY reg), 'sum')
+               + (16 - count(*)) AS s,
+             CAST(16 - count(*) AS INT) AS n_zero_registers
+      FROM daily GROUP BY wk
+    ),
+    exact AS (
+      SELECT CAST(floor((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                         - DATE '2024-01-01') / 7) AS INT) AS wk,
+             count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY wk
+    )
+    SELECT f.wk AS week, n_zero_registers,
+           round(0.673 * 256 / s, 1) AS raw_estimate,
+           CASE WHEN n_zero_registers > 0
+                THEN round(16.0 * ln(16.0 / n_zero_registers), 1) END
+             AS linear_count,
+           exact_distinct
+    FROM fold f JOIN exact e ON e.wk = f.wk
+    ORDER BY week
+    """,
+    doc="Grouped HLL rollup: per-week distinct users from 16-register "
+    "sketches built per week, beside the exact count. Present-register "
+    "rows only (absent = implicit zero, derived as m - n_present), "
+    "pinned-order harmonic fold per group — the shape that lets daily "
+    "sketches roll up to weeks/months by register-wise max without "
+    "touching raw data again.",
+)
+def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_readout, hll_registers_by
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("int")
+    regs = hll_registers_by(
+        ev, F.col("user_id").cast("string"), wk, reg_nibbles=1
+    )
+    est = hll_readout(regs, reg_nibbles=1)
+    exact = ev.groupBy(wk.alias("wk")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, est["grp"] == exact["wk"])
+        .select(
+            F.col("grp").alias("week"),
+            "n_zero_registers",
+            "raw_estimate",
+            "linear_count",
+            "exact_distinct",
+        )
+        .orderBy("week")
+    )
