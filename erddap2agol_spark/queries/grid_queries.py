@@ -96,32 +96,40 @@ _CSVP = "/root/repo/fixtures/csvp/glider_track.csvp"
     "with units lifted to a sidecar, then the glider consecutive-point "
     "segment build (agol_wrangler.pointTableToGeojsonLine:767-810): "
     "invalid-coordinate rows dropped BEFORE pairing, properties taken "
-    "from each segment's END point, one lead window ordered by time — "
-    "never a self-join at corpus scale (the oracle's rn-join is the "
-    "same semantics in DuckDB's idiom).",
+    "from each segment's END point. Consecutive pairing runs on the "
+    "SCALABLE row-number form (range-partition + per-range offsets, "
+    "operators/windows.py:_ranged_row_number) followed by a hash "
+    "equi-join on rn+1 — no single-partition window anywhere, the "
+    "same numbering idiom the oracle's rn-join uses in DuckDB.",
 )
 def csvp_glider_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from ..operators.windows import with_row_number
     from ..sources.csvp import read_csvp
 
     df, units = read_csvp(spark, _CSVP)
     assert units["latitude"] == "degrees_north"  # header units survived
-    pts = df.filter(
-        F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    pts = with_row_number(
+        df.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull()),
+        ["time"],
+        name="rn",
+        scalable=True,
     )
-    w = Window.orderBy("time")
-    seg = (
-        pts.select(
-            F.row_number().over(w).alias("seg_id"),
-            F.col("longitude").alias("x1"),
-            F.col("latitude").alias("y1"),
-            F.lead("longitude").over(w).alias("x2"),
-            F.lead("latitude").over(w).alias("y2"),
-            F.lead("depth").over(w).alias("depth_end"),
-            F.lead("sea_water_temperature").over(w).alias("temp_end"),
-        )
-        .filter(F.col("x2").isNotNull())
+    a = pts.select(
+        F.col("rn").alias("seg_id"),
+        F.col("longitude").alias("x1"),
+        F.col("latitude").alias("y1"),
+        (F.col("rn") + 1).alias("__next"),
+    )
+    b = pts.select(
+        F.col("rn").alias("__next"),
+        F.col("longitude").alias("x2"),
+        F.col("latitude").alias("y2"),
+        F.col("depth").alias("depth_end"),
+        F.col("sea_water_temperature").alias("temp_end"),
+    )
+    return (
+        a.join(b, "__next")
+        .drop("__next")
+        .select("seg_id", "x1", "y1", "x2", "y2", "depth_end", "temp_end")
         .orderBy("seg_id")
     )
-    return seg
