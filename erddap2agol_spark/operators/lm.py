@@ -1,0 +1,226 @@
+"""Corpus language-model operators: bigram cross-entropy scoring and a
+BPE tokenizer-training merge step.
+
+Both come from the LLM-curation toolbox rather than the reference's own
+operator list, but they are the canonical corpus-scale jobs an engine at
+this layer runs:
+
+- **Bigram cross-entropy** is the CCNet-style quality signal (Wenzek et
+  al. 2020): train an n-gram LM on the corpus, score every document by
+  its per-token negative log-likelihood, and use the score to rank or
+  gate documents (boilerplate and keyboard-mash score high; fluent text
+  scores low).  Here the LM *is trained on the corpus being scored* in
+  the same plan — two hash aggregations build the model, one equi-join
+  applies it.
+- **BPE pair counting** is the inner loop of byte-pair-encoding
+  tokenizer training (Sennrich et al. 2016): collapse the corpus to a
+  word-frequency vocabulary, count adjacent-symbol pairs weighted by
+  word frequency, and merge the top pair.  At 100 TB the crucial shape
+  is that the corpus-sized work is ONE hash aggregation (token counts);
+  every subsequent round runs on the vocabulary table, which is orders
+  of magnitude smaller and independent of corpus row count.
+
+Scale notes
+-----------
+- ``bigram_cross_entropy``: token explode happens in the scan stage
+  (``transform`` over the split array — no window, no per-doc shuffle).
+  The model join is an equi-join on ``(prev, cur)``; both sides are
+  hash-partitioned on the same key, and the context-count join is
+  vocabulary-sized.  No driver-side state, no collect.
+- ``bpe_pair_counts``: pair explode runs over the *vocabulary*, not the
+  corpus.  The round-2 merge constant flows through a one-row broadcast
+  cross-join (the canonical scalar-subquery plan), never a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: add-k smoothing constant for the bigram model.
+DEFAULT_K = 0.5
+
+#: placeholder symbol standing in for the round-1 merged pair during
+#: round-2 pair counting.  chr(1) cannot appear in whitespace-split
+#: lowercase tokens from the documents table.
+MERGE_SENTINEL = "\x01"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode each document into its adjacent-token bigrams:
+    ``(id, prev, cur)``, one row per position.
+
+    The pairing is pure array algebra inside the scan stage
+    (``transform`` with the element index), so it costs no shuffle and
+    no window — the alternative ``lag() over (partition by doc)``
+    would shuffle the whole exploded corpus once before the model join
+    even starts.
+    """
+    toks = _tokens(F.col(text_col))
+    pairs = F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.struct(
+                x.alias("prev"),
+                # F.get is 0-based and returns NULL past the end (safe
+                # under ANSI mode, unlike element_at)
+                F.get(toks, (i + F.lit(1)).cast("int")).alias("cur"),
+            ),
+        ),
+        lambda s: s["cur"].isNotNull(),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+
+
+def bigram_model(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Corpus bigram statistics: ``(bigram_counts, context_counts,
+    vocab_size)`` as three DataFrames.
+
+    ``context_counts`` is derived from ``bigram_counts`` (sum over the
+    second element), not from a second corpus pass — the corpus is read
+    once.  ``vocab_size`` is a one-row frame (distinct tokens anywhere
+    in the corpus), used as the smoothing denominator term.
+    """
+    bg = doc_bigrams(docs, id_col, text_col)
+    cb = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("nb"))
+    cp = cb.groupBy("prev").agg(F.sum("nb").alias("np"))
+    vocab = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    return cb, cp, vocab
+
+
+def bigram_cross_entropy(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: float = DEFAULT_K,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-k bigram
+    model: ``-mean(ln p(cur|prev))`` with
+    ``p(cur|prev) = (c(prev,cur)+k) / (c(prev)+k·V)``.
+
+    Output: ``(id, *extra_cols, n_bigrams, cross_entropy)``.  Low =
+    predictable/boilerplate, high = unusual token sequences — the
+    standard corpus-quality ranking signal.
+
+    Plan shape: the model (bigram counts ⋈ context counts ⋈ 1-row V)
+    is assembled on vocabulary-sized tables, then the exploded document
+    bigrams equi-join it on ``(prev, cur)`` and re-aggregate by doc id.
+    Exactly two corpus-sized shuffles (model build, doc join), both on
+    well-spread token keys.
+    """
+    cb, cp, vocab = bigram_model(docs, id_col, text_col)
+    model = (
+        cb.join(cp, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "cur",
+            (F.log(F.col("np") + F.lit(k) * F.col("v")) - F.log(F.col("nb") + F.lit(k))).alias(
+                "neg_logp"
+            ),
+        )
+    )
+    bg = doc_bigrams(docs, id_col, text_col)
+    scored = (
+        bg.join(model, ["prev", "cur"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("neg_logp").alias("cross_entropy"),
+        )
+    )
+    if extra_cols:
+        side = docs.select(id_col, *extra_cols)
+        scored = scored.join(side, id_col)
+    return scored
+
+
+def token_vocabulary(docs: DataFrame, text_col: str) -> DataFrame:
+    """Word-frequency vocabulary: ``(tok, c)`` — the ONE corpus-sized
+    aggregation all BPE rounds run from."""
+    return (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _pair_counts(vocab: DataFrame, tok_col: Column) -> DataFrame:
+    """Adjacent-symbol pair counts over a (possibly merge-rewritten)
+    vocabulary, weighted by word frequency.  Positional counting: the
+    token ``aaa`` contributes two ``aa`` pairs."""
+    two = F.explode(
+        F.sequence(F.lit(1), F.length(tok_col) - F.lit(1))
+    ).alias("i")
+    return (
+        vocab.where(F.length(tok_col) >= 2)
+        .select(F.col("c"), tok_col.alias("t"), two)
+        .select("c", F.substring(F.col("t"), F.col("i"), 2).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+    )
+
+
+def bpe_merge_rounds(docs: DataFrame, text_col: str, top_per_round: int = 10) -> DataFrame:
+    """Two rounds of BPE merge-candidate counting.
+
+    Round 1: adjacent character pairs over the word-frequency
+    vocabulary, weighted by frequency; the top pair (by count desc,
+    pair asc) is the first BPE merge.  Round 2: rewrite the vocabulary
+    with that merge applied (non-overlapping left-to-right ``replace``,
+    merged unit atomic via a sentinel symbol) and recount.
+
+    Output: ``(round, left_sym, right_sym, n)``, the top
+    ``top_per_round`` candidates per round with the sentinel expanded
+    back to the merged string — i.e. the first two rows of a BPE merge
+    table, computed distributively.
+
+    The round-1 winner reaches round 2 as a one-row broadcast
+    (scalar-subquery plan), never a driver collect.
+    """
+    vocab = token_vocabulary(docs, text_col)
+    r1 = _pair_counts(vocab, F.col("tok"))
+    top1 = (
+        r1.orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("m1"))
+    )
+    vocab2 = vocab.crossJoin(F.broadcast(top1)).select(
+        F.replace(F.col("tok"), F.col("m1"), F.lit(MERGE_SENTINEL)).alias("tok"),
+        "c",
+        "m1",
+    )
+    r2 = (
+        _pair_counts(vocab2, F.col("tok"))
+        .crossJoin(F.broadcast(top1))
+        .select("pair", "n", "m1")
+    )
+
+    def readout(df: DataFrame, rnd: int, m1: Column | None) -> DataFrame:
+        left = F.substring(F.col("pair"), 1, 1)
+        right = F.substring(F.col("pair"), 2, 1)
+        if m1 is not None:
+            left = F.replace(left, F.lit(MERGE_SENTINEL), m1)
+            right = F.replace(right, F.lit(MERGE_SENTINEL), m1)
+        return (
+            df.orderBy(F.desc("n"), F.asc("pair"))
+            .limit(top_per_round)
+            .select(
+                F.lit(rnd).alias("round"),
+                left.alias("left_sym"),
+                right.alias("right_sym"),
+                F.col("n"),
+            )
+        )
+
+    return readout(r1, 1, None).unionAll(readout(r2, 2, F.col("m1")))

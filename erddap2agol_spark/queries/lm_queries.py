@@ -1,0 +1,129 @@
+"""Graded queries for the corpus-LM operators (operators/lm.py).
+
+`lm_perplexity` is the CCNet-style quality score over the documents
+table (the model is trained on the corpus being scored, in-plan);
+`bpe_top_merges` is two rounds of BPE tokenizer-training pair counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.lm import DEFAULT_K, bigram_cross_entropy, bpe_merge_rounds
+from ..sources.tables import load_table
+from . import register
+
+_K = DEFAULT_K
+_TOP = 10
+
+# DuckDB-side tokenization mirrors operators/lm._tokens: lowercase,
+# whitespace split.  List indexing is 1-based; generate_series(1, n-1)
+# is empty when the token list is a single element.
+_BIGRAM_SQL = f"""
+    tk AS (
+      SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+      FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    cb AS (SELECT prev, cur, count(*) AS nb FROM bg GROUP BY prev, cur),
+    cp AS (SELECT prev, CAST(sum(nb) AS BIGINT) AS np FROM cb GROUP BY prev),
+    vv AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM tk)
+    )
+"""
+
+
+@register(
+    "lm_perplexity",
+    oracle=f"""
+    WITH {_BIGRAM_SQL}
+    SELECT bg.doc_id, any_value(tk.lang) AS lang,
+           count(*) AS n_bigrams,
+           round(avg(ln(np + {_K} * v) - ln(nb + {_K})), 4) AS cross_entropy
+    FROM bg
+    JOIN cb ON bg.prev = cb.prev AND bg.cur = cb.cur
+    JOIN cp ON bg.prev = cp.prev
+    JOIN tk ON bg.doc_id = tk.doc_id
+    CROSS JOIN vv
+    GROUP BY bg.doc_id
+    """,
+    doc="CCNet-style per-document cross-entropy under the corpus's own "
+    "add-k bigram model (Wenzek et al. 2020) — the ranking signal for "
+    "quality gating: boilerplate scores low, keyboard-mash scores "
+    "high. Bigrams pair up inside the scan stage (array transform, no "
+    "window); the model build is two hash aggregations on token keys; "
+    "the scoring join is a co-partitioned equi-join on (prev, cur). "
+    "Exactly two corpus-sized shuffles at any scale, no driver state. "
+    "Final 4dp round absorbs cross-engine float summation-order and "
+    "libm last-ulp drift over the ~127-term per-doc average.",
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_cross_entropy(docs, "doc_id", "text", k=_K, extra_cols=("lang",))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+    )
+
+
+@register(
+    "bpe_top_merges",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT tok, count(*) AS c
+      FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+      )
+      GROUP BY tok
+    ),
+    r1 AS (
+      SELECT substr(tok, i, 2) AS pair, CAST(sum(c) AS BIGINT) AS n
+      FROM vocab, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+      WHERE len(tok) >= 2
+      GROUP BY pair
+    ),
+    m AS (SELECT pair AS m1 FROM r1 ORDER BY n DESC, pair ASC LIMIT 1),
+    vocab2 AS (
+      SELECT replace(tok, m1, chr(1)) AS tok, c, m1
+      FROM vocab CROSS JOIN m
+    ),
+    r2 AS (
+      SELECT substr(tok, i, 2) AS pair, CAST(sum(c) AS BIGINT) AS n,
+             any_value(m1) AS m1
+      FROM vocab2, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+      WHERE len(tok) >= 2
+      GROUP BY pair
+    ),
+    top1 AS (
+      SELECT 1 AS round, substr(pair, 1, 1) AS left_sym,
+             substr(pair, 2, 1) AS right_sym, n
+      FROM r1 ORDER BY n DESC, pair ASC LIMIT {_TOP}
+    ),
+    top2 AS (
+      SELECT 2 AS round,
+             replace(substr(pair, 1, 1), chr(1), m1) AS left_sym,
+             replace(substr(pair, 2, 1), chr(1), m1) AS right_sym, n
+      FROM r2 ORDER BY n DESC, pair ASC LIMIT {_TOP}
+    )
+    SELECT * FROM top1 UNION ALL SELECT * FROM top2
+    """,
+    doc="First two rounds of BPE tokenizer training (Sennrich et al. "
+    "2016): adjacent-symbol pair counts weighted by word frequency, "
+    "top merge applied via non-overlapping left-to-right replace with "
+    "an atomic sentinel symbol, recount. The corpus-sized work is ONE "
+    "token-count aggregation; every merge round runs on the "
+    "vocabulary table (corpus-row-count independent), and the round-1 "
+    "winner reaches round 2 as a one-row broadcast, never a collect. "
+    "Counts are exact integers — bit-stable across engines.",
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_rounds(docs, "text", top_per_round=_TOP)
