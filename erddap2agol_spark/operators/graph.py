@@ -194,3 +194,58 @@ def kcore(
     return cur.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int,
+    a: str = "a",
+    b: str = "b",
+    persist_each: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, deterministic variant): every node starts labeled with its
+    own id; each round, every node adopts the most frequent label among
+    its neighbors, ties broken by the SMALLEST label.  Returns
+    ``(node, label)`` after ``iterations`` rounds.
+
+    Determinism: the classic LPA breaks ties randomly and updates
+    asynchronously; this variant is synchronous with a total tie-break
+    order, so the result is a pure function of the graph — which is
+    what makes it oracle-checkable as unrolled SQL.
+
+    Scale shape per round: one equi-join (edge ⋈ label, on the node
+    id), one count aggregate on ``(node, label)``, then an argmax via
+    ``max(struct(cnt, -label))`` — a second hash aggregate on the node
+    id, NO window.  Both aggregates partial-aggregate map-side.  Label
+    frames form a linear chain (each consumed once by the next round),
+    so only the loop-invariant symmetric edge list is persisted; the
+    chain itself needs no checkpointing at these depths.
+    """
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    if persist_each:
+        sym = sym.persist()
+    labels = sym.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(iterations):
+        # neighbor label counts: edge (src -> dst) carries src's label to dst
+        cnt = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax by (count, -label): max count, smallest label on ties
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("label"))
+        )
+    if persist_each:
+        out = labels.persist()
+        out.count()
+        sym.unpersist()
+        return out
+    return labels

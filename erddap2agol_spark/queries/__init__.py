@@ -50,6 +50,7 @@ def _load_all() -> None:
     from . import dedup_queries  # noqa: F401
     from . import graph_queries  # noqa: F401
     from . import grid_queries  # noqa: F401
+    from . import linkage_queries  # noqa: F401
     from . import lm_queries  # noqa: F401
     from . import mixing_queries  # noqa: F401
     from . import pipeline_queries  # noqa: F401

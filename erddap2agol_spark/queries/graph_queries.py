@@ -257,3 +257,72 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=_KCORE_K, iterations=_KCORE_ITERS, a="pa", b="pb").orderBy(
         "node"
     )
+
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Unrolled synchronous LPA: per round, one join+count plus a
+    row_number argmax (count desc, label asc) — DuckDB's idiom for the
+    Spark side's max(struct(cnt, -label)) tie-break."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""c{i} AS (
+      SELECT s.dst AS node, l.label, count(*) AS cnt
+      FROM sym s JOIN l{i - 1} l ON s.src = l.node
+      GROUP BY s.dst, l.label
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH edges AS (
+      SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS n
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    sym AS (SELECT pa AS src, pb AS dst FROM edges
+            UNION ALL SELECT pb, pa FROM edges),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    {", ".join(rounds)}
+    SELECT node, label AS community FROM l{iters}
+    """
+
+
+@register(
+    "label_prop_communities",
+    oracle=_lpa_oracle(_LPA_ITERS),
+    doc="Deterministic synchronous label propagation (Raghavan et al. "
+    "2007) over the repeat-co-purchase graph: 4 rounds, each one "
+    "equi-join + two map-side-combining hash aggregates — the argmax "
+    "is max(struct(cnt, -label)), NO window — with ties broken to the "
+    "smallest label so the result is a pure function of the graph "
+    "(what makes the unrolled-SQL oracle exact). Near-dup community "
+    "assignment for dedup families is this exact plan over LSH edges.",
+)
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = li.distinct()
+    x = p.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    y = p.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    out = label_propagation(edges, iterations=_LPA_ITERS, a="pa", b="pb")
+    return out.select("node", F.col("label").alias("community"))
