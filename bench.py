@@ -53,6 +53,9 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
     "q21_late_sole_suppliers",
+    # round 4: corpus-LM scoring (train + apply in one plan) and LPA
+    "lm_perplexity",
+    "label_prop_communities",
 ]
 
 

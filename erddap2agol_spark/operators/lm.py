@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import ensure_parallelism
+
 #: add-k smoothing constant for the bigram model.
 DEFAULT_K = 0.5
 
@@ -103,6 +105,7 @@ def bigram_cross_entropy(
     text_col: str,
     k: float = DEFAULT_K,
     extra_cols: tuple[str, ...] = (),
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document cross-entropy under the corpus's own add-k bigram
     model: ``-mean(ln p(cur|prev))`` with
@@ -113,11 +116,19 @@ def bigram_cross_entropy(
     standard corpus-quality ranking signal.
 
     Plan shape: the model (bigram counts ⋈ context counts ⋈ 1-row V)
-    is assembled on vocabulary-sized tables, then the exploded document
-    bigrams equi-join it on ``(prev, cur)`` and re-aggregate by doc id.
-    Exactly two corpus-sized shuffles (model build, doc join), both on
-    well-spread token keys.
+    is assembled on vocabulary-sized tables and — by default —
+    BROADCAST to the scoring side, so the exploded document bigrams
+    never shuffle for the join, and the per-doc average partial-
+    aggregates map-side (a document's bigrams are co-located with the
+    scan split that produced them), leaving only a |docs|-row exchange.
+    One corpus-sized shuffle total: the model build's (prev, cur)
+    aggregate, whose map-side combine already collapses it to
+    vocabulary cardinality.  Set ``broadcast_model=False`` for corpora
+    whose bigram vocabulary exceeds executor memory (web-scale text
+    with huge vocabularies) — the join then hash-partitions on
+    ``(prev, cur)``.
     """
+    docs = ensure_parallelism(docs)
     cb, cp, vocab = bigram_model(docs, id_col, text_col)
     model = (
         cb.join(cp, "prev")
@@ -130,6 +141,8 @@ def bigram_cross_entropy(
             ),
         )
     )
+    if broadcast_model:
+        model = F.broadcast(model)
     bg = doc_bigrams(docs, id_col, text_col)
     scored = (
         bg.join(model, ["prev", "cur"])
@@ -149,7 +162,8 @@ def token_vocabulary(docs: DataFrame, text_col: str) -> DataFrame:
     """Word-frequency vocabulary: ``(tok, c)`` — the ONE corpus-sized
     aggregation all BPE rounds run from."""
     return (
-        docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+        ensure_parallelism(docs)
+        .select(F.explode(_tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
