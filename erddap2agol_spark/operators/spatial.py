@@ -167,3 +167,105 @@ def zorder_key(
             + F.shiftleft(F.shiftright(qlon, i).bitwiseAND(F.lit(1)), 2 * i)
         )
     return z
+
+
+def ray_cast_inside(px: Column, py: Column, verts: Column) -> Column:
+    """Even-odd point-in-polygon test against a CLOSED ring (first
+    vertex repeated last) given as ``array<struct<x,y>>``: count edge
+    crossings of the rightward ray from the point; odd = inside.
+
+    Pure Column algebra — a ``filter`` over the edge-index sequence
+    with +,-,*,/ and comparisons only (IEEE-exact, so any engine
+    running the same algorithm on the same doubles classifies every
+    point identically, including on-boundary edge cases).  Runs inside
+    whole-stage codegen; no UDF, no shuffle.
+    """
+    idx = F.sequence(F.lit(1), F.size(verts) - 1)
+    crossings = F.filter(
+        idx,
+        lambda i: (
+            lambda a, b: ((a["y"] > py) != (b["y"] > py))
+            & (
+                px
+                < (b["x"] - a["x"]) * (py - a["y"]) / (b["y"] - a["y"])
+                + a["x"]
+            )
+        )(F.get(verts, i - 1), F.get(verts, i)),
+    )
+    return F.size(crossings) % 2 == 1
+
+
+def polygon_cells(
+    polys: DataFrame,
+    id_col: str,
+    verts_col: str,
+    cell_deg: float,
+) -> DataFrame:
+    """Coarse grid cells covered by each polygon's bounding box:
+    ``(id, verts, cx, cy)`` with one row per covered cell.
+
+    The bbox comes from two array aggregates over the ring (no
+    shuffle); cell coverage explodes a tiny int sequence — for any
+    sane ``cell_deg`` (>= polygon extent) that's 1-4 cells per
+    polygon.  This is the polygon side of the candidate equi-join; it
+    is alert/region-dictionary sized, so downstream joins broadcast it.
+    """
+    xs = F.transform(F.col(verts_col), lambda v: v["x"])
+    ys = F.transform(F.col(verts_col), lambda v: v["y"])
+    lo_x = F.floor(F.array_min(xs) / F.lit(cell_deg)).cast("long")
+    hi_x = F.floor(F.array_max(xs) / F.lit(cell_deg)).cast("long")
+    lo_y = F.floor(F.array_min(ys) / F.lit(cell_deg)).cast("long")
+    hi_y = F.floor(F.array_max(ys) / F.lit(cell_deg)).cast("long")
+    return (
+        polys.select(
+            F.col(id_col),
+            F.col(verts_col),
+            F.explode(F.sequence(lo_x, hi_x)).alias("cx"),
+            lo_y.alias("_lo_y"),
+            hi_y.alias("_hi_y"),
+        )
+        .select(
+            id_col,
+            verts_col,
+            "cx",
+            F.explode(F.sequence(F.col("_lo_y"), F.col("_hi_y"))).alias("cy"),
+        )
+    )
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id: str = "poly_id",
+    verts_col: str = "verts",
+    cell_deg: float = 5.0,
+) -> DataFrame:
+    """Spatial containment join: ``(point_id, poly_id)`` for every
+    point inside a polygon.  CAP-alert semantics: which stations /
+    fixes fall inside each alert area.
+
+    Scale shape: the polygon side explodes to its covered coarse grid
+    cells and BROADCASTS (region dictionaries are small by nature);
+    points bin to their single cell with floor arithmetic and meet
+    candidates on a cell equi-join — the point side never shuffles.
+    The exact even-odd ray cast then filters candidates in the same
+    codegen stage.  A point inside two overlapping polygons emits two
+    rows.
+    """
+    cells = polygon_cells(polys, poly_id, verts_col, cell_deg)
+    px, py = F.col(x_col), F.col(y_col)
+    pts = points.select(
+        F.col(point_id),
+        px.alias("__px"),
+        py.alias("__py"),
+        F.floor(px / F.lit(cell_deg)).cast("long").alias("cx"),
+        F.floor(py / F.lit(cell_deg)).cast("long").alias("cy"),
+    )
+    return (
+        pts.join(F.broadcast(cells), ["cx", "cy"])
+        .where(ray_cast_inside(F.col("__px"), F.col("__py"), F.col(verts_col)))
+        .select(point_id, poly_id)
+    )

@@ -139,3 +139,85 @@ def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("plat"), F.col("plon"), 18.0, 30.0, -98.0, -80.0, bits=16
         ).alias("zkey"),
     )
+
+
+@register(
+    "alert_polygon_hits",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS point_id,
+             18.0 + (c_custkey * 37 % 1200) / 100.0 AS plat,
+             -98.0 + (c_custkey * 61 % 1800) / 100.0 AS plon
+      FROM customer
+    ),
+    polys AS (
+      SELECT n_nationkey AS poly_id,
+             -97.0 + (n_nationkey * 71 % 1600) / 100.0 AS cx,
+             19.0 + (n_nationkey * 41 % 1000) / 100.0 AS cy,
+             0.5 + (n_nationkey * 13 % 20) / 10.0 AS w,
+             0.5 + (n_nationkey * 17 % 20) / 10.0 AS h
+      FROM nation
+    ),
+    edges AS (
+      SELECT poly_id, cx - w AS x1, cy AS y1, cx AS x2, cy + h AS y2 FROM polys
+      UNION ALL SELECT poly_id, cx, cy + h, cx + w, cy FROM polys
+      UNION ALL SELECT poly_id, cx + w, cy, cx, cy - h FROM polys
+      UNION ALL SELECT poly_id, cx, cy - h, cx - w, cy FROM polys
+    ),
+    cr AS (
+      SELECT p.point_id, e.poly_id,
+             count(*) FILTER (
+               WHERE ((y1 > plat) <> (y2 > plat))
+                 AND (plon < (x2 - x1) * (plat - y1) / (y2 - y1) + x1)
+             ) AS nc
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.point_id, e.poly_id
+    )
+    SELECT point_id, poly_id FROM cr WHERE nc % 2 = 1
+    """,
+    doc="CAP-alert containment join: which observation points fall "
+    "inside each alert polygon (diamond rings synthesized from nation "
+    "keys with pure rational arithmetic, like the station synth). "
+    "Spark side is the scale path: polygons explode to covered coarse "
+    "grid cells and broadcast; points bin to one cell each with floor "
+    "arithmetic and never shuffle; the exact even-odd ray cast (pure "
+    "Column algebra, IEEE-exact ops only) filters candidates inside "
+    "the same codegen stage. The oracle brute-forces the identical "
+    "crossing test over all point x edge pairs — same classification "
+    "for every point, including boundary cases, because both engines "
+    "run identical float ops.",
+)
+def alert_polygon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import point_in_polygon_join
+
+    pts = _points(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    cx = F.lit(-97.0) + (k * 71 % 1600) / F.lit(100.0)
+    cy = F.lit(19.0) + (k * 41 % 1000) / F.lit(100.0)
+    w = F.lit(0.5) + (k * 13 % 20) / F.lit(10.0)
+    h = F.lit(0.5) + (k * 17 % 20) / F.lit(10.0)
+
+    def v(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    polys = n.select(
+        k.alias("poly_id"),
+        F.array(
+            v(cx - w, cy),
+            v(cx, cy + h),
+            v(cx + w, cy),
+            v(cx, cy - h),
+            v(cx - w, cy),
+        ).alias("verts"),
+    )
+    return point_in_polygon_join(
+        pts,
+        polys,
+        point_id="point_id",
+        x_col="plon",
+        y_col="plat",
+        poly_id="poly_id",
+        verts_col="verts",
+        cell_deg=5.0,
+    )
