@@ -137,3 +137,55 @@ def interval_join(
         ),
     )
     return p.join(iv, (p["__bin"] == iv["__bin"]) & rng).drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair whose
+    half-open ranges intersect (``l_lo < r_hi AND r_lo < l_hi``) —
+    sessions × maintenance windows, promotions × shipping windows.
+
+    Big-big shape: BOTH sides explode to the coarse bins their range
+    covers, pairs meet on a bin equi-join, and each qualifying pair is
+    emitted EXACTLY ONCE without a post-join dedup: the residual keeps
+    the pair only in the bin that contains the overlap's start
+    (``floor(greatest(l_lo, r_lo) / w)``).  A pair overlapping across
+    five shared bins matches the bin predicate in exactly one of them,
+    so the dedup that would otherwise need a corpus-wide shuffle is a
+    free per-row comparison.
+
+    Shuffle cost is the two binned explodes (each row duplicated
+    ``range/bin_width`` times — pick ``bin_width`` near the typical
+    interval length), hash-partitioned on well-spread bin ids; AQE
+    splits hot calendar bins.  No nested loop anywhere.
+    """
+    w = float(bin_width)
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                    F.floor(F.col(hi) / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+    l = binned(left, left_lo, left_hi)
+    r = binned(right, right_lo, right_hi)
+    overlap = (l[left_lo] < r[right_hi]) & (r[right_lo] < l[left_hi])
+    anchor = l["__bin"] == F.floor(
+        F.greatest(l[left_lo], r[right_lo]) / F.lit(w)
+    ).cast("long")
+    return (
+        l.join(r, (l["__bin"] == r["__bin"]) & overlap & anchor)
+        .drop(l["__bin"])
+        .drop(r["__bin"])
+    )

@@ -229,3 +229,56 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+@register(
+    "interval_overlap_counts",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_id,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS lo_a,
+             datediff('day', DATE '1970-01-01', o_orderdate)
+               + o_orderkey % 7 + 1 AS hi_a
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    b AS (
+      SELECT o_orderkey AS b_id,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS lo_b,
+             datediff('day', DATE '1970-01-01', o_orderdate)
+               + o_orderkey % 5 + 1 AS hi_b
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT a_id, count(*) AS n_overlaps,
+           min(b_id) AS first_b, max(b_id) AS last_b
+    FROM a JOIN b ON lo_a < hi_b AND lo_b < hi_a
+    GROUP BY a_id
+    """,
+    doc="Interval x interval overlap join (big-big range join): both "
+    "sides explode to coarse calendar bins, pairs meet on a bin "
+    "equi-join, and the anchor-bin residual (pair counted only in the "
+    "bin holding the overlap's start) makes each pair emit exactly "
+    "once with NO post-join dedup shuffle. The oracle is the plain "
+    "theta join - DuckDB can afford it, Spark's plan must never "
+    "contain it. Integer day arithmetic: bit-exact.",
+)
+def interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import interval_overlap_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    a = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("a_id"),
+        days.alias("lo_a"),
+        (days + F.col("o_orderkey") % 7 + 1).alias("hi_a"),
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("b_id"),
+        days.alias("lo_b"),
+        (days + F.col("o_orderkey") % 5 + 1).alias("hi_b"),
+    )
+    pairs = interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin_width=8.0)
+    return pairs.groupBy("a_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.min("b_id").alias("first_b"),
+        F.max("b_id").alias("last_b"),
+    )

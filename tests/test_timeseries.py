@@ -216,3 +216,52 @@ def test_anomaly_join_is_broadcast(spark):
     clim = climatology(df, ["kind"], "ts", "value")
     plan = anomaly_join(df, clim, ["kind"], "ts", "value")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+class TestIntervalOverlapJoin:
+    def _mk(self, spark, rows, side):
+        return spark.createDataFrame(rows, f"{side}_id int, lo_{side} double, hi_{side} double")
+
+    def test_exactly_once_across_bins(self, spark):
+        from erddap2agol_spark.operators.joins import interval_overlap_join
+
+        # overlap spans many bins at bin_width=1: must emit ONE row
+        a = self._mk(spark, [(1, 0.0, 10.0)], "a")
+        b = self._mk(spark, [(2, 3.0, 9.0)], "b")
+        out = interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", 1.0).collect()
+        assert len(out) == 1
+
+    def test_matches_theta_join(self, spark):
+        from erddap2agol_spark.operators.joins import interval_overlap_join
+
+        rows_a = [(i, float(i * 3 % 17), float(i * 3 % 17 + i % 5 + 1)) for i in range(40)]
+        rows_b = [(i, float(i * 7 % 19), float(i * 7 % 19 + i % 4 + 1)) for i in range(40)]
+        a, b = self._mk(spark, rows_a, "a"), self._mk(spark, rows_b, "b")
+        for w in (1.0, 2.5, 8.0):
+            got = {
+                (r.a_id, r.b_id)
+                for r in interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", w)
+                .select("a_id", "b_id")
+                .collect()
+            }
+            want = {
+                (r.a_id, r.b_id)
+                for r in a.join(
+                    b, (a.lo_a < b.hi_b) & (b.lo_b < a.hi_a)
+                ).select("a_id", "b_id").collect()
+            }
+            assert got == want, f"bin_width={w}"
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from erddap2agol_spark.operators.joins import interval_overlap_join
+
+        a = self._mk(spark, [(1, 0.0, 2.0)], "a")
+        b = self._mk(spark, [(2, 1.0, 3.0)], "b")
+        plan = (
+            interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", 1.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
