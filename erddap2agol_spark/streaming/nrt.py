@@ -338,3 +338,62 @@ def enriched_stream(
         spark.readStream.schema(schema).parquet(source_dir), ts_col
     )
     return events.join(F.broadcast(dim_df), key)
+
+
+def deduped_stream(
+    spark,
+    source_dir: str,
+    schema,
+    key_cols,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's fingerprint only
+    until the watermark passes it, so state size is O(keys per
+    watermark window), not O(all keys ever) — the streaming face of
+    U2/F16 (dedup-on-add + content fingerprint gate).  A duplicate
+    arriving within the watermark of its first occurrence is dropped
+    even when the two copies land in different micro-batches.
+    """
+    events = _ltz_event_time(
+        spark.readStream.schema(schema).parquet(source_dir), ts_col
+    )
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def stream_stream_join(
+    spark,
+    left_dir: str,
+    right_dir: str,
+    schema,
+    key: str,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    max_lag: str = "1 hour",
+):
+    """Watermarked stream-stream inner join: both sides buffer only
+    rows younger than the watermark, and the time-bound residual
+    (right within ``max_lag`` AFTER left) lets Spark evict state as
+    event time advances — the unbounded-state stream join is exactly
+    the anti-pattern this refuses to build.  Output columns:
+    left ``(key, ts)`` plus the right row's timestamp as ``r_ts``.
+    """
+    lhs = _ltz_event_time(
+        spark.readStream.schema(schema).parquet(left_dir), ts_col
+    ).select(F.col(key), F.col(ts_col))
+    rhs = _ltz_event_time(
+        spark.readStream.schema(schema).parquet(right_dir), ts_col
+    ).select(F.col(key).alias("r_key"), F.col(ts_col).alias("r_ts"))
+    return (
+        lhs.withWatermark(ts_col, watermark)
+        .join(
+            rhs.withWatermark("r_ts", watermark),
+            (F.col(key) == F.col("r_key"))
+            & (F.col("r_ts") >= F.col(ts_col))
+            & (F.col("r_ts") <= F.col(ts_col) + F.expr(f"INTERVAL {max_lag}")),
+        )
+        .drop("r_key")
+    )

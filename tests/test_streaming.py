@@ -239,3 +239,73 @@ def test_stream_static_enrichment(spark, tmp_path):
         .collect()
     }
     assert got == want and got  # non-empty and identical
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    """Streaming dedup with bounded state: a duplicate landing in a
+    LATER micro-batch (within the watermark) is dropped; the surviving
+    row set equals batch dropDuplicates on the keys."""
+    src = str(tmp_path / "dsrc")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    first.write.parquet(src)
+    # second batch: new odd rows PLUS a re-delivery of 30 even rows
+    ev.filter(F.col("event_id") % 2 == 1).unionAll(
+        first.filter(F.col("event_id") % 10 == 0).limit(30)
+    ).write.mode("append").parquet(src)
+
+    out = nrt.deduped_stream(spark, src, ev.schema, ["event_id"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_stream").first()
+    finally:
+        q.stop()
+    want = ev.count()
+    assert (got.n, got.d) == (want, want)  # every id exactly once
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Watermarked stream-stream join: totals equal the equivalent
+    batch join with the same time-bound residual."""
+    import datetime
+
+    left_dir = str(tmp_path / "l")
+    right_dir = str(tmp_path / "r")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(400)
+    lhs = ev.filter(F.col("event_id") % 2 == 0)
+    rhs = ev.filter(F.col("event_id") % 2 == 1)
+    lhs.write.parquet(left_dir)
+    rhs.write.parquet(right_dir)
+
+    out = nrt.stream_stream_join(
+        spark, left_dir, right_dir, ev.schema, key="user_id"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) FROM ss_join").first()[0]
+    finally:
+        q.stop()
+
+    lb = nrt._ltz_event_time(lhs, "ts").select("user_id", "ts")
+    rb = nrt._ltz_event_time(rhs, "ts").select(
+        F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts")
+    )
+    want = lb.join(
+        rb,
+        (lb.user_id == rb.r_key)
+        & (rb.r_ts >= lb.ts)
+        & (rb.r_ts <= lb.ts + F.expr("INTERVAL 1 hour")),
+    ).count()
+    assert got == want and got > 0
