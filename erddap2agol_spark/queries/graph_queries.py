@@ -326,3 +326,34 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = label_propagation(edges, iterations=_LPA_ITERS, a="pa", b="pb")
     return out.select("node", F.col("label").alias("community"))
+
+
+@register(
+    "hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM part
+      UNION ALL
+      SELECT node, CAST(anc // 3 AS BIGINT), depth + 1 FROM r WHERE anc >= 3
+    )
+    SELECT node, anc AS root, depth FROM r WHERE anc < 3
+    """,
+    doc="Forest flattening by pointer doubling: every part key hangs "
+    "under parent k//3 (ternary forest, roots 0..2); after round r "
+    "each link spans up to 2^r hops, so 5 rounds resolve any depth up "
+    "to 2^5 (depth is ~log3(n): 11 even at sf1000). The oracle is the "
+    "O(depth) recursive CTE — the sequential formulation Spark must "
+    "NOT run; the doubling form does the same closure in O(log depth) "
+    "hash self-joins, each localCheckpoint-truncated. Integer keys: "
+    "bit-exact.",
+)
+def hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pointer_doubling_closure
+
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    nodes = part.select(
+        k.cast("bigint").alias("node"),
+        F.when(k < 3, F.lit(None)).otherwise(F.floor(k / 3)).cast("bigint").alias("parent"),
+    )
+    return pointer_doubling_closure(nodes, rounds=5)

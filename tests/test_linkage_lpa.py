@@ -112,3 +112,39 @@ def test_lpa_unpersists_scaffolding(spark):
     out.unpersist()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before
+
+
+class TestPointerDoubling:
+    def test_chain_and_forest(self, spark):
+        from erddap2agol_spark.operators.graph import pointer_doubling_closure
+
+        rows = [(1, None), (2, 1), (3, 2), (4, 3), (5, 4), (10, None), (11, 10)]
+        df = spark.createDataFrame(rows, "node int, parent int")
+        got = sorted(
+            (r.node, r.root, r.depth)
+            for r in pointer_doubling_closure(df, rounds=3).collect()
+        )
+        assert got == [
+            (1, 1, 0), (2, 1, 1), (3, 1, 2), (4, 1, 3), (5, 1, 4),
+            (10, 10, 0), (11, 10, 1),
+        ]
+
+    def test_extra_rounds_are_noops(self, spark):
+        from erddap2agol_spark.operators.graph import pointer_doubling_closure
+
+        rows = [(i, i - 1 if i > 0 else None) for i in range(10)]
+        df = spark.createDataFrame(rows, "node int, parent int")
+        a = sorted(map(tuple, pointer_doubling_closure(df, rounds=5).collect()))
+        b = sorted(map(tuple, pointer_doubling_closure(df, rounds=8).collect()))
+        assert a == b
+        assert a[-1] == (9, 0, 9)  # depth-9 chain resolved by 2^5 > 9
+
+    def test_rounds_cover_doubling_not_linear(self, spark):
+        from erddap2agol_spark.operators.graph import pointer_doubling_closure
+
+        # depth-8 chain resolves in 4 rounds (2^4 = 16 >= 8); a linear
+        # walker would need 8
+        rows = [(i, i - 1 if i > 0 else None) for i in range(9)]
+        df = spark.createDataFrame(rows, "node int, parent int")
+        got = {r.node: (r.root, r.depth) for r in pointer_doubling_closure(df, rounds=4).collect()}
+        assert got[8] == (0, 8)

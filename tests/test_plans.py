@@ -15,15 +15,21 @@ _load_all()
 SF = "/root/testdata/sf0.001"
 
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
 def _plan(spark, name: str) -> str:
     import contextlib
     import io
 
+    if name in _PLAN_CACHE:
+        return _PLAN_CACHE[name]
     df = REGISTRY[name].spark(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    _PLAN_CACHE[name] = buf.getvalue()
+    return _PLAN_CACHE[name]
 
 
 def test_time_filter_pushdown(spark):
@@ -98,11 +104,19 @@ def test_lsh_join_is_equi_on_bucket(spark):
 
 
 def test_whole_stage_codegen_active(spark):
-    # AQE hides codegen ids until execution; disable it for the snapshot
+    import contextlib
+    import io
+
+    # AQE hides codegen ids until execution; disable it for the snapshot.
+    # Bypass the plan cache: these plans depend on the AQE toggle.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for q in ("pricing_summary", "text_quality", "extraction_dsl"):
-            assert "[codegen id :" in _plan(spark, q), q
+            df = REGISTRY[q].spark(spark, SF)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            assert "[codegen id :" in buf.getvalue(), q
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
@@ -431,3 +445,87 @@ def test_tpch_suite_plan_shapes(spark):
         assert "BroadcastHashJoin" in plan, q
         if q in topk:
             assert "TakeOrderedAndProject" in plan, q
+
+
+# Queries whose nested-loop joins are justified, with the reason pinned
+# here so a reviewer can re-check each one.  Every BroadcastNestedLoopJoin
+# in these plans has a build side that is bounded by construction — a
+# one-row aggregate scalar (the canonical scalar-subquery plan) or a
+# label/cell table whose cardinality is a small constant of the data
+# model; iterative operators (pagerank, connected components) repeat
+# that same bounded broadcast in each unrolled round, inflating the
+# TEXTUAL count but not the data size.  CartesianProduct is allowed only
+# for jl_distortion, whose input is clamped to 30 vectors by the query
+# itself (a pairwise distortion AUDIT, quadratic by definition).
+NESTED_LOOP_JUSTIFIED = {
+    "ann_bruteforce_topk",  # 1-row query-count scalar
+    "ann_filtered_topk",
+    "ann_ivf",  # L-row cell table broadcast (coarse quantizer)
+    "ann_ivf_deterministic",
+    "ann_ivf_recall",
+    "bm25_topk",  # 1-row corpus-stats scalar (N, avgdl)
+    "bpe_top_merges",  # 1-row round-1 winner broadcast
+    "corpus_stats",
+    "dedup_embedding_cosine",
+    "dsir_lang_lift",  # 1-row feature-total scalars
+    "dsir_weights_topk",
+    "emb_near_dup_cells",  # L-row cell table
+    "hll_distinct_users",  # 1-row register fold
+    "key_hotness",
+    "lm_perplexity",  # 1-row vocabulary-size scalar
+    "mix_summary",  # 1-row normalizer
+    "nrt_window",  # 1-row max-timestamp scalar
+    "pagerank_copurchase",  # 1-row node-count scalar x unrolled rounds
+    "pmi_pairs",
+    "q11_important_stock",  # HAVING-over-global-total scalar
+    "q22_idle_rich_customers",  # above-average scalar
+    "semdedup_keep",  # L-row cells x unrolled CC rounds
+    "sim_graph_triangles",
+    "simhash_hamming_pairs",  # 1-row adaptive pair-join threshold
+    "source_token_kl",  # 1-row corpus-total scalar
+    "token_rarity",
+}
+
+CARTESIAN_JUSTIFIED = {"jl_distortion"}
+
+
+def test_no_unexplained_nested_loop_or_cartesian(spark):
+    """Registry-wide quadratic-join audit (the generalization of ADVICE
+    r3's minhash_estimate_accuracy finding): any CartesianProduct, and
+    any BroadcastNestedLoopJoin in a query not pinned in
+    NESTED_LOOP_JUSTIFIED, fails.  New queries that legitimately add a
+    bounded scalar broadcast must be added to the allowlist WITH a
+    justification comment — silent additions are exactly the
+    regressions this audit exists to catch."""
+    from erddap2agol_spark.queries import all_queries
+
+    bad = []
+    for name in all_queries():
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan and name not in CARTESIAN_JUSTIFIED:
+            bad.append((name, "CartesianProduct"))
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in NESTED_LOOP_JUSTIFIED
+            and name not in CARTESIAN_JUSTIFIED
+        ):
+            bad.append((name, "BroadcastNestedLoopJoin"))
+    assert not bad, bad
+
+
+def test_nested_loop_audit_detects_planted_offender(spark):
+    """Self-test: an uncorrelated theta self-join MUST plan as a nested
+    loop and be visible to the audit's detection substring."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    a = spark.range(100).select(F.col("id").alias("x"))
+    b = spark.range(100).select(F.col("id").alias("y"))
+    theta = a.join(b, F.col("x") < F.col("y"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        theta.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
