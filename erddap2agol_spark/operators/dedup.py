@@ -598,3 +598,91 @@ def cross_doc_tile_clean(
             "n_dropped",
         )
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by WEIGHTED sparse cosine over word n-gram
+    term frequencies — the all-pairs-similarity-search complement of
+    :func:`ngram_jaccard_pairs`: Jaccard sees shingle SETS, cosine sees
+    repetition structure (a doc repeating one boilerplate gram 50x is
+    near-identical under Jaccard to one that uses it once; cosine
+    separates them).
+
+    Same posting-list shape as the Jaccard join: explode to
+    ``(doc, term, tf)`` (one hash aggregate), drop terms with document
+    frequency above ``max_doc_freq`` BEFORE the self-equi-join on the
+    term, aggregate partial products per pair, then attach the two
+    per-doc norms to the (small, post-aggregation) pair table — norms
+    never ride through the explode and never join corpus-sized.
+    Dot products and tf values are exact integers; the single rounded
+    division at the end is IEEE-exact, so scores are bit-identical
+    across engines.
+
+    Norms are computed over the CAPPED term space, so cosine is exact
+    for the filtered vector space (the score a web-scale pipeline
+    actually wants: boilerplate dimensions removed, not merely
+    down-weighted).
+
+    Cache lifecycle: the posting table feeds three consumers (df cap,
+    both join sides, norms); it is persisted only while this call
+    materializes the pair table, then released blocking.  The RETURNED
+    DataFrame comes back persisted + computed — the one cache entry the
+    caller owns (``result.unpersist()`` when done).
+    """
+    from .text import word_ngrams
+
+    d = ensure_parallelism(df)
+    tf = (
+        d.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_doc_freq is not None:
+        docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        tf = tf.join(
+            docfreq.where(F.col("df") <= max_doc_freq).select("term"),
+            "term",
+            "left_semi",
+        )
+    tf = tf.persist()
+    norms = tf.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
+    )
+    a = tf.select(
+        "term", F.col("doc").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        "term", F.col("doc").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nrm").alias("nb"))
+    out = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .persist()
+    )
+    out.count()
+    tf.unpersist(True)  # blocking, so storage state is deterministic
+    return out

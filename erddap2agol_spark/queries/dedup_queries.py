@@ -544,3 +544,48 @@ def tile_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text", tile=8
     )
     return out.orderBy("doc")
+
+
+@register(
+    "dedup_sparse_cosine",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS doc, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc, list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+      FROM t WHERE len(t) >= 3
+    ),
+    tf AS (
+      SELECT doc, g AS term, count(*) AS tf
+      FROM (SELECT doc, unnest(grams) AS g FROM sh) GROUP BY doc, g
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    kept AS (SELECT tf.* FROM tf JOIN dfreq USING (term) WHERE dfreq.df <= 50),
+    norms AS (SELECT doc, sqrt(sum(tf * tf)) AS nrm FROM kept GROUP BY doc),
+    dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, sum(a.tf * b.tf) AS dot
+      FROM kept a JOIN kept b ON a.term = b.term AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots JOIN norms na ON doc_a = na.doc JOIN norms nb ON doc_b = nb.doc
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4
+    """,
+    doc="All-pairs sparse cosine over word-trigram term frequencies -- "
+    "the WEIGHTED complement of dedup_ngram_jaccard (repetition "
+    "structure matters, boilerplate dimensions removed by the df cap "
+    "BEFORE the self-join). Posting-list equi-join on the term, "
+    "integer dot products, norms attached to the small post-aggregation "
+    "pair table rather than riding the explode. One rounded IEEE-exact "
+    "division at the end keeps scores bit-identical across engines.",
+)
+def dedup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import sparse_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.4, max_doc_freq=50
+    )

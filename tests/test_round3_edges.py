@@ -208,3 +208,63 @@ def test_zorder_clamps_out_of_extent(spark):
     assert rows["below"] == rows["corner_lo"] == 0
     assert rows["above"] == rows["corner_hi"] == zmax
     assert all(0 <= z <= zmax for z in rows.values())
+
+
+class TestSparseCosine:
+    """dedup.sparse_cosine_pairs: weighted APSS planted cases."""
+
+    def test_repetition_separates_from_jaccard(self, spark):
+        from erddap2agol_spark.operators.dedup import sparse_cosine_pairs
+
+        base = "alpha beta gamma delta"
+        rows = [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, base + " " + "alpha beta gamma " * 20),  # heavy repetition
+            (4, "zz yy xx ww vv uu"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = sparse_cosine_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.0, max_doc_freq=None
+        )
+        got = {(r.doc_a, r.doc_b): r.cos_sim for r in out.collect()}
+        out.unpersist()
+        assert got[(1, 2)] == 1.0  # identical vectors
+        # repetition-heavy doc is similar but NOT identical to the base
+        assert 0.0 < got[(1, 3)] < 1.0
+        assert (1, 4) not in got and (2, 4) not in got  # no shared term
+
+    def test_df_cap_removes_boilerplate_dimension(self, spark):
+        from erddap2agol_spark.operators.dedup import sparse_cosine_pairs
+
+        # every doc shares the same boilerplate trigram; unique content
+        # differs. With the cap the boilerplate dimension vanishes and
+        # docs become orthogonal.
+        rows = [(i, f"common legal header u{i} v{i} w{i}") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        capped = sparse_cosine_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.01, max_doc_freq=3
+        )
+        n = capped.count()
+        capped.unpersist()
+        assert n == 0
+        uncapped = sparse_cosine_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.01, max_doc_freq=None
+        )
+        m = uncapped.count()
+        uncapped.unpersist()
+        assert m == 15  # all pairs share the boilerplate dimension
+
+    def test_no_cache_leak(self, spark):
+        from erddap2agol_spark.operators.dedup import sparse_cosine_pairs
+
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        out = sparse_cosine_pairs(
+            spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id int, text string"),
+            "doc_id",
+            "text",
+            threshold=0.0,
+        )
+        out.unpersist()
+        after = len(spark.sparkContext._jsc.getPersistentRDDs())
+        assert after <= before
