@@ -127,3 +127,52 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merge_rounds(docs, "text", top_per_round=_TOP)
+
+
+@register(
+    "lm_quality_gate",
+    oracle=f"""
+    WITH {_BIGRAM_SQL},
+    scored AS (
+      SELECT bg.doc_id, any_value(tk.lang) AS lang,
+             round(avg(ln(np + {_K} * v) - ln(nb + {_K})), 4) AS cross_entropy
+      FROM bg
+      JOIN cb ON bg.prev = cb.prev AND bg.cur = cb.cur
+      JOIN cp ON bg.prev = cp.prev
+      JOIN tk ON bg.doc_id = tk.doc_id
+      CROSS JOIN vv
+      GROUP BY bg.doc_id
+    ),
+    gate AS (
+      SELECT lang, round(quantile_cont(cross_entropy, 0.9), 6) AS hi
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.cross_entropy, g.hi
+    FROM scored s JOIN gate g ON s.lang = g.lang
+    WHERE s.cross_entropy <= g.hi
+    """,
+    doc="The CCNet gate composed end-to-end: score every document "
+    "under the corpus bigram LM, then keep those at or below their "
+    "language's p90 cross-entropy (drop the keyboard-mash tail, "
+    "per-language so low-resource languages are not judged by the "
+    "head language's model fit). The percentile is one |langs|-row "
+    "exact-quantile aggregate broadcast back onto the scored table -- "
+    "no window, no corpus sort. Percentile inputs are the 4dp-rounded "
+    "scores, so interpolation runs on bit-identical doubles in both "
+    "engines; bounds round to 6dp before the compare.",
+)
+def lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_cross_entropy(
+        docs, "doc_id", "text", k=_K, extra_cols=("lang",)
+    ).select(
+        "doc_id", "lang", F.round("cross_entropy", 4).alias("cross_entropy")
+    )
+    gate = scored.groupBy("lang").agg(
+        F.round(F.percentile("cross_entropy", F.lit(0.9)), 6).alias("hi")
+    )
+    return (
+        scored.join(F.broadcast(gate), "lang")
+        .where(F.col("cross_entropy") <= F.col("hi"))
+        .select("doc_id", "lang", "cross_entropy", "hi")
+    )
