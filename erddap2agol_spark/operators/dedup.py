@@ -686,3 +686,107 @@ def sparse_cosine_pairs(
     out.count()
     tf.unpersist(True)  # blocking, so storage state is deterministic
     return out
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (the PPJoin/Vernica
+    MapReduce set-similarity join): a candidate generator that beats
+    the full posting-list join by exploding only each set's PREFIX —
+    its ``n - ceil(t*n) + 1`` globally RAREST shingles.
+
+    Why it is complete: two sets with jaccard >= t overlap in more
+    than ``n - prefix`` elements, so they cannot avoid sharing at
+    least one prefix element under ANY fixed global order; ordering by
+    ascending document frequency additionally makes the joined keys
+    the rarest ones, so per-key fan-out is minimal exactly where the
+    full posting join explodes (common shingles are carried by long
+    postings but almost never appear in prefixes).
+
+    Verification is exact and columnar: candidate pairs (deduped
+    first) pull both full sorted shingle arrays through two doc-keyed
+    joins and score ``array_intersect`` in codegen — per-pair O(n)
+    with no further shuffle.  Scores are integer-ratio exact.
+
+    Scale shape: one shingle-df aggregate, one per-doc sort of its own
+    shingle list (array_sort in the scan stage — not a corpus sort),
+    the prefix equi-join, then candidate-bounded verify joins.  The
+    returned frame is the same contract as ``ngram_jaccard_pairs`` at
+    the same threshold (an equivalence test asserts it).
+    """
+    d = ensure_parallelism(df)
+    sets = d.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    # global shingle rarity (document frequency)
+    posting = sets.select("doc", F.explode("sh").alias("g"))
+    dfreq = posting.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingle list sorted by (df, shingle): a total order, so
+    # array_sort of the struct list is deterministic
+    ordered = (
+        posting.join(dfreq, "g")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("g")))
+            ).alias("ds")
+        )
+        .select(
+            "doc",
+            F.transform(F.col("ds"), lambda s: s["g"]).alias("sh"),
+            F.size("ds").alias("n_sh"),
+        )
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    pre = ordered.select(
+        "doc",
+        "n_sh",
+        F.explode(F.slice(F.col("sh"), 1, prefix_len)).alias("g"),
+    )
+    a = pre.select(
+        F.col("g"),
+        F.col("doc").alias("doc_a"),
+        F.col("n_sh").alias("na"),
+    )
+    b = pre.select(
+        F.col("g"),
+        F.col("doc").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    cand = (
+        a.join(b, "g")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length prune: J >= t implies t*max(na,nb) <= min(na,nb)
+            & (F.lit(threshold) * F.col("nb") <= F.col("na"))
+            & (F.lit(threshold) * F.col("na") <= F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = ordered.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    sb = ordered.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round(
+                inter / (F.col("na") + F.col("nb") - inter), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

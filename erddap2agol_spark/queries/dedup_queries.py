@@ -589,3 +589,72 @@ def dedup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_cosine_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.4, max_doc_freq=50
     )
+
+
+_PF_T = 0.5
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS doc, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    sets AS (
+      SELECT doc,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM t WHERE len(t) >= 3
+    ),
+    posting AS (SELECT doc, unnest(sh) AS g FROM sets),
+    dfreq AS (SELECT g, count(*) AS df FROM posting GROUP BY g),
+    ordered AS (
+      SELECT doc,
+             list_transform(
+               list_sort(list({{'df': df, 'g': g}})), s -> s.g) AS sh,
+             count(*) AS n_sh
+      FROM posting JOIN dfreq USING (g)
+      GROUP BY doc
+    ),
+    pre AS (
+      SELECT doc, n_sh, unnest(
+        list_slice(sh, 1, CAST(n_sh - ceil({_PF_T} * n_sh) + 1 AS BIGINT))
+      ) AS g
+      FROM ordered
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM pre a JOIN pre b ON a.g = b.g AND a.doc < b.doc
+      WHERE {_PF_T} * b.n_sh <= a.n_sh AND {_PF_T} * a.n_sh <= b.n_sh
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.sh, sb.sh)) AS n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(len(list_intersect(sa.sh, sb.sh)) /
+                 CAST(sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))
+                      AS DOUBLE), 6) AS jaccard
+    FROM cand
+    JOIN ordered sa ON doc_a = sa.doc
+    JOIN ordered sb ON doc_b = sb.doc
+    WHERE len(list_intersect(sa.sh, sb.sh)) /
+          CAST(sa.n_sh + sb.n_sh - len(list_intersect(sa.sh, sb.sh))
+               AS DOUBLE) >= {_PF_T}
+    """,
+    doc="Exact Jaccard pairs by PREFIX FILTERING (PPJoin / Vernica et "
+    "al.): each set explodes only its n - ceil(t*n) + 1 globally "
+    "RAREST shingles (completeness: sets with J >= t overlap too much "
+    "to avoid sharing a prefix element under any fixed global order), "
+    "so the candidate equi-join keys on rare shingles exactly where "
+    "the full posting join fans out on common ones. Candidates dedup "
+    "BEFORE two doc-keyed joins pull the full sorted arrays in, and "
+    "the exact verify is array_intersect in codegen. Same contract as "
+    "dedup_ngram_jaccard at the threshold; integer-ratio scores.",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=_PF_T
+    )

@@ -268,3 +268,77 @@ class TestSparseCosine:
         out.unpersist()
         after = len(spark.sparkContext._jsc.getPersistentRDDs())
         assert after <= before
+
+
+class TestJaccardPrefixFilter:
+    """jaccard_prefix_pairs: PPJoin-style candidate generation must be
+    COMPLETE (equal to the full posting join) and actually prune."""
+
+    def _docs(self, spark):
+        base = "w%d x%d y%d z%d"
+        rows = [(i, " ".join(base % (i, i, i, i) for _ in range(3))) for i in range(20)]
+        # planted near-dups: 100/101 share most shingles; 102 unrelated
+        rows += [
+            (100, "aa bb cc dd ee ff gg hh"),
+            (101, "aa bb cc dd ee ff gg xx"),
+            (102, "qq rr ss tt uu vv"),
+        ]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_equivalent_to_full_posting_join(self, spark):
+        from erddap2agol_spark.operators.dedup import (
+            jaccard_prefix_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        docs = self._docs(spark)
+        for t in (0.3, 0.5, 0.8):
+            got = {
+                (r.doc_a, r.doc_b, r.jaccard)
+                for r in jaccard_prefix_pairs(
+                    docs, "doc_id", "text", shingle_n=3, threshold=t
+                ).collect()
+            }
+            full = ngram_jaccard_pairs(
+                docs, "doc_id", "text", shingle_n=3, threshold=t
+            )
+            want = {
+                (r.doc_a, r.doc_b, round(r.jaccard, 6))
+                for r in full.select(
+                    "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+                ).collect()
+            }
+            full.unpersist()
+            assert got == want, f"t={t}"
+
+    def test_planted_pair_found(self, spark):
+        from erddap2agol_spark.operators.dedup import jaccard_prefix_pairs
+
+        out = {
+            (r.doc_a, r.doc_b)
+            for r in jaccard_prefix_pairs(
+                self._docs(spark), "doc_id", "text", shingle_n=3, threshold=0.5
+            ).collect()
+        }
+        assert (100, 101) in out
+        assert not any(102 in p for p in out)
+
+    def test_prefix_explode_smaller_than_full(self, spark):
+        from erddap2agol_spark.operators.dedup import ensure_parallelism, word_shingles
+
+        docs = self._docs(spark)
+        sets = docs.select(
+            word_shingles(F.col("text"), 3).alias("sh")
+        ).where(F.size("sh") > 0)
+        full_rows = sets.select(F.explode("sh")).count()
+        # at t=0.8 the prefix is ~1/5 of each set
+        pref_rows = sets.select(
+            F.explode(
+                F.slice(
+                    F.col("sh"),
+                    1,
+                    (F.size("sh") - F.ceil(F.lit(0.8) * F.size("sh")) + 1).cast("int"),
+                )
+            )
+        ).count()
+        assert pref_rows < full_rows * 0.45
