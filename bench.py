@@ -56,7 +56,6 @@ HEADLINE = [
     # round 4: corpus-LM scoring (train + apply in one plan) and LPA
     "lm_perplexity",
     "label_prop_communities",
-    "dedup_jaccard_prefix",
 ]
 
 

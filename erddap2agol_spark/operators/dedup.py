@@ -718,6 +718,17 @@ def jaccard_prefix_pairs(
     the prefix equi-join, then candidate-bounded verify joins.  The
     returned frame is the same contract as ``ngram_jaccard_pairs`` at
     the same threshold (an equivalence test asserts it).
+
+    WHEN TO PICK WHICH: prefix filtering wins when document frequency
+    is SKEWED — web boilerplate shingles with df in the millions that
+    would dominate the full posting join's sum(df^2) pairwork never
+    appear in prefixes.  On a corpus with near-uniform df (measured on
+    the synthetic test corpus: max df 25), prefix collisions barely
+    prune, and ``ngram_jaccard_pairs``'s plain posting join — tiny
+    rows, map-side-combining pair counts — is decisively cheaper than
+    shipping full shingle arrays to 100x-overgenerated candidates.
+    The cheap sum(df^2)-vs-threshold probe on the df table is the
+    planner's selection signal.
     """
     d = ensure_parallelism(df)
     sets = d.select(
@@ -742,6 +753,9 @@ def jaccard_prefix_pairs(
             F.transform(F.col("ds"), lambda s: s["g"]).alias("sh"),
             F.size("ds").alias("n_sh"),
         )
+        # three consumers (prefix explode + both verify sides): persist
+        # while this call materializes, release blocking after
+        .persist()
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
@@ -775,7 +789,7 @@ def jaccard_prefix_pairs(
     sa = ordered.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
     sb = ordered.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -789,4 +803,8 @@ def jaccard_prefix_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .persist()
     )
+    out.count()
+    ordered.unpersist(True)  # blocking, so storage state is deterministic
+    return out
