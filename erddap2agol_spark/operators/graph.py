@@ -216,8 +216,9 @@ def label_propagation(
 
     Scale shape per round: one equi-join (edge ⋈ label, on the node
     id), one count aggregate on ``(node, label)``, then an argmax via
-    ``max(struct(cnt, -label))`` — a second hash aggregate on the node
-    id, NO window.  Both aggregates partial-aggregate map-side.  Label
+    ``min(struct(-cnt, label))`` — a second hash aggregate on the node
+    id, NO window — which orders by (count desc, label asc) for ANY
+    orderable label type (ints, token strings).  Both aggregates partial-aggregate map-side.  Label
     frames form a linear chain (each consumed once by the next round),
     so only the loop-invariant symmetric edge list is persisted; the
     chain itself needs no checkpointing at these depths.
@@ -237,11 +238,12 @@ def label_propagation(
             .groupBy(F.col("dst").alias("node"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        # argmax by (count, -label): max count, smallest label on ties
+        # argmax by (count desc, label asc): min of (-cnt, label) works
+        # for any orderable label type, including strings
         labels = (
             cnt.groupBy("node")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
-            .select("node", (-F.col("m.neg")).alias("label"))
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
         )
     if persist_each:
         out = labels.persist()

@@ -357,3 +357,80 @@ def hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k < 3, F.lit(None)).otherwise(F.floor(k / 3)).cast("bigint").alias("parent"),
     )
     return pointer_doubling_closure(nodes, rounds=5)
+
+
+_TC_PMI_T = 0.055
+_TC_ITERS = 3
+
+
+def _token_communities_oracle() -> str:
+    rounds = []
+    for i in range(1, _TC_ITERS + 1):
+        rounds.append(
+            f"""c{i} AS (
+      SELECT s.dst AS node, l.label, count(*) AS cnt
+      FROM sym s JOIN l{i - 1} l ON s.src = l.node
+      GROUP BY s.dst, l.label
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    td AS (SELECT DISTINCT doc, term FROM tok WHERE term <> ''),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfs AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+    elig AS (
+      SELECT term, df FROM dfs CROSS JOIN nd
+      WHERE df >= {_MIN_DF} AND df <= {_MAX_DF_RATIO} * n_docs
+    ),
+    tdf AS (SELECT doc, td.term FROM td JOIN elig ON td.term = elig.term),
+    prs AS (
+      SELECT x.term AS term_a, y.term AS term_b, count(*) AS n_ab
+      FROM tdf x JOIN tdf y ON x.doc = y.doc AND x.term < y.term
+      GROUP BY 1, 2 HAVING count(*) >= {_MIN_PAIR}
+    ),
+    edges AS (
+      SELECT term_a, term_b
+      FROM prs JOIN elig da ON term_a = da.term JOIN elig db ON term_b = db.term
+      CROSS JOIN nd
+      WHERE round(ln((n_ab * n_docs) / (da.df * db.df)), 4) >= {_TC_PMI_T}
+    ),
+    sym AS (SELECT term_a AS src, term_b AS dst FROM edges
+            UNION ALL SELECT term_b, term_a FROM edges),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    {", ".join(rounds)}
+    SELECT node AS token, label AS community FROM l{_TC_ITERS}
+    """
+
+
+@register(
+    "token_communities",
+    oracle=_token_communities_oracle(),
+    doc="Composition showcase: PMI co-occurrence edges (df-capped "
+    "before the in-doc pair join) filtered at the p75 association "
+    "strength, then 3 rounds of deterministic label propagation with "
+    "STRING labels (argmax via min(struct(-cnt, label)) orders by "
+    "count desc, token asc for any orderable label type). The whole "
+    "topic-sketching pipeline -- counts, one ln(), label joins -- in "
+    "one declarative plan; the oracle unrolls the identical rounds.",
+)
+def token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pmi = cooccurrence_pmi(
+        docs, "doc_id", "text",
+        min_df=_MIN_DF, max_df_ratio=_MAX_DF_RATIO, min_pair_n=_MIN_PAIR,
+    )
+    edges = pmi.where(F.col("pmi") >= _TC_PMI_T).select("term_a", "term_b")
+    out = label_propagation(edges, iterations=_TC_ITERS, a="term_a", b="term_b")
+    return out.select(F.col("node").alias("token"), F.col("label").alias("community"))
