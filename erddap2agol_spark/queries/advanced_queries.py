@@ -1326,3 +1326,90 @@ def merge_upsert_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(base, changes, "user_id", delete_col="deleted").orderBy(
         "user_id"
     )
+
+
+@register(
+    "source_venn",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT has_click, has_view, has_purchase, count(*) AS n_users
+    FROM flags GROUP BY 1, 2, 3
+    """,
+    doc="Multi-source Venn reconciliation: which users appear in which "
+    "combination of event streams — the first report run when "
+    "reconciling N ingest feeds (who is missing where). One pass: a "
+    "per-user flag aggregate then a 2^N-row combination count, both "
+    "map-side combining; no joins at all, so it cannot skew.",
+)
+def source_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"has_{t}")
+            for t in ("click", "view", "purchase")
+        ]
+    )
+    return flags.groupBy("has_click", "has_view", "has_purchase").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "expectations_report",
+    oracle="""
+    WITH checks AS (
+      SELECT
+        count(*) AS n_checked,
+        count(*) FILTER (WHERE l_orderkey IS NULL) AS v_key_null,
+        count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS v_qty_range,
+        count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS v_disc_range,
+        count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS v_flag_domain,
+        count(*) FILTER (WHERE l_extendedprice <= 0) AS v_price_nonpositive
+      FROM lineitem
+    )
+    SELECT 'key_null' AS check_name, v_key_null AS n_violations, n_checked FROM checks
+    UNION ALL SELECT 'qty_range', v_qty_range, n_checked FROM checks
+    UNION ALL SELECT 'disc_range', v_disc_range, n_checked FROM checks
+    UNION ALL SELECT 'flag_domain', v_flag_domain, n_checked FROM checks
+    UNION ALL SELECT 'price_nonpositive', v_price_nonpositive, n_checked FROM checks
+    """,
+    doc="Data-quality expectation suite in ONE scan: every constraint "
+    "(null keys, value ranges, domain membership, sign "
+    "checks) is a conditional count in a single aggregate — the whole "
+    "battery costs one pass with map-side combine regardless of how "
+    "many expectations are registered; the wide one-row result "
+    "unpivots to a (check, violations) report via stack, no second "
+    "scan.",
+)
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.count(F.lit(1))
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    wide = li.agg(
+        c.alias("n_checked"),
+        viol(F.col("l_orderkey").isNull()).alias("key_null"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("qty_range"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias("disc_range"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("flag_domain"),
+        viol(F.col("l_extendedprice") <= 0).alias("price_nonpositive"),
+    )
+    names = [
+        "key_null", "qty_range", "disc_range",
+        "flag_domain", "price_nonpositive",
+    ]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) AS (check_name, n_violations)",
+        "n_checked",
+    )
