@@ -24,7 +24,7 @@ approximate operator gradeable against a SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
@@ -317,5 +317,82 @@ def hll_readout(regs: DataFrame, reg_nibbles: int = 2) -> DataFrame:
                     1,
                 ),
             ).alias("linear_count"),
+        )
+    )
+
+
+def kmv_pair_jaccard(
+    df: DataFrame,
+    key: Column,
+    by: Column,
+    k: int,
+) -> DataFrame:
+    """Sketch SET ALGEBRA: estimated Jaccard between every pair of
+    groups' key sets from their KMV sketches alone (Beyer et al. 2007).
+
+    Per group, the sketch is its k smallest distinct hashes (bounded
+    state at any input scale).  For a pair, the k smallest hashes of
+    the MERGED sketch are a KMV sketch of the union, and the fraction
+    of them present in BOTH group sketches estimates J(A,B); the
+    union's kth hash estimates |A ∪ B| the usual way.  Everything
+    after the per-group sketch build runs on sketch rows — 2k per
+    pair — so comparing every pair of a thousand feeds costs
+    pairs x k rows, never a corpus pass.
+
+    Output per pair: ``(grp_a, grp_b, est_jaccard, est_union,
+    est_intersection)``, all from hashes only.
+    """
+    hv = F.conv(F.substring(F.md5(key), 1, KMV_NIBBLES), 16, 10).cast("long")
+    hashed = df.select(by.alias("grp"), hv.alias("hv")).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    sk = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("grp", "hv")
+    )
+    pairs = (
+        sk.select(F.col("grp").alias("grp_a")).distinct()
+        .crossJoin(sk.select(F.col("grp").alias("grp_b")).distinct())
+        .where(F.col("grp_a") < F.col("grp_b"))
+    )
+    a_side = sk.select(F.col("grp").alias("grp_a"), "hv", F.lit(1).alias("in_a"))
+    b_side = sk.select(F.col("grp").alias("grp_b"), "hv", F.lit(1).alias("in_b"))
+    # per pair: the union of both sketches with membership flags
+    ua = pairs.join(a_side, "grp_a").select(
+        "grp_a", "grp_b", "hv", "in_a", F.lit(0).alias("in_b")
+    )
+    ub = pairs.join(b_side, "grp_b").select(
+        "grp_a", "grp_b", "hv", F.lit(0).alias("in_a"), "in_b"
+    )
+    ext = ua.unionAll(ub)
+    both = ext.groupBy("grp_a", "grp_b", "hv").agg(
+        F.max("in_a").alias("a"), F.max("in_b").alias("b")
+    )
+    wp = Window.partitionBy("grp_a", "grp_b").orderBy("hv")
+    topk = both.withColumn("rk", F.row_number().over(wp)).where(F.col("rk") <= k)
+    return (
+        topk.groupBy("grp_a", "grp_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("hv").alias("kth"),
+            F.sum(F.col("a") * F.col("b")).alias("n_both"),
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            F.round(F.col("n_both") / F.col("n_kept"), 4).alias("est_jaccard"),
+            F.round(
+                F.when(
+                    F.col("n_kept") < k, F.col("n_kept").cast("double")
+                ).otherwise((F.lit(k - 1)) / (F.col("kth") / F.lit(KMV_SCALE))),
+                4,
+            ).alias("est_union"),
+            F.round(
+                (F.col("n_both") / F.col("n_kept"))
+                * F.when(
+                    F.col("n_kept") < k, F.col("n_kept").cast("double")
+                ).otherwise((F.lit(k - 1)) / (F.col("kth") / F.lit(KMV_SCALE))),
+                4,
+            ).alias("est_intersection"),
         )
     )

@@ -242,3 +242,75 @@ def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+_PJ_K = 128
+
+
+@register(
+    "kmv_pair_overlap",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS grp,
+             {duckdb_hex_int("CAST(user_id AS VARCHAR)", KMV_NIBBLES)} AS hv
+      FROM events
+    ),
+    sk AS (
+      SELECT grp, hv FROM (
+        SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk
+        FROM h
+      ) WHERE rk <= {_PJ_K}
+    ),
+    pr AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b
+      FROM (SELECT DISTINCT grp FROM sk) a, (SELECT DISTINCT grp FROM sk) b
+      WHERE a.grp < b.grp
+    ),
+    ext AS (
+      SELECT pr.grp_a, pr.grp_b, s.hv, 1 AS in_a, 0 AS in_b
+      FROM pr JOIN sk s ON s.grp = pr.grp_a
+      UNION ALL
+      SELECT pr.grp_a, pr.grp_b, s.hv, 0, 1
+      FROM pr JOIN sk s ON s.grp = pr.grp_b
+    ),
+    mb AS (
+      SELECT grp_a, grp_b, hv, max(in_a) AS a, max(in_b) AS b
+      FROM ext GROUP BY grp_a, grp_b, hv
+    ),
+    tk AS (
+      SELECT * FROM (
+        SELECT grp_a, grp_b, hv, a, b,
+               row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY hv) AS rk
+        FROM mb
+      ) WHERE rk <= {_PJ_K}
+    ),
+    est AS (
+      SELECT grp_a, grp_b, count(*) AS n_kept, max(hv) AS kth,
+             CAST(sum(a * b) AS BIGINT) AS n_both
+      FROM tk GROUP BY grp_a, grp_b
+    )
+    SELECT grp_a, grp_b,
+           round(n_both / CAST(n_kept AS DOUBLE), 4) AS est_jaccard,
+           round(CASE WHEN n_kept < {_PJ_K} THEN CAST(n_kept AS DOUBLE)
+                      ELSE ({_PJ_K} - 1) / (kth / {KMV_SCALE!r}) END, 4) AS est_union,
+           round((n_both / CAST(n_kept AS DOUBLE)) *
+                 CASE WHEN n_kept < {_PJ_K} THEN CAST(n_kept AS DOUBLE)
+                      ELSE ({_PJ_K} - 1) / (kth / {KMV_SCALE!r}) END, 4)
+             AS est_intersection
+    FROM est
+    """,
+    doc="Sketch set algebra (Beyer et al. 2007): estimated Jaccard, "
+    "union and intersection sizes between every pair of event-stream "
+    "user sets, from their KMV sketches alone. After the per-group "
+    "k-min build (bounded window), everything runs on 2k rows per "
+    "pair -- comparing a thousand feeds costs pairs x k rows, never a "
+    "second corpus pass. Pure md5 + integer arithmetic until the "
+    "final rounded divisions: bit-identical across engines.",
+)
+def kmv_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_pair_jaccard
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_pair_jaccard(
+        ev, F.col("user_id").cast("string"), F.col("event_type"), k=_PJ_K
+    )

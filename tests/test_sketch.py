@@ -126,3 +126,48 @@ def test_hll_estimate_tracks_cardinality(spark):
     row = hll_estimate(df, F.col("k"), reg_nibbles=2).first()
     # m=256 registers: standard error ~1.04/sqrt(m) ~ 6.5%; allow 3 sigma
     assert abs(row["raw_estimate"] - 2000) / 2000 < 0.2
+
+
+def test_kmv_pair_jaccard_tracks_truth(spark):
+    """Planted overlap: estimates within sketch error of the truth,
+    disjoint pairs exactly zero."""
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.sketch import kmv_pair_jaccard
+
+    rows = (
+        [("A", i) for i in range(1000)]
+        + [("B", i) for i in range(500, 1500)]
+        + [("C", i) for i in range(5000, 5100)]
+    )
+    df = spark.createDataFrame(rows, "grp string, uid int")
+    out = {
+        (r.grp_a, r.grp_b): (r.est_jaccard, r.est_union, r.est_intersection)
+        for r in kmv_pair_jaccard(
+            df, F.col("uid").cast("string"), F.col("grp"), k=256
+        ).collect()
+    }
+    j, u, i = out[("A", "B")]
+    assert abs(j - 1 / 3) < 0.08
+    assert abs(u - 1500) < 250
+    assert abs(i - 500) < 150
+    assert out[("A", "C")][0] == 0.0 and out[("B", "C")][0] == 0.0
+
+
+def test_kmv_pair_jaccard_exact_when_small(spark):
+    """Groups smaller than k: the sketch IS the set, so every estimate
+    is exact."""
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.sketch import kmv_pair_jaccard
+
+    rows = [("X", i) for i in range(10)] + [("Y", i) for i in range(5, 15)]
+    df = spark.createDataFrame(rows, "grp string, uid int")
+    r = kmv_pair_jaccard(
+        df, F.col("uid").cast("string"), F.col("grp"), k=64
+    ).collect()[0]
+    assert (r.est_jaccard, r.est_union, r.est_intersection) == (
+        round(5 / 15, 4),
+        15.0,
+        round(5 / 15 * 15, 4),
+    )
