@@ -478,6 +478,7 @@ NESTED_LOOP_JUSTIFIED = {
     "nrt_window",  # 1-row max-timestamp scalar
     "pagerank_copurchase",  # 1-row node-count scalar x unrolled rounds
     "pmi_pairs",
+    "kmv_pair_overlap",  # |groups|^2 cross of the distinct-group dictionary
     "token_communities",  # pmi n_docs scalar x unrolled LPA rounds
     "q11_important_stock",  # HAVING-over-global-total scalar
     "q22_idle_rich_customers",  # above-average scalar
