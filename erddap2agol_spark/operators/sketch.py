@@ -396,3 +396,41 @@ def kmv_pair_jaccard(
             ).alias("est_intersection"),
         )
     )
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: Column,
+    right_key: Column,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from count-min sketches (the AMS inner
+    product): ``|L ⋈ R|`` on a key equals ``Σ_k f_L(k)·f_R(k)``, and
+    the row-wise inner product of the two CMS tables over-estimates it
+    (min across depths is the tightest).  This is how a planner sizes
+    a join — picks broadcast vs shuffle, flags a fan-out blowup —
+    WITHOUT executing it: each side costs one map-side-combining
+    aggregation into d×w cells, the estimate itself d×w multiplies.
+
+    Output: one row ``(est_join_size, ...)`` — the min/avg/max across
+    depths, so the caller sees the estimator spread.
+    """
+    a = countmin_cells(left, left_key, depth, width)
+    b = countmin_cells(right, right_key, depth, width)
+    prod = (
+        a.join(
+            b.select(
+                F.col("j"), F.col("bucket"), F.col("cnt").alias("cnt_b")
+            ),
+            ["j", "bucket"],
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    )
+    return prod.agg(
+        F.min("ip").alias("est_join_size"),
+        F.round(F.avg("ip"), 1).alias("avg_depth_estimate"),
+        F.max("ip").alias("max_depth_estimate"),
+    )

@@ -314,3 +314,71 @@ def kmv_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_pair_jaccard(
         ev, F.col("user_id").cast("string"), F.col("event_type"), k=_PJ_K
     )
+
+
+@register(
+    "cms_join_size_estimate",
+    oracle=f"""
+    WITH lsrc AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events
+                  WHERE event_type = 'click'),
+    rsrc AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events
+             WHERE event_type = 'purchase'),
+    lrows AS (
+      SELECT key, j,
+             {duckdb_hex_int("CAST(j AS VARCHAR) || '|' || key", 4)} % {_WIDTH}
+               AS bucket
+      FROM lsrc CROSS JOIN (VALUES (0), (1), (2)) AS d(j)
+    ),
+    rrows AS (
+      SELECT key, j,
+             {duckdb_hex_int("CAST(j AS VARCHAR) || '|' || key", 4)} % {_WIDTH}
+               AS bucket
+      FROM rsrc CROSS JOIN (VALUES (0), (1), (2)) AS d(j)
+    ),
+    lc AS (SELECT j, bucket, count(*) AS cnt FROM lrows GROUP BY j, bucket),
+    rc AS (SELECT j, bucket, count(*) AS cnt_b FROM rrows GROUP BY j, bucket),
+    ip AS (
+      SELECT lc.j, CAST(sum(lc.cnt * rc.cnt_b) AS BIGINT) AS ip
+      FROM lc JOIN rc ON lc.j = rc.j AND lc.bucket = rc.bucket
+      GROUP BY lc.j
+    ),
+    est AS (
+      SELECT min(ip) AS est_join_size,
+             round(avg(ip), 1) AS avg_depth_estimate,
+             max(ip) AS max_depth_estimate
+      FROM ip
+    ),
+    truth AS (
+      SELECT CAST(count(*) AS BIGINT) AS true_join_size
+      FROM lsrc JOIN rsrc USING (key)
+    )
+    SELECT est_join_size, avg_depth_estimate, max_depth_estimate,
+           true_join_size
+    FROM est CROSS JOIN truth
+    """,
+    doc="Join-size estimation without executing the join (AMS inner "
+    "product over count-min sketches): |clicks x purchases per user| "
+    "estimated from two d x w cell tables -- each one map-side "
+    "aggregation, the estimate d x w multiplies, min across depths. "
+    "The planner question ('will this join blow up?') answered at "
+    "sketch cost; the exact join size rides along to show the "
+    "overcount. Bit-exact across engines (md5 + integer arithmetic).",
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_join_size
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    buys = ev.where(F.col("event_type") == "purchase")
+    est = cms_join_size(
+        clicks,
+        buys,
+        F.col("user_id").cast("string"),
+        F.col("user_id").cast("string"),
+        _DEPTH,
+        _WIDTH,
+    )
+    lk = clicks.select(F.col("user_id").alias("k"))
+    rk = buys.select(F.col("user_id").alias("k"))
+    truth = lk.join(rk, "k").agg(F.count(F.lit(1)).alias("true_join_size"))
+    return est.crossJoin(F.broadcast(truth))

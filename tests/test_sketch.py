@@ -171,3 +171,19 @@ def test_kmv_pair_jaccard_exact_when_small(spark):
         15.0,
         round(5 / 15 * 15, 4),
     )
+
+
+def test_cms_join_size_never_underestimates(spark):
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.sketch import cms_join_size
+
+    left = spark.createDataFrame([(i % 7,) for i in range(100)], "k int")
+    right = spark.createDataFrame([(i % 5,) for i in range(60)], "k int")
+    true_size = left.join(right, "k").count()
+    r = cms_join_size(
+        left, right, F.col("k").cast("string"), F.col("k").cast("string"),
+        depth=3, width=32,
+    ).collect()[0]
+    assert r.est_join_size >= true_size  # CMS inner product overcounts
+    assert r.max_depth_estimate >= r.est_join_size
