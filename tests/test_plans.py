@@ -479,6 +479,7 @@ NESTED_LOOP_JUSTIFIED = {
     "pagerank_copurchase",  # 1-row node-count scalar x unrolled rounds
     "pmi_pairs",
     "kmv_pair_overlap",  # |groups|^2 cross of the distinct-group dictionary
+    "cms_join_size_estimate",  # 1-row exact-size scalar beside the estimate
     "token_communities",  # pmi n_docs scalar x unrolled LPA rounds
     "q11_important_stock",  # HAVING-over-global-total scalar
     "q22_idle_rich_customers",  # above-average scalar
