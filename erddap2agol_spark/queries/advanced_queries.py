@@ -1413,3 +1413,43 @@ def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(names)}, {stack}) AS (check_name, n_violations)",
         "n_checked",
     )
+
+
+@register(
+    "incremental_join_merge",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Incremental JOIN maintenance, proven by the oracle: the view "
+    "orders x customer is maintained under simultaneous appends to "
+    "BOTH sides with the delta rule "
+    "d(A x B) = dA x B + A x dB + dA x dB -- Spark computes the old "
+    "view plus the three delta joins (never re-joining base against "
+    "base), the oracle recomputes the whole join from scratch, and "
+    "the hash match proves the rule. Each delta join has a delta-"
+    "sized side, so maintenance cost tracks the INCREMENT, not the "
+    "accumulated history -- the property that makes materialized "
+    "views affordable under streaming ingestion.",
+)
+def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # append simulation: ~1/4 of each side is "new"
+    oa, od = o.filter(F.col("o_orderkey") % 4 != 0), o.filter(
+        F.col("o_orderkey") % 4 == 0
+    )
+    ca, cd = c.filter(F.col("c_custkey") % 4 != 0), c.filter(
+        F.col("c_custkey") % 4 == 0
+    )
+
+    def j(lhs, rhs):
+        return lhs.join(rhs, lhs.o_custkey == rhs.c_custkey).select(
+            "o_orderkey", "o_custkey", "c_name", "o_totalprice"
+        )
+
+    old_view = j(oa, ca)
+    delta = j(od, ca).unionAll(j(oa, cd)).unionAll(j(od, cd))
+    return old_view.unionAll(delta)
