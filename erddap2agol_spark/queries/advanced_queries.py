@@ -1453,3 +1453,88 @@ def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_view = j(oa, ca)
     delta = j(od, ca).unionAll(j(oa, cd)).unionAll(j(od, cd))
     return old_view.unionAll(delta)
+
+
+@register(
+    "k_anonymity_report",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT group_size >= 5 AS is_anonymous,
+           count(*) AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_rows,
+           min(group_size) AS min_group,
+           max(group_size) AS max_group
+    FROM qi GROUP BY 1
+    """,
+    doc="k-anonymity audit over the (nation, market-segment) "
+    "quasi-identifier: group sizes in one hash aggregate, then the "
+    "k=5 compliance split -- how many equivalence classes (and rows) "
+    "sit below the re-identification threshold. The whole privacy "
+    "report is two map-side-combining aggregates; at 100 TB the "
+    "second runs on |QI-combinations| rows.",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return qi.groupBy((F.col("group_size") >= 5).alias("is_anonymous")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").alias("n_rows"),
+        F.min("group_size").alias("min_group"),
+        F.max("group_size").alias("max_group"),
+    )
+
+
+@register(
+    "null_semantics_matrix",
+    oracle="""
+    WITH probe AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS maybe_cust
+      FROM orders
+    )
+    SELECT
+      count(*) AS n_rows,
+      count(maybe_cust) AS n_nonnull,
+      count(*) FILTER (WHERE maybe_cust = 1) AS eq_matches,
+      count(*) FILTER (WHERE maybe_cust IS NOT DISTINCT FROM NULL) AS nullsafe_null,
+      count(*) FILTER (WHERE maybe_cust IN (1, 2, 3)) AS in_matches,
+      count(*) FILTER (WHERE maybe_cust NOT IN (1, 2, 3)) AS notin_matches,
+      count(*) FILTER (WHERE NOT (maybe_cust = maybe_cust)) AS neq_self,
+      count(*) FILTER (WHERE coalesce(maybe_cust = 1, false) OR maybe_cust IS NULL)
+        AS coalesced
+    FROM probe
+    """,
+    doc="Three-valued-logic conformance matrix: the classic NULL traps "
+    "(= never matches NULL, NOT IN collapses on NULLs, x = x is "
+    "UNKNOWN for NULL, null-safe IS NOT DISTINCT FROM) counted in one "
+    "scan on both engines -- a hash mismatch here means the engines "
+    "disagree on SQL's core semantics, so this row doubles as a "
+    "conformance canary for every other filter in the registry.",
+)
+def null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    probe = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("maybe_cust")
+    )
+    mc = F.col("maybe_cust")
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return probe.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(mc).alias("n_nonnull"),
+        n(mc == 1).alias("eq_matches"),
+        n(mc.eqNullSafe(F.lit(None))).alias("nullsafe_null"),
+        n(mc.isin(1, 2, 3)).alias("in_matches"),
+        n(~mc.isin(1, 2, 3)).alias("notin_matches"),
+        n(~(mc == mc)).alias("neq_self"),
+        n(F.coalesce(mc == 1, F.lit(False)) | mc.isNull()).alias("coalesced"),
+    )
