@@ -1538,3 +1538,45 @@ def null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(~(mc == mc)).alias("neq_self"),
         n(F.coalesce(mc == 1, F.lit(False)) | mc.isNull()).alias("coalesced"),
     )
+
+
+@register(
+    "weighted_median_by_type",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value AS v,
+             CAST(1 + user_id % 3 AS DOUBLE) AS wt
+      FROM events WHERE value IS NOT NULL
+    ),
+    cum AS (
+      SELECT event_type, v, wt,
+             sum(wt) OVER (PARTITION BY event_type ORDER BY v, wt
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY event_type) AS tw
+      FROM w
+    )
+    SELECT event_type, min(v) AS wmedian
+    FROM cum WHERE cw >= tw / 2.0
+    GROUP BY event_type
+    """,
+    doc="Grades the Pandas-UDAF path itself: Spark computes the "
+    "per-type weighted median with the grouped-agg Arrow UDF "
+    "(functions/udtf.weighted_median), the oracle with the cumulative-"
+    "weight window formulation. Lower interpolation picks an EXACT "
+    "element of the input, so the result is bit-identical across the "
+    "two completely different execution paths -- Python-worker Arrow "
+    "batches vs SQL windows.",
+)
+def weighted_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtf import weighted_median
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return (
+        ev.select(
+            "event_type",
+            F.col("value").alias("v"),
+            (1 + F.col("user_id") % 3).cast("double").alias("wt"),
+        )
+        .groupBy("event_type")
+        .agg(weighted_median("v", "wt").alias("wmedian"))
+    )
