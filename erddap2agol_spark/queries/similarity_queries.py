@@ -654,3 +654,43 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rk")
     )
+
+
+@register(
+    "embedding_dim_profile",
+    oracle="""
+    WITH d AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT dim,
+           count(*) AS n,
+           round(avg(x), 6) AS mean,
+           round(min(x), 6) AS vmin,
+           round(max(x), 6) AS vmax,
+           round(quantile_cont(x, 0.05), 6) AS p5,
+           round(quantile_cont(x, 0.95), 6) AS p95
+    FROM d GROUP BY dim
+    """,
+    doc="Embedding-space profile: per-dimension count/mean/min/max and "
+    "exact p5/p95 over the corpus -- the drift monitor run before and "
+    "after an encoder swap (a shifted dimension distribution flags "
+    "preprocessing or model-version skew). One posexplode + one hash "
+    "aggregate per dimension key; output is |dims| rows at any corpus "
+    "size. Percentiles interpolate over float32-exact doubles, "
+    "rounded at 6dp on both engines.",
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.min("x"), 6).alias("vmin"),
+        F.round(F.max("x"), 6).alias("vmax"),
+        F.round(F.percentile("x", F.lit(0.05)), 6).alias("p5"),
+        F.round(F.percentile("x", F.lit(0.95)), 6).alias("p95"),
+    )
