@@ -1580,3 +1580,53 @@ def weighted_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(weighted_median("v", "wt").alias("wmedian"))
     )
+
+
+@register(
+    "null_aware_anti_join",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0
+      UNION ALL SELECT NULL
+    ),
+    not_in_form AS (
+      SELECT count(*) AS n FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)
+    ),
+    anti_form AS (
+      SELECT count(*) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = o.o_custkey)
+    )
+    SELECT (SELECT n FROM not_in_form) AS notin_count,
+           (SELECT n FROM anti_form) AS anti_count
+    """,
+    doc="The null-aware anti-join trap, graded: with a NULL in the "
+    "subquery, SQL's NOT IN returns UNKNOWN for every probe row (so "
+    "the count is 0), while NOT EXISTS -- the anti-join DataFrame "
+    "users reach for -- still filters normally. Spark compiles the "
+    "NOT IN form to its null-aware anti join (single-column "
+    "broadcast, the 3.1+ fast path); emitting both counts side by "
+    "side pins the semantic difference across engines.",
+)
+def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH dim AS (
+          SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0
+          UNION ALL SELECT CAST(NULL AS BIGINT)
+        ),
+        not_in_form AS (
+          SELECT count(*) AS n FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)
+        ),
+        anti_form AS (
+          SELECT count(*) AS n FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = o.o_custkey)
+        )
+        SELECT (SELECT n FROM not_in_form) AS notin_count,
+               (SELECT n FROM anti_form) AS anti_count
+        """
+    )
