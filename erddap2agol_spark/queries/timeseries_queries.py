@@ -282,3 +282,50 @@ def interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b_id").alias("first_b"),
         F.max("b_id").alias("last_b"),
     )
+
+
+@register(
+    "wow_revenue_change",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT c.week, c.revenue,
+           p.revenue AS prev_revenue,
+           round((c.revenue - p.revenue) / p.revenue, 4) AS pct_change
+    FROM wk c JOIN wk p ON c.week = p.week + INTERVAL 7 DAY
+    """,
+    doc="Week-over-week revenue change built the scale-honest way: "
+    "weekly totals from one hash aggregate, then a SELF-JOIN on "
+    "week = prev_week + 7 days instead of a lag over a global "
+    "order-only window (the join is an equi-join on the week key; the "
+    "window form would single-partition the series and trip the "
+    "registry window audit). Revenue sums as exact decimals so "
+    "cross-engine order cannot move a cent.",
+)
+def wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    wk = ev.groupBy(
+        F.to_date(
+            F.date_trunc("week", F.col("ts").cast("timestamp"))
+        ).alias("week")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue")
+    )
+    prev = wk.select(
+        F.date_add(F.col("week"), 7).alias("week"),
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return wk.join(prev, "week").select(
+        "week",
+        "revenue",
+        "prev_revenue",
+        F.round(
+            (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"), 4
+        ).alias("pct_change"),
+    )
