@@ -1630,3 +1630,106 @@ def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT n FROM anti_form) AS anti_count
         """
     )
+
+
+@register(
+    "referential_integrity_report",
+    oracle="""
+    SELECT 'orders.custkey' AS fk_edge,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.orderkey',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.partkey',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    """,
+    doc="Referential-integrity audit across the star schema's three "
+    "FK edges in one report: orphan counts via LEFT ANTI joins whose "
+    "build sides are the (broadcastable) key columns only -- at "
+    "100 TB each edge costs one keys-only broadcast probe over the "
+    "fact, never a fact shuffle. The ingest-pipeline smoke test that "
+    "catches partial loads and dangling deletes.",
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def edge(name, fact, key, dim, dim_key):
+        orphans = fact.select(key).join(
+            F.broadcast(dim.select(dim_key)),
+            fact[key] == dim[dim_key],
+            "left_anti",
+        )
+        return (
+            fact.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
+        )
+
+    return (
+        edge("orders.custkey", o, "o_custkey", c, "c_custkey")
+        .unionAll(edge("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey"))
+        .unionAll(edge("lineitem.partkey", li, "l_partkey", p, "p_partkey"))
+    )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT count(*) AS total FROM d)
+    SELECT digit, count(*) AS n_obs,
+           round(count(*) / CAST(total AS DOUBLE), 4) AS share,
+           round(log10(1.0 + 1.0 / digit), 4) AS benford_share,
+           round(count(*) / CAST(total AS DOUBLE)
+                 - log10(1.0 + 1.0 / digit), 4) AS deviation
+    FROM d CROSS JOIN n
+    GROUP BY digit, total
+    """,
+    doc="Benford first-digit forensics over order totals: observed "
+    "leading-digit shares next to log10(1 + 1/d) and the deviation -- "
+    "the fraud/synthetic-data screen auditors run on financial "
+    "columns. One narrow map (leading digit of the integer part) and "
+    "one 9-row aggregate; the only floats are two final rounded "
+    "divisions and a log10 of a constant.",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit", "total")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("total"), 4).alias("share"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("benford_share"),
+            F.round(
+                F.col("n_obs") / F.col("total")
+                - F.log10(1.0 + 1.0 / F.col("digit")),
+                4,
+            ).alias("deviation"),
+        )
+    )

@@ -480,6 +480,8 @@ NESTED_LOOP_JUSTIFIED = {
     "pmi_pairs",
     "kmv_pair_overlap",  # |groups|^2 cross of the distinct-group dictionary
     "cms_join_size_estimate",  # 1-row exact-size scalar beside the estimate
+    "referential_integrity_report",  # 1-row count scalars per FK edge
+    "benford_first_digit",  # 1-row total scalar
     "token_communities",  # pmi n_docs scalar x unrolled LPA rounds
     "q11_important_stock",  # HAVING-over-global-total scalar
     "q22_idle_rich_customers",  # above-average scalar
