@@ -37,21 +37,20 @@ def make_sentence_udtf():
         def eval(self, doc_id: int, text: str):
             if text is None:
                 return
-            start = 0
             idx = 0
-            cur = []
+            sent_start = None  # first non-space char of the pending sentence
             for i, ch in enumerate(text):
-                cur.append(ch)
                 if ch in ".!?":
-                    s = "".join(cur).strip()
-                    if s:
-                        yield doc_id, idx, s, start
+                    if sent_start is not None:
+                        yield doc_id, idx, text[sent_start : i + 1], sent_start
                         idx += 1
-                    cur = []
-                    start = i + 1
-            tail = "".join(cur).strip()
-            if tail:
-                yield doc_id, idx, tail, start
+                        sent_start = None
+                elif not ch.isspace() and sent_start is None:
+                    sent_start = i
+            if sent_start is not None:
+                tail = text[sent_start:].rstrip()
+                if tail:
+                    yield doc_id, idx, tail, sent_start
 
     return SentenceSplit
 

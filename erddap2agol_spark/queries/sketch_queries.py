@@ -337,10 +337,14 @@ def kmv_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lc AS (SELECT j, bucket, count(*) AS cnt FROM lrows GROUP BY j, bucket),
     rc AS (SELECT j, bucket, count(*) AS cnt_b FROM rrows GROUP BY j, bucket),
-    ip AS (
+    ip0 AS (
       SELECT lc.j, CAST(sum(lc.cnt * rc.cnt_b) AS BIGINT) AS ip
       FROM lc JOIN rc ON lc.j = rc.j AND lc.bucket = rc.bucket
       GROUP BY lc.j
+    ),
+    ip AS (
+      SELECT d.j, coalesce(ip0.ip, 0) AS ip
+      FROM (VALUES (0), (1), (2)) AS d(j) LEFT JOIN ip0 ON d.j = ip0.j
     ),
     est AS (
       SELECT min(ip) AS est_join_size,

@@ -246,7 +246,7 @@ def test_dedup_within_watermark_across_batches(spark, tmp_path):
     LATER micro-batch (within the watermark) is dropped; the surviving
     row set equals batch dropDuplicates on the keys."""
     src = str(tmp_path / "dsrc")
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(F.col("event_id") < 200)
     first = ev.filter(F.col("event_id") % 2 == 0)
     first.write.parquet(src)
     # second batch: new odd rows PLUS a re-delivery of 30 even rows
@@ -277,7 +277,7 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
 
     left_dir = str(tmp_path / "l")
     right_dir = str(tmp_path / "r")
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(400)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(F.col("event_id") < 400)
     lhs = ev.filter(F.col("event_id") % 2 == 0)
     rhs = ev.filter(F.col("event_id") % 2 == 1)
     lhs.write.parquet(left_dir)

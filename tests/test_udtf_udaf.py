@@ -25,10 +25,14 @@ def test_sentence_udtf_lateral_join(spark):
     got = [(r.doc_id, r.sent_idx, r.sentence, r.start_char) for r in rows]
     assert got == [
         (1, 0, "Hello world.", 0),
-        (1, 1, "How are you?", 12),
-        (1, 2, "Fine!", 25),
+        (1, 1, "How are you?", 13),
+        (1, 2, "Fine!", 26),
         (2, 0, "One sentence", 0),
     ]
+    # the offset contract: text[start_char:] begins with the sentence
+    text = "Hello world. How are you? Fine!"
+    for _, _, sent, start in got[:3]:
+        assert text[start : start + len(sent)] == sent
 
 
 def test_sentence_udtf_matches_column_algebra_counts(spark):
