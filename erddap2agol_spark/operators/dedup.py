@@ -655,6 +655,8 @@ def sparse_cosine_pairs(
             "left_semi",
         )
     tf = tf.persist()
+    tf.count()  # eager fill — see jaccard_prefix_pairs: broadcast
+    # builds on async threads must find a warm cache
     norms = tf.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
     )
@@ -731,10 +733,14 @@ def jaccard_prefix_pairs(
     planner's selection signal.
     """
     d = ensure_parallelism(df)
+    # no size>0 filter on the computed array: the alias-substituted
+    # filter would push below the fan-out and re-run the shingle
+    # build in the single-split scan stage; empty sets drop out of
+    # the posting explode on their own
     sets = d.select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
+    )
     # global shingle rarity (document frequency)
     posting = sets.select("doc", F.explode("sh").alias("g"))
     dfreq = posting.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -753,10 +759,12 @@ def jaccard_prefix_pairs(
             F.transform(F.col("ds"), lambda s: s["g"]).alias("sh"),
             F.size("ds").alias("n_sh"),
         )
-        # three consumers (prefix explode + both verify sides): persist
-        # while this call materializes, release blocking after
+        # three consumers (prefix explode + both verify sides):
+        # persist + EAGER fill, so the verify joins' async broadcast
+        # builds find a warm cache instead of racing a cold one
         .persist()
     )
+    ordered.count()
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).cast("int")

@@ -264,8 +264,14 @@ def dedup_lsh_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cand = dedup.lsh_candidate_pairs(docs, "doc_id", "text", n_perm=8, rows_per_band=2)
     grams = dedup.word_shingles(F.col("text"), 3)
-    arr = docs.select(F.col("doc_id").alias("doc"), grams.alias("sa")).where(
-        F.size("sa") > 0
+    # No size>0 filter on the computed array: Catalyst substitutes the
+    # alias and pushes the filter below the fan-out repartition, running
+    # the whole shingle computation a second time inside the
+    # single-split scan stage (measured: 8s of the query's 10s at
+    # sf0.1).  The filter is redundant anyway — every candidate doc has
+    # shingles by construction (it carries a MinHash signature).
+    arr = dedup.ensure_parallelism(docs).select(
+        F.col("doc_id").alias("doc"), grams.alias("sa")
     )
     inter = F.size(F.array_intersect(F.col("x.sa"), F.col("y.sa")))
     return (
