@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Double-precision dot product of two float-array columns."""
+    """Double-precision dot product of two float-array columns.
+
+    Deliberately the higher-order-function fold: an unrolled 64-term
+    expression chain was measured SLOWER (codegen blow-up when the
+    cosine lands in multi-reference join projections), and the fold's
+    left-to-right order matches DuckDB's list_sum bit-for-bit.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -375,8 +381,15 @@ def assign_cells(
     """Assign every vector to its ``n`` nearest cells: map-side broadcast
     cross join against the L-row cell table, then a window PARTITIONED BY
     vector id (keyed — no global state). Rounded cosines + label
-    tie-break keep the assignment engine-portable."""
-    sn = with_norm(side, id_col, vec_col)
+    tie-break keep the assignment engine-portable.
+
+    The vector side fans out first: the |side| x L cosine scoring is
+    the expensive map (higher-order-function dot products are
+    interpreted, not codegen'd), and a single-split scan would run it
+    all on one core (measured 7s single-task at sf0.1)."""
+    from .dedup import ensure_parallelism
+
+    sn = with_norm(ensure_parallelism(side), id_col, vec_col)
     scored = sn.crossJoin(F.broadcast(cells)).select(
         "id",
         "label",
