@@ -333,12 +333,19 @@ def ngram_jaccard_pairs(
     cache entry the caller owns (``result.unpersist()`` when done).
     """
     src = ensure_parallelism(df)
-    # persisted: the pair self-join scans the shingle explode twice
+    # persisted: the pair self-join scans the shingle explode twice.
+    # TWO-STEP projection: materialize the shingle array once, then
+    # size/explode the COLUMN — `select(size(expr), explode(expr))`
+    # in one step re-evaluates the whole array expression per EXPLODED
+    # row (the projection sits above the Generate and rebinds to the
+    # original text), measured 36s -> 4.3s for the capped build at
+    # sf0.1.
     grams = word_shingles(F.col(text_col), shingle_n)
-    sh = src.select(
-        F.col(id_col).alias("doc"),
-        F.size(grams).alias("n_sh"),
-        F.explode(grams).alias("sh"),
+    base = src.select(F.col(id_col).alias("doc"), grams.alias("__g"))
+    sh = base.select(
+        "doc",
+        F.size("__g").alias("n_sh"),
+        F.explode("__g").alias("sh"),
     )
     if max_doc_freq is not None:
         rare = (
