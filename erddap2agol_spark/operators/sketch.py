@@ -321,6 +321,96 @@ def hll_readout(regs: DataFrame, reg_nibbles: int = 2) -> DataFrame:
     )
 
 
+def histogram_bins(
+    df: DataFrame, col: Column, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Fixed-grid value histogram ``(bin, cnt)`` over ``[lo, hi)``:
+    clamp + floor binning is a pure narrow map, and the count is ONE
+    map-side-combinable aggregation emitting at most ``n_bins`` rows at
+    ANY input scale.  Out-of-range values land in the edge bins (the
+    grid is a sketch config, not a data scan), and the per-shard tables
+    merge by summing counts bin-wise — the mergeable-summary property
+    that makes this the 100 TB quantile path where exact
+    ``percentile()`` would collect every value into one aggregation
+    buffer."""
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((col.cast("double") - F.lit(lo)) / F.lit(width)).cast(
+                "int"
+            ),
+        ),
+    )
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: Column,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Quantile estimates ``(q, est_value, n_rows)`` read off the
+    bounded histogram: collect the ≤ ``n_bins``-row bin table into ONE
+    row, then per requested quantile fold it in bin-sorted order to the
+    first bin whose cumulative count reaches rank ``q*n`` and linearly
+    interpolate inside it.
+
+    The readout is the pinned-order float-fold pattern shared with the
+    HLL/BM25 readouts — no window (the CDF scan happens inside an
+    ``aggregate`` over a bounded array, never as an order-only Window
+    over row data) and no join, so the whole plan is map + one bounded
+    agg + a one-row fold.  Estimate error is at most one bin width;
+    callers pick ``n_bins`` to taste (state stays ``O(n_bins)``
+    regardless of data size)."""
+    width = (hi - lo) / n_bins
+    packed = histogram_bins(df, col, lo, hi, n_bins).agg(
+        F.array_sort(F.collect_list(F.struct("bin", "cnt"))).alias("bs"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    ex = packed.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        "bs",
+        "n_rows",
+    )
+    rank = F.col("q") * F.col("n_rows").cast("double")
+    state = F.aggregate(
+        F.col("bs"),
+        F.struct(
+            F.lit(0.0).alias("cum"),
+            F.lit(None).cast("double").alias("est"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["cum"] + s["cnt"]).alias("cum"),
+            F.coalesce(
+                acc["est"],
+                F.when(
+                    acc["cum"] + s["cnt"] >= rank,
+                    F.lit(lo)
+                    + (
+                        s["bin"].cast("double")
+                        + (rank - acc["cum"]) / s["cnt"]
+                    )
+                    * F.lit(width),
+                ),
+            ).alias("est"),
+        ),
+    )
+    return ex.select(
+        "q",
+        F.round(state["est"], 6).alias("est_value"),
+        "n_rows",
+    )
+
+
 def kmv_pair_jaccard(
     df: DataFrame,
     key: Column,

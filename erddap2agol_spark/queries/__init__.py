@@ -73,32 +73,45 @@ def _load_all() -> None:
 # rows.  Everything else follows in registration order and rotates into the
 # window in later rounds.
 _GRADE_PRIORITY: list[str] = [
-    # (a) red/err rows in round 2 (TIMESTAMP_NTZ unix_micros crash),
-    # fixed this round via functions.datetimes.epoch_us
-    "sessionization", "qc_flags", "resample_daily_locf",
-    # (b) registered but never graded in rounds 1-2
-    "pmi_pairs", "sim_graph_triangles", "mix_keep_list", "mix_summary",
-    "qc_station_summary", "inverted_index", "kmv_distinct_by_type",
-    "cms_user_counts", "semdedup_keep", "nearest_station_binned",
-    "sampling_gap_stats", "ewma_value", "climatology_anomaly",
-    # (c) new this round — need their first driver row
-    "gopher_quality_flags", "token_rarity", "char_stats",
-    "domain_cap_sample", "jsonl_render", "dedup_ngram_capped",
-    "q3_shipping_priority", "q4_late_shipments",
-    "q17_small_quantity_revenue", "q8_market_share", "balance_histogram",
-    "pagerank_copurchase", "bloom_decontaminate", "dedup_incremental",
-    "length_percentile_filter", "training_shuffle_order",
-    "rolling_7d_avg", "grouping_sets_revenue", "zorder_keys",
-    "range_partition_bounds", "robust_zscore_outliers",
-    "minhash_estimate_accuracy", "corpus_manifest",
-    # (d) high-value greens regraded as regression sentinels (the rest of
-    # the round-1/2 greens stay pytest-parity-checked in the tail and
-    # rotate back into the window in later rounds)
-    "pricing_summary", "enrich_revenue_by_region", "connector_scan",
-    "dedup_exact", "dedup_minhash_lsh",
-    "dedup_clusters", "ann_bruteforce_topk",
-    "doc_pack_index", "emb_quantize",
-    "glider_features", "local_supplier_volume",
+    # ROUND 4 window. 68 queries have never had a driver row (11 late-r3
+    # additions VERDICT r3 names explicitly + 57 added this round); the
+    # window is 50, so: (a) the 11 first, (b) 39 round-4 additions led by
+    # the judge-named deliverables (griddap_ingest — VERDICT task 4,
+    # ann_ivf_recall — task 6).  The 18 deferred round-4 queries (the
+    # remaining TPC-H fills q7/q9/q11-q16/q19/q20/q22 and small
+    # derived-analytics ones) stay oracle-parity-checked locally and
+    # rotate into the r5 window.
+    # (a) never driver-graded, late round-3 additions (VERDICT r3 §missing #3)
+    "asof_next_purchase", "doc_length_log_histogram",
+    "intersect_converting_users", "q6_forecast_revenue",
+    "q10_returned_items", "q17_correlated_sql", "sensor_trend",
+    "source_lang_entropy", "table_profile", "unpivot_lineitem_measures",
+    "value_rank_distribution",
+    # (b) round-4 additions — judge-named deliverables first
+    "griddap_ingest", "ann_ivf_recall", "quantile_sketch_prices",
+    # dedup/similarity/LM additions
+    "tile_dedup_stats", "tile_dedup_clean", "dedup_jaccard_prefix",
+    "dedup_sparse_cosine", "lm_perplexity", "lm_quality_gate",
+    "bpe_top_merges", "token_communities", "contrastive_negatives",
+    "embedding_dim_profile", "jl_distortion",
+    # sketch family
+    "hll_distinct_users", "hll_weekly_rollup", "kmv_pair_overlap",
+    "cms_join_size_estimate",
+    # graph / spatial / interval
+    "kcore_copurchase", "label_prop_communities", "alert_polygon_hits",
+    "interval_overlap_counts",
+    # data-quality / governance / semantics
+    "expectations_report", "referential_integrity_report",
+    "benford_first_digit", "k_anonymity_report", "null_semantics_matrix",
+    "null_aware_anti_join", "weighted_median_by_type",
+    # incremental-maintenance / warehouse-pattern family
+    "incremental_agg_merge", "incremental_join_merge",
+    "merge_upsert_users", "scd2_user_tiers",
+    # mixture diagnostics
+    "dsir_lang_lift", "dsir_weights_topk", "source_token_kl",
+    # TPC-H fills that are also headline-bench queries
+    "q2_min_cost_supplier", "q18_large_volume_customers",
+    "q21_late_sole_suppliers",
 ]
 
 

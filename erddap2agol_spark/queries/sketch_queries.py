@@ -386,3 +386,97 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = buys.select(F.col("user_id").alias("k"))
     truth = lk.join(rk, "k").agg(F.count(F.lit(1)).alias("true_join_size"))
     return est.crossJoin(F.broadcast(truth))
+
+
+_QLO, _QHI, _QNB = 900.0, 105000.0, 512
+_QW = (_QHI - _QLO) / _QNB  # 203.3203125 — dyadic, exact in a double
+_QQS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register(
+    "quantile_sketch_prices",
+    oracle="""
+    WITH counts AS (
+      SELECT LEAST(511, GREATEST(0,
+               CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 900.0)
+                          / 203.3203125) AS INT))) AS bin,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    packed AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+             CAST(sum(cnt) AS BIGINT) AS n_rows
+      FROM counts
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bin) AS DOUBLE) AS cum_after,
+             CAST(sum(cnt) OVER (ORDER BY bin) - cnt AS DOUBLE) AS cum_before
+      FROM counts
+    ),
+    qs(q, pos) AS (VALUES (CAST(0.25 AS DOUBLE), 1),
+                          (CAST(0.5 AS DOUBLE), 2),
+                          (CAST(0.75 AS DOUBLE), 3),
+                          (CAST(0.9 AS DOUBLE), 4),
+                          (CAST(0.99 AS DOUBLE), 5)),
+    ex AS (
+      SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                           [0.25, 0.5, 0.75, 0.9, 0.99]) AS exl
+      FROM lineitem
+    ),
+    est AS (
+      SELECT qs.q, qs.pos, p.n_rows,
+             round(900.0 + (c.bin + (qs.q * p.n - c.cum_before) / c.cnt)
+                   * 203.3203125, 6) AS est_value
+      FROM qs, packed p, cum c
+      WHERE c.cum_after >= qs.q * p.n AND c.cum_before < qs.q * p.n
+    )
+    SELECT e.q, e.est_value, e.n_rows,
+           round(ex.exl[e.pos], 6) AS exact_value,
+           round(abs(e.est_value - round(ex.exl[e.pos], 6)), 6) AS abs_err,
+           round(abs(e.est_value - round(ex.exl[e.pos], 6)), 6)
+             <= 203.3203125 AS within_tol
+    FROM est e, ex
+    ORDER BY e.q
+    """,
+    doc="Mergeable quantile sketch (fixed-grid histogram CDF): binning "
+    "is a narrow map, the bin table is ONE map-side-combinable count "
+    "aggregate of at most 512 rows at ANY input scale, and the "
+    "quantile readout folds the collected bin array in bin-sorted "
+    "order (pinned-order float fold; no order-only Window, no "
+    "unbounded join) — the 100 TB percentile path where exact "
+    "percentile() buffers every value. Per-shard histograms merge by "
+    "bin-wise count sum. Exact percentiles ride along as the accuracy "
+    "witness; estimate error is bounded by one bin width "
+    "(within_tol emits the bound check).",
+)
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import histogram_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = histogram_quantiles(
+        li, F.col("l_extendedprice"), _QQS, _QLO, _QHI, _QNB
+    )
+    exact = li.agg(
+        F.percentile(
+            F.col("l_extendedprice").cast("double"),
+            F.array(*[F.lit(q) for q in _QQS]),
+        ).alias("exl")
+    )
+    pos = F.array_position(
+        F.array(*[F.lit(float(q)) for q in _QQS]), F.col("q")
+    ).cast("int")
+    exact_value = F.round(F.element_at(F.col("exl"), pos), 6)
+    abs_err = F.round(F.abs(F.col("est_value") - exact_value), 6)
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "q",
+            "est_value",
+            "n_rows",
+            exact_value.alias("exact_value"),
+            abs_err.alias("abs_err"),
+            (abs_err <= F.lit(_QW)).alias("within_tol"),
+        )
+        .orderBy("q")
+    )

@@ -484,6 +484,7 @@ NESTED_LOOP_JUSTIFIED = {
     "benford_first_digit",  # 1-row total scalar
     "token_communities",  # pmi n_docs scalar x unrolled LPA rounds
     "q11_important_stock",  # HAVING-over-global-total scalar
+    "quantile_sketch_prices",  # 1-row exact-percentile scalar beside the estimates
     "q22_idle_rich_customers",  # above-average scalar
     "semdedup_keep",  # L-row cells x unrolled CC rounds
     "sim_graph_triangles",

@@ -187,3 +187,89 @@ def test_cms_join_size_never_underestimates(spark):
     ).collect()[0]
     assert r.est_join_size >= true_size  # CMS inner product overcounts
     assert r.max_depth_estimate >= r.est_join_size
+
+
+def test_histogram_bins_merge_by_sum(spark):
+    """Mergeable-summary property: the histogram of a union equals the
+    bin-wise SUM of per-shard histograms (what lets shards sketch
+    independently at 100 TB and merge in O(n_bins))."""
+    from erddap2agol_spark.operators.sketch import histogram_bins
+
+    a = spark.range(0, 5000).select((F.col("id") % 97).cast("double").alias("v"))
+    b = spark.range(0, 3000).select((F.col("id") % 53).cast("double").alias("v"))
+    whole = histogram_bins(a.unionAll(b), F.col("v"), 0.0, 100.0, 16)
+    parts = (
+        histogram_bins(a, F.col("v"), 0.0, 100.0, 16)
+        .unionAll(histogram_bins(b, F.col("v"), 0.0, 100.0, 16))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, parts.collect())
+    )
+
+
+def test_histogram_bins_clamps_out_of_range(spark):
+    """Values outside [lo, hi) land in the edge bins — never a negative
+    or overflowing bin id (the zorder_key clamp lesson, ADVICE r3)."""
+    from erddap2agol_spark.operators.sketch import histogram_bins
+
+    df = spark.createDataFrame(
+        [(-1e9,), (-0.001,), (0.0,), (99.999,), (100.0,), (1e9,)], ["v"]
+    )
+    rows = {
+        r["bin"]: r["cnt"]
+        for r in histogram_bins(df, F.col("v"), 0.0, 100.0, 10).collect()
+    }
+    assert set(rows) == {0, 9}
+    assert rows[0] == 3 and rows[9] == 3
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark):
+    """|est - exact| <= one bin width for every requested quantile, on
+    data with empty interior bins (gaps exercise the fold's crossing
+    logic: interpolation happens inside the crossing bin only)."""
+    from erddap2agol_spark.operators.sketch import histogram_quantiles
+
+    df = (
+        spark.range(0, 4000)
+        .select(
+            F.when(F.col("id") % 3 == 0, (F.col("id") % 100).cast("double"))
+            .otherwise((F.col("id") % 100).cast("double") + 900.0)
+            .alias("v")
+        )
+    )
+    qs = [0.1, 0.5, 0.9, 0.99]
+    width = (1000.0 - 0.0) / 64
+    got = {
+        r["q"]: r["est_value"]
+        for r in histogram_quantiles(
+            df, F.col("v"), qs, 0.0, 1000.0, 64
+        ).collect()
+    }
+    exact = df.agg(
+        F.percentile(F.col("v"), F.array(*[F.lit(q) for q in qs])).alias("e")
+    ).collect()[0]["e"]
+    for q, ev in zip(qs, exact):
+        assert abs(got[q] - ev) <= width, (q, got[q], ev)
+
+
+def test_histogram_quantiles_plan_is_agg_only(spark):
+    """The readout plan carries NO Window and NO join: bin map + one
+    bounded hash aggregate + one-row fold (the shape that survives
+    100x — contrast exact percentile(), which buffers every value in a
+    single aggregation state)."""
+    import contextlib
+    import io
+
+    from erddap2agol_spark.operators.sketch import histogram_quantiles
+
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    out = histogram_quantiles(df, F.col("v"), [0.5, 0.9], 0.0, 1000.0, 32)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final bin count
