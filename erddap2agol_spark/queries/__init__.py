@@ -107,8 +107,9 @@ _GRADE_PRIORITY: list[str] = [
     # incremental-maintenance / warehouse-pattern family
     "incremental_agg_merge", "incremental_join_merge",
     "merge_upsert_users", "scd2_user_tiers",
-    # mixture diagnostics
-    "dsir_lang_lift", "dsir_weights_topk", "source_token_kl",
+    # mixture diagnostics / sampling (source_token_kl rotates to r5 —
+    # its dsir siblings cover the family's first driver look)
+    "dsir_lang_lift", "dsir_weights_topk", "weighted_sample_per_lang",
     # TPC-H fills that are also headline-bench queries
     "q2_min_cost_supplier", "q18_large_volume_customers",
     "q21_late_sole_suppliers",

@@ -557,3 +557,52 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
         )
     )
+
+
+from ..operators.sketch import duckdb_hex_int as _hex_int  # noqa: E402
+
+_ES_KEY_SQL = _hex_int(
+    "'estopk:' || CAST(doc_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)", 12
+)
+
+
+@register(
+    "weighted_sample_per_lang",
+    oracle=f"""
+    WITH keep AS (
+      SELECT doc_id, lang,
+             LEAST(8, GREATEST(1, CAST(FLOOR(n_chars / 70.0) AS INT))) AS w
+      FROM documents
+    ),
+    draws AS (
+      SELECT doc_id, lang, unnest(generate_series(1, w)) AS draw FROM keep
+    ),
+    keys AS (
+      SELECT doc_id, lang, max({_ES_KEY_SQL}) AS wkey
+      FROM draws GROUP BY doc_id, lang
+    ),
+    ranked AS (
+      SELECT lang, doc_id, CAST(wkey AS BIGINT) AS wkey,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY wkey DESC, doc_id) AS INT) AS rk
+      FROM keys
+    )
+    SELECT lang, doc_id, wkey, rk FROM ranked WHERE rk <= 15
+    """,
+    doc="EXACT weighted sampling without replacement per language "
+    "(Efraimidis-Spirakis 2006), transcendental-free: each doc fans "
+    "into w integer draws (w = clamped length weight, <= 8), its key "
+    "is the MAX 48-bit md5 draw, and the per-lang top-15 keys are the "
+    "sample — by the exponential-min/memorylessness argument this IS "
+    "the sequential w_i/sum(w) without-replacement draw, yet ranking "
+    "only touches integers, so the sample is bit-identical in any "
+    "engine (the pow(u,1/w) ES form would hang on cross-libm float "
+    "parity). Plan: bounded narrow fan-out, one map-side-combinable "
+    "max agg over digest-width rows, per-group rank window.",
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.floor(F.col("n_chars") / 70.0)
+    return sampling.weighted_topk_sample(
+        docs, "doc_id", wt, 15, by="lang", max_weight=8
+    ).select("lang", "doc_id", "wkey", F.col("rk").cast("int").alias("rk"))

@@ -269,3 +269,124 @@ def test_jl_project_reproducible_and_shaped(spark):
     assert all(len(v) == 16 for v in a.values())
     c = jl_project(df, "vec_id", "embedding", k=16, salt="other").collect()
     assert {r["id"]: r["jvec"] for r in c} != a   # salt draws a new matrix
+
+
+def test_weighted_topk_matches_python_reference(spark):
+    """The operator's sample equals a pure-Python Efraimidis-Spirakis
+    reference (same md5 draw arithmetic) — end-to-end determinism of
+    both the global (TakeOrderedAndProject) and grouped (rank window)
+    forms."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.sampling import weighted_topk_sample
+
+    rows = [(i, (i % 7), "g%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "wt", "grp"])
+
+    def key(i, w):
+        w = min(64, max(1, w))
+        return max(
+            int(
+                hashlib.md5(f"estopk:{i}:{d}".encode()).hexdigest()[:12], 16
+            )
+            for d in range(1, w + 1)
+        )
+
+    ref = {i: key(i, w) for i, w, _ in rows if w >= 1}
+    want_global = sorted(ref, key=lambda i: (-ref[i], i))[:5]
+    got_global = [
+        r["id"]
+        for r in weighted_topk_sample(df, "id", F.col("wt"), 5).collect()
+    ]
+    assert got_global == want_global
+
+    got_grouped = {
+        (r["grp"], r["rk"]): r["id"]
+        for r in weighted_topk_sample(
+            df, "id", F.col("wt"), 3, by="grp"
+        ).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        members = [i for i, w, gg in rows if gg == g and w >= 1]
+        want = sorted(members, key=lambda i: (-ref[i], i))[:3]
+        assert [got_grouped[(g, r)] for r in (1, 2, 3)] == want
+
+
+def test_weighted_topk_marginals_proportional_to_weight(spark):
+    """Scheme exactness, empirically: over 400 independent salts the
+    FIRST pick lands on an item with frequency ~ w/sum(w) (the ES
+    guarantee the exponential-min argument buys). One Spark job."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    items = [("a", 1), ("b", 2), ("c", 4)]
+    n_salts = 400
+    df = (
+        spark.range(n_salts)
+        .select(F.col("id").alias("salt"))
+        .crossJoin(spark.createDataFrame(items, ["item", "w"]))
+        .select(
+            "salt", "item", F.explode(F.sequence(F.lit(1), F.col("w"))).alias("d")
+        )
+        .select(
+            "salt",
+            "item",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.col("salt"), F.col("item"), F.col("d"))
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+        )
+        .groupBy("salt", "item")
+        .agg(F.max("hv").alias("wkey"))
+    )
+    w = Window.partitionBy("salt").orderBy(F.desc("wkey"), F.col("item"))
+    first = (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("item")
+        .count()
+        .collect()
+    )
+    freq = {r["item"]: r["count"] / n_salts for r in first}
+    assert abs(freq.get("c", 0) - 4 / 7) < 0.08, freq
+    assert abs(freq.get("b", 0) - 2 / 7) < 0.08, freq
+    assert freq.get("a", 0) < freq.get("b", 0) < freq.get("c", 0), freq
+
+
+def test_weighted_topk_edge_cases(spark):
+    """weight < 1 rows never sampled; k >= n returns every eligible
+    row; the max_weight cap bounds the fan-out (equal clamped weights
+    => key distribution identical regardless of raw weight)."""
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.sampling import weighted_topk_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 5), (4, 1)], ["id", "wt"]
+    )
+    got = weighted_topk_sample(df, "id", F.col("wt"), 10)
+    assert sorted(r["id"] for r in got.collect()) == [3, 4]
+
+    big = spark.createDataFrame([(1, 100), (2, 3)], ["id", "wt"])
+    capped = weighted_topk_sample(big, "id", F.col("wt"), 2, max_weight=3)
+    uncapped_at_3 = weighted_topk_sample(
+        spark.createDataFrame([(1, 3), (2, 3)], ["id", "wt"]),
+        "id",
+        F.col("wt"),
+        2,
+        max_weight=64,
+    )
+    assert {(r["id"], r["wkey"]) for r in capped.collect()} == {
+        (r["id"], r["wkey"]) for r in uncapped_at_3.collect()
+    }
