@@ -158,10 +158,15 @@ _SIMHASH_CTE = """
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # persist: the banded self-join scans the fingerprint table twice and
-    # plan-cache reuse makes repeated calls steady-state cheap
+    # cache lifecycle (pagerank pattern): the fingerprint table is read
+    # three times (strategy count + both join sides), so persist it only
+    # while the pair result materializes, then release — the returned
+    # result is the one cache entry the caller owns
     sh = dedup.simhash16(docs, "doc_id", "text").persist()
-    return dedup.simhash_near_pairs(sh, max_hamming=2)
+    out = dedup.simhash_near_pairs(sh, max_hamming=2).persist()
+    out.count()
+    sh.unpersist(True)
+    return out
 
 
 _SHINGLES_CTE = """

@@ -342,3 +342,21 @@ class TestJaccardPrefixFilter:
             )
         ).count()
         assert pref_rows < full_rows * 0.45
+
+
+def test_simhash_query_releases_scaffolding(spark):
+    """simhash_hamming_pairs owns exactly ONE cache entry after running
+    (its materialized result); the fingerprint scaffolding is released
+    (the VERDICT r3 #3 lifecycle, applied at the query layer too)."""
+    from erddap2agol_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = REGISTRY["simhash_hamming_pairs"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    mid = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out.unpersist(True)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert mid - before == 1  # result only; fingerprint table released
+    assert after <= before
