@@ -91,3 +91,70 @@ def test_interval_overlap_random_vs_theta(spark):
             .collect()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_histogram_quantiles_random_invariants(spark):
+    """Seed-driven random data: every estimate lands within one bin
+    width of the exact percentile, is monotone in q, and is invariant
+    under repartitioning (a pure function of the data, never of the
+    physical layout — the mergeable-summary property exercised)."""
+    from erddap2agol_spark.operators.sketch import histogram_quantiles
+
+    qs = [0.1, 0.5, 0.9]
+    for seed, parts in ((11, 2), (12, 7), (13, 16)):
+        rng = random.Random(seed)
+        lo, hi = 0.0, rng.choice([64.0, 1000.0])
+        nb = rng.choice([32, 128])
+        width = (hi - lo) / nb
+        vals = [rng.uniform(lo, hi) for _ in range(1500)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = {
+            r["q"]: r["est_value"]
+            for r in histogram_quantiles(
+                df.repartition(parts), F.col("v"), qs, lo, hi, nb
+            ).collect()
+        }
+        got2 = {
+            r["q"]: r["est_value"]
+            for r in histogram_quantiles(
+                df.coalesce(1), F.col("v"), qs, lo, hi, nb
+            ).collect()
+        }
+        assert got == got2, f"layout-dependent result, seed={seed}"
+        svals = sorted(vals)
+        for q in qs:
+            h = (len(svals) - 1) * q
+            exact = svals[int(h)] + (h - int(h)) * (
+                svals[min(int(h) + 1, len(svals) - 1)] - svals[int(h)]
+            )
+            assert abs(got[q] - exact) <= width, (seed, q, got[q], exact)
+        assert got[0.1] <= got[0.5] <= got[0.9]
+
+
+def test_weighted_topk_random_invariants(spark):
+    """Random weights: the sample has exactly min(k, n_eligible) rows,
+    every member is weight-eligible, and the pick is invariant under
+    repartitioning."""
+    from erddap2agol_spark.operators.sampling import weighted_topk_sample
+
+    for seed in (3, 4):
+        rng = random.Random(seed)
+        rows = [(i, rng.randrange(0, 6)) for i in range(80)]
+        df = spark.createDataFrame(rows, "id int, wt int")
+        eligible = {i for i, w in rows if w >= 1}
+        k = rng.choice([5, 200])
+        got = [
+            r["id"]
+            for r in weighted_topk_sample(
+                df.repartition(9), "id", F.col("wt"), k
+            ).collect()
+        ]
+        got2 = [
+            r["id"]
+            for r in weighted_topk_sample(
+                df.coalesce(1), "id", F.col("wt"), k
+            ).collect()
+        ]
+        assert got == got2, f"layout-dependent sample, seed={seed}"
+        assert len(got) == min(k, len(eligible))
+        assert set(got) <= eligible
