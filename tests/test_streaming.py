@@ -309,3 +309,59 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
         & (rb.r_ts <= lb.ts + F.expr("INTERVAL 1 hour")),
     ).count()
     assert got == want and got > 0
+
+
+def test_streaming_histogram_sketch_matches_batch(spark, tmp_path):
+    """The mergeable quantile sketch streams: histogram_bins is a plain
+    combinable count aggregate, so the SAME binning expression runs as
+    a streaming aggregation (complete mode), and the streamed bin table
+    equals the batch sketch bit-for-bit — batch/stream unification of
+    the 100 TB percentile path (readout then happens on the tiny bin
+    table, micro-batch by micro-batch)."""
+    from erddap2agol_spark.operators.sketch import histogram_bins
+
+    src = str(tmp_path / "hist_src")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_extendedprice"
+    )
+    li.write.parquet(src)
+
+    lo, hi, nb = 900.0, 105000.0, 64
+    width = (hi - lo) / nb
+    stream = spark.readStream.schema(li.schema).parquet(src)
+    b = F.least(
+        F.lit(nb - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("l_extendedprice").cast("double") - F.lit(lo))
+                / F.lit(width)
+            ).cast("int"),
+        ),
+    )
+    agg = (
+        stream.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hist_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            r["bin"]: r["cnt"]
+            for r in spark.sql("SELECT * FROM hist_stream").collect()
+        }
+        batch = {
+            r["bin"]: r["cnt"]
+            for r in histogram_bins(
+                li, F.col("l_extendedprice"), lo, hi, nb
+            ).collect()
+        }
+        assert streamed == batch
+    finally:
+        q.stop()
