@@ -328,12 +328,15 @@ def histogram_bins(
     clamp + floor binning is a pure narrow map, and the count is ONE
     map-side-combinable aggregation emitting at most ``n_bins`` rows at
     ANY input scale.  Out-of-range values land in the edge bins (the
-    grid is a sketch config, not a data scan), and the per-shard tables
-    merge by summing counts bin-wise — the mergeable-summary property
-    that makes this the 100 TB quantile path where exact
-    ``percentile()`` would collect every value into one aggregation
-    buffer."""
+    grid is a sketch config, not a data scan), NULLs are excluded (the
+    same rows ``percentile()``/``quantile_cont`` ignore — without the
+    filter Spark's null-skipping ``greatest`` would silently fold NULL
+    into bin 0), and the per-shard tables merge by summing counts
+    bin-wise — the mergeable-summary property that makes this the
+    100 TB quantile path where exact ``percentile()`` would collect
+    every value into one aggregation buffer."""
     width = (hi - lo) / n_bins
+    df = df.filter(col.isNotNull())
     b = F.least(
         F.lit(n_bins - 1),
         F.greatest(
@@ -368,9 +371,16 @@ def histogram_quantiles(
     HLL/BM25 readouts — no window (the CDF scan happens inside an
     ``aggregate`` over a bounded array, never as an order-only Window
     over row data) and no join, so the whole plan is map + one bounded
-    agg + a one-row fold.  Estimate error is at most one bin width;
-    callers pick ``n_bins`` to taste (state stays ``O(n_bins)``
-    regardless of data size)."""
+    agg + a one-row fold.
+
+    Accuracy contract (rank-based): the returned value lies inside the
+    bin that CONTAINS the ``q*n``-th order statistic — a hard
+    guarantee.  Against the interpolating exact-percentile definition
+    the gap is within one bin width whenever the data is dense around
+    the quantile, but can exceed it across empty-bin gaps (sparse
+    tails), where interpolation reaches into a far-away value the
+    histogram never stored.  Callers pick ``n_bins`` to taste (state
+    stays ``O(n_bins)`` regardless of data size)."""
     width = (hi - lo) / n_bins
     packed = histogram_bins(df, col, lo, hi, n_bins).agg(
         F.array_sort(F.collect_list(F.struct("bin", "cnt"))).alias("bs"),

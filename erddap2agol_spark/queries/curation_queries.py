@@ -570,8 +570,12 @@ _ES_KEY_SQL = _hex_int(
     "weighted_sample_per_lang",
     oracle=f"""
     WITH keep AS (
+      -- weight = 1 + floor(len/70), clamped at 8: every doc is
+      -- eligible by construction, so oracle and engine can never
+      -- disagree on the weight<1 exclusion edge (that edge stays
+      -- covered by the operator's unit tests)
       SELECT doc_id, lang,
-             LEAST(8, GREATEST(1, CAST(FLOOR(n_chars / 70.0) AS INT))) AS w
+             LEAST(8, 1 + CAST(FLOOR(n_chars / 70.0) AS INT)) AS w
       FROM documents
     ),
     draws AS (
@@ -602,7 +606,7 @@ _ES_KEY_SQL = _hex_int(
 )
 def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    wt = F.floor(F.col("n_chars") / 70.0)
+    wt = F.lit(1) + F.floor(F.col("n_chars") / 70.0)
     return sampling.weighted_topk_sample(
         docs, "doc_id", wt, 15, by="lang", max_weight=8
     ).select("lang", "doc_id", "wkey", F.col("rk").cast("int").alias("rk"))

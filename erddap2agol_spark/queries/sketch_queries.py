@@ -447,8 +447,10 @@ _QQS = [0.25, 0.5, 0.75, 0.9, 0.99]
     "unbounded join) — the 100 TB percentile path where exact "
     "percentile() buffers every value. Per-shard histograms merge by "
     "bin-wise count sum. Exact percentiles ride along as the accuracy "
-    "witness; estimate error is bounded by one bin width "
-    "(within_tol emits the bound check).",
+    "witness; the hard guarantee is rank-based (the estimate lies in "
+    "the bin holding the q*n-th order statistic) and within_tol "
+    "witnesses that on this dense column the estimate also lands "
+    "within one bin width of the interpolated exact percentile.",
 )
 def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import histogram_quantiles

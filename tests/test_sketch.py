@@ -273,3 +273,45 @@ def test_histogram_quantiles_plan_is_agg_only(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final bin count
+
+
+def test_histogram_excludes_nulls_like_percentile(spark):
+    """NULLs are excluded from the sketch — the same rows percentile()
+    ignores (without the filter, Spark's null-skipping greatest() would
+    silently fold NULL into bin 0 and corrupt every readout)."""
+    from erddap2agol_spark.operators.sketch import (
+        histogram_bins,
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (None,), (50.0,)], "v double"
+    )
+    bins = {
+        r["bin"]: r["cnt"]
+        for r in histogram_bins(df, F.col("v"), 0.0, 100.0, 10).collect()
+    }
+    assert bins == {0: 1, 5: 1}
+    out = histogram_quantiles(df, F.col("v"), [0.5], 0.0, 100.0, 10).collect()
+    assert out[0]["n_rows"] == 2  # NULLs out of the rank base too
+    # rank contract on this (sparse) pair: the 0.5*2 = 1st order
+    # statistic is 1.0, which lives in bin 0 — est stays in bin 0
+    assert 0.0 <= out[0]["est_value"] <= 10.0
+
+
+def test_histogram_rank_guarantee_on_sparse_tail(spark):
+    """The documented accuracy contract on gapped data: the estimate
+    lies inside the bin holding the q*n-th order statistic, even where
+    the INTERPOLATING exact-percentile definition reaches across an
+    empty-bin gap to a far-away value (est != interpolated exact by
+    more than a bin width is expected and fine there)."""
+    from erddap2agol_spark.operators.sketch import histogram_quantiles
+
+    vals = [(0.1,)] * 9 + [(999.0,)]
+    df = spark.createDataFrame(vals, "v double")
+    width = 1000.0 / 64
+    out = histogram_quantiles(df, F.col("v"), [0.9], 0.0, 1000.0, 64)
+    est = out.collect()[0]["est_value"]
+    # rank 0.9*10 = 9: the 9th order statistic is 0.1, which lives in
+    # bin 0 -> the estimate must lie within bin 0's value range
+    assert 0.0 <= est <= width

@@ -327,23 +327,10 @@ def test_streaming_histogram_sketch_matches_batch(spark, tmp_path):
     li.write.parquet(src)
 
     lo, hi, nb = 900.0, 105000.0, 64
-    width = (hi - lo) / nb
     stream = spark.readStream.schema(li.schema).parquet(src)
-    b = F.least(
-        F.lit(nb - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor(
-                (F.col("l_extendedprice").cast("double") - F.lit(lo))
-                / F.lit(width)
-            ).cast("int"),
-        ),
-    )
-    agg = (
-        stream.select(b.alias("bin"))
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # the operator itself runs on the streaming frame — the assertion
+    # is about THE shipped expression, not a hand-copied double
+    agg = histogram_bins(stream, F.col("l_extendedprice"), lo, hi, nb)
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
