@@ -351,12 +351,18 @@ def test_simhash_query_releases_scaffolding(spark):
     from erddap2agol_spark.queries import REGISTRY, _load_all
 
     _load_all()
-    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    def ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    # id-set arithmetic, not global counts: the async ContextCleaner may
+    # drop OLD unreferenced entries at any time in a long suite run, so
+    # only entries NEW to this call are attributable to it
+    before = ids()
     out = REGISTRY["simhash_hamming_pairs"].spark(
         spark, "/root/testdata/sf0.001"
     )
-    mid = len(spark.sparkContext._jsc.getPersistentRDDs())
+    new_ids = ids() - before
+    assert len(new_ids) == 1  # result only; fingerprint table released
     out.unpersist(True)
-    after = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert mid - before == 1  # result only; fingerprint table released
-    assert after <= before
+    assert not (ids() - before)
