@@ -355,9 +355,13 @@ def test_simhash_query_releases_scaffolding(spark):
     def ids():
         return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
 
-    # id-set arithmetic, not global counts: the async ContextCleaner may
-    # drop OLD unreferenced entries at any time in a long suite run, so
-    # only entries NEW to this call are attributable to it
+    # start from a clean cache: the CacheManager dedups by LOGICAL PLAN,
+    # so a leaked entry from an earlier run of the same query (e.g. the
+    # parity sweep) would be silently reused and no new id would appear
+    # ("Asked to cache already cached data"), making the delta vacuous.
+    # id-set arithmetic, not global counts, because the async
+    # ContextCleaner may drop old unreferenced entries at any time.
+    spark.catalog.clearCache()
     before = ids()
     out = REGISTRY["simhash_hamming_pairs"].spark(
         spark, "/root/testdata/sf0.001"
