@@ -122,11 +122,26 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.simhash16(docs, "doc_id", "text")
-    edges = dedup.simhash_near_pairs(sh, max_hamming=_MAX_HAMMING).select(
-        "doc_a", "doc_b"
+    # cache lifecycle (pagerank pattern): the fingerprint table is read
+    # 3x by the pair build and the edge list ~6x by the wedge join —
+    # without the persists each read re-runs the whole upstream text
+    # pipeline (sf0.1, fresh session: 33.5 s -> 23.7 s cold, 22.4 s ->
+    # 14.7 s steady; the remainder is the census itself — this graph is
+    # DENSE, 540k edges / 26.7M triangles over 5k docs at hamming<=2).
+    # Scaffolding is released as soon as its consumer materializes; the
+    # 1-row result is the one cache entry the caller owns.
+    sh = dedup.simhash16(docs, "doc_id", "text").persist()
+    edges = (
+        dedup.simhash_near_pairs(sh, max_hamming=_MAX_HAMMING)
+        .select("doc_a", "doc_b")
+        .persist()
     )
-    return triangle_count(edges, a="doc_a", b="doc_b")
+    edges.count()
+    sh.unpersist(True)
+    out = triangle_count(edges, a="doc_a", b="doc_b").persist()
+    out.count()
+    edges.unpersist(True)
+    return out
 
 
 _PR_ITERS, _PR_DAMP = 5, 0.85
