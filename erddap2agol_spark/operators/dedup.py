@@ -39,6 +39,30 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its lineage — the per-round discipline
+    for iterative operators (connected components, k-core, pointer
+    doubling), where chaining rounds over plain ``persist`` nests the
+    ANALYZED plan round-over-round and driver-side optimization grows
+    super-linearly (measured 1.3s -> 14s per round by round 5).
+
+    Mode is chosen by session configuration: with a checkpoint dir set
+    (``spark.sparkContext.setCheckpointDir`` — do this on a real
+    cluster) rounds use a RELIABLE checkpoint, whose files survive
+    executor loss.  Without one (local[n], tests) rounds use
+    ``localCheckpoint``: executor-local blocks with NO lineage left to
+    recompute from, so losing an executor mid-iteration fails the job —
+    acceptable single-node, not at 1000 executors.  Either way, a
+    finished round's blocks/files are released by the ContextCleaner
+    once the next round drops the last reference; worst case a few
+    rounds are in flight at MEMORY_AND_DISK (spill, never silent
+    wrong results)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a lowercased text column.
 
@@ -141,9 +165,13 @@ def lsh_candidate_pairs(
     sig = minhash_signatures(df, id_col, text_col, n_perm, shingle_n)
     # the band self-join scans the signature table twice; persist it so the
     # shingle explode + md5 pipeline runs once (signatures are tiny:
-    # n_docs x n_perm hashes). The broadcast side materializes first and
-    # fills the cache; the probe side then reads it.
+    # n_docs x n_perm hashes).
     sig = sig.persist()
+    # no eager fill here, deliberately: the band self-join is a shuffle
+    # equi-join whose single exchange is reused (no async broadcast
+    # thread to race the cold cache — that pathology is specific to
+    # broadcast-subquery plans), and an eager count() measured +1.2 s
+    # steady-state per call at sf0.1 for zero benefit
     n_bands = n_perm // rows_per_band
     stack_args = ", ".join(
         f"{b}, concat_ws('|', {', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
@@ -356,6 +384,8 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(rare, "sh", "left_semi")
     sh = sh.persist()
+    # no eager fill — same shuffle-equi-join reasoning as
+    # lsh_candidate_pairs (eager count measured strictly slower)
     a = sh.alias("a")
     b = sh.alias("b")
     out = (
@@ -402,8 +432,7 @@ def connected_components(
     cluster formation after LSH/Jaccard pair generation. Each round is two
     hash shuffles on the node id; the edge set provably contracts toward
     star graphs in O(log^2 n) rounds (in practice a handful), so a 100 TB
-    pair list never needs a driver-side union-find. Per-round state is
-    persisted and the previous round freed, keeping lineage flat.
+    pair list never needs a driver-side union-find.
 
     Isolated nodes don't appear in ``edges`` and so don't appear in the
     output; callers wanting singleton clusters left-join and coalesce to
@@ -411,24 +440,25 @@ def connected_components(
 
     Lineage discipline (the kcore pattern): every round reads the
     previous edge set several times (window, distinct, convergence
-    exceptAll), so rounds are localCheckpoint-truncated — with plain
-    persist the ANALYZED plan still nests round over round and
-    driver-side optimization time grows super-linearly (measured:
-    1.3s -> 14s per round by round 5 at sf0.1 before truncation).
+    exceptAll), so rounds are truncated via :func:`truncate_lineage` —
+    with plain persist the ANALYZED plan still nests round over round
+    and driver-side optimization time grows super-linearly (measured:
+    1.3s -> 14s per round by round 5 at sf0.1 before truncation).  On a
+    cluster, set a checkpoint dir so rounds survive executor loss (see
+    the helper's docstring).
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy("u")
     # canonical directed form (u > v): half the rows of the symmetric
-    # representation — persist, distinct, and the convergence compare all
-    # run on the halved set; symmetrization happens lazily inside each
-    # round (a narrow union feeding the window shuffle)
+    # representation — checkpoint, distinct, and the convergence compare
+    # all run on the halved set; symmetrization happens lazily inside
+    # each round (a narrow union feeding the window shuffle)
     a, b = F.col(src), F.col(dst)
-    e = (
+    e = truncate_lineage(
         edges.select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_e = e.count()
     for _ in range(max_iter):
@@ -459,7 +489,7 @@ def connected_components(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        nxt = small.localCheckpoint(eager=True)
+        nxt = truncate_lineage(small)
         n_new = nxt.count()
         # both are distinct sets: equal iff same size and nxt ⊆ e
         converged = n_new == n_e and nxt.exceptAll(e).isEmpty()

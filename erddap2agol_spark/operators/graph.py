@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import truncate_lineage
+
 
 def node_degrees(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Undirected degree per node from an (a, b) edge list (each edge
@@ -171,17 +173,18 @@ def kcore(
 
     Unlike PageRank's linear rank chain, each round reads ``cur`` THREE
     times (degree count + both semi-join probes), so the logical plan
-    would nest 3^rounds copies of the edge build; ``localCheckpoint``
-    (eager) truncates the lineage each round — the standard Spark tool
-    for multiply-self-referencing iterative algorithms.  RDD checkpoint
-    blocks are released by Spark's ContextCleaner when the previous
-    round's frame goes out of scope.
+    would nest 3^rounds copies of the edge build; ``truncate_lineage``
+    cuts it each round (reliable checkpoint when the session has a
+    checkpoint dir — set one on a real cluster — else localCheckpoint;
+    see dedup.truncate_lineage).  Checkpoint blocks/files are released
+    by Spark's ContextCleaner when the previous round's frame goes out
+    of scope.
     """
     cur = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
     if persist_each:
-        cur = cur.localCheckpoint(eager=True)
+        cur = truncate_lineage(cur)
     for _ in range(iterations):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
@@ -189,7 +192,7 @@ def kcore(
             keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
         )
         if persist_each:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = truncate_lineage(nxt)
         cur = nxt
     return cur.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -277,15 +280,17 @@ def pointer_doubling_closure(
     lets a fixed round count be graded against a recursive-CTE oracle.
     A parent id missing from the table resolves as its child's root
     (dangling-link tolerance).  Rounds multiply lineage (each reads the
-    previous table twice), so each round is localCheckpoint-truncated
-    like kcore.
+    previous table twice), so each round is lineage-truncated like
+    kcore (dedup.truncate_lineage: reliable checkpoint on a configured
+    cluster, localCheckpoint otherwise).
     """
     links = nodes.select(
         F.col(node_col).alias("node"),
         F.coalesce(F.col(parent_col), F.col(node_col)).alias("anc"),
         F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("d"),
         F.col(parent_col).isNull().alias("done"),
-    ).localCheckpoint(eager=True)
+    )
+    links = truncate_lineage(links)
     for _ in range(rounds):
         hop = links.select(
             F.col("node").alias("h_node"),
@@ -304,6 +309,6 @@ def pointer_doubling_closure(
                 .otherwise(F.col("done") | F.col("h_done").isNull())
                 .alias("done"),
             )
-            .localCheckpoint(eager=True)
         )
+        links = truncate_lineage(links)
     return links.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))

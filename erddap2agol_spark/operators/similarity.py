@@ -376,20 +376,29 @@ def label_cells(
 
 
 def assign_cells(
-    side: DataFrame, cells: DataFrame, id_col: str, vec_col: str, n: int
+    side: DataFrame,
+    cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    fan_out: bool = True,
 ) -> DataFrame:
     """Assign every vector to its ``n`` nearest cells: map-side broadcast
     cross join against the L-row cell table, then a window PARTITIONED BY
     vector id (keyed — no global state). Rounded cosines + label
     tie-break keep the assignment engine-portable.
 
-    The vector side fans out first: the |side| x L cosine scoring is
-    the expensive map (higher-order-function dot products are
-    interpreted, not codegen'd), and a single-split scan would run it
-    all on one core (measured 7s single-task at sf0.1)."""
+    With ``fan_out`` (the CORPUS side) the vector side repartitions
+    first: the |side| x L cosine scoring is the expensive map
+    (higher-order-function dot products are interpreted, not
+    codegen'd), and a single-split scan would run it all on one core
+    (measured 7s single-task at sf0.1).  Pass ``fan_out=False`` for a
+    small QUERY side — a handful of probe rows gains nothing from a
+    repartition exchange and the plan walk it costs."""
     from .dedup import ensure_parallelism
 
-    sn = with_norm(ensure_parallelism(side), id_col, vec_col)
+    side = ensure_parallelism(side) if fan_out else side
+    sn = with_norm(side, id_col, vec_col)
     scored = sn.crossJoin(F.broadcast(cells)).select(
         "id",
         "label",
@@ -469,7 +478,8 @@ def ivf_topk_deterministic(
     """
     cells = label_cells(corpus, vec_col, label_col)
     assign = assign_cells(corpus, cells, id_col, vec_col, 1)
-    probes = assign_cells(queries, cells, id_col, vec_col, n_probe)
+    # query side: a few probe rows — skip the fan-out repartition
+    probes = assign_cells(queries, cells, id_col, vec_col, n_probe, fan_out=False)
     qv = with_norm(queries, id_col, vec_col).alias("q")
     cv = with_norm(corpus, id_col, vec_col).alias("c")
     cand = (

@@ -54,7 +54,13 @@ def get_spark(
         # build single-threaded in the one-split scan (measured 16.5s ->
         # 0.7s at sf0.1 on the posting explode with the rule excluded).
         # Generating over an empty array is free; the inferred filter
-        # never pays for itself on computed arrays.
+        # never pays for itself on computed arrays.  Session-wide scope
+        # is deliberate and audited: the rule only helps explodes over
+        # STORED array columns with many null/empty arrays, and the one
+        # stored-array explode in this engine (posexplode of fixed-64
+        # non-null embeddings in label_centroids) can never benefit —
+        # while any future computed-array explode would silently
+        # re-inherit the pathology if the exclusion were per-query.
         .config(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
