@@ -43,12 +43,23 @@ def flatten(
     """
     out_cols: list[tuple[str, F.Column]] = []
     used: dict[str, int] = {}
+    emitted: set[str] = set()
 
     def leaf_name(path: list[str]) -> str:
         base = sep.join(path) if flatten_names else path[-1]
+        # name2/name3 disambiguation — plus a guard for the scheme's own
+        # blind spot: a LITERAL leaf named e.g. "a2" colliding with the
+        # suffix generated for a duplicated "a" (tracking only per-base
+        # counters emits duplicate output columns in that case)
         n = used.get(base, 0)
-        used[base] = n + 1
-        return base if n == 0 else f"{base}{n + 1}"
+        while True:
+            name = base if n == 0 else f"{base}{n + 1}"
+            n += 1
+            if name not in emitted:
+                break
+        used[base] = n
+        emitted.add(name)
+        return name
 
     def walk(col: F.Column, dtype: T.DataType, path: list[str]) -> None:
         dotted = ".".join(path)

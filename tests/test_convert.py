@@ -300,3 +300,95 @@ def test_decode_datetime_df_two_pass_matches(spark):
     plan = buf.getvalue()
     arrow = plan.find("ArrowEvalPython")
     assert arrow != -1 and "Filter" in plan[:arrow]
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: flatten name-disambiguation invariants
+
+
+def _random_schema_and_row(rng):
+    """Random nested struct schema (depth <= 3) whose every leaf value
+    IS its dotted path — so data preservation is checkable by value."""
+    from pyspark.sql import types as T
+
+    names = ["a", "b", "a2", "b2", "x"]
+
+    def build(depth, path):
+        fields, row = [], {}
+        for _ in range(rng.randint(1, 3)):
+            nm = rng.choice(names)
+            if nm in row:
+                continue
+            p = path + [nm]
+            if depth < 2 and rng.random() < 0.45:
+                sub_t, sub_v = build(depth + 1, p)
+                fields.append(T.StructField(nm, sub_t))
+                row[nm] = sub_v
+            else:
+                fields.append(T.StructField(nm, T.StringType()))
+                row[nm] = ".".join(p)
+        return T.StructType(fields), row
+
+    return build(0, [])
+
+
+def test_flatten_leaf_names_unique_fuzz(spark):
+    """flatten(flatten_names=False) NEVER emits duplicate output
+    columns — including the suffix scheme's blind spot where a literal
+    leaf named 'a2' meets the generated suffix for a duplicated 'a' —
+    and every leaf value survives to exactly one output column."""
+    import random
+
+    from erddap2agol_spark.operators.convert import flatten
+
+    for seed in range(30):
+        rng = random.Random(seed)
+        schema, row = _random_schema_and_row(rng)
+
+        def to_row(v):
+            return tuple(to_row(x) for x in v.values()) if isinstance(v, dict) else v
+
+        df = spark.createDataFrame([to_row(row)], schema)
+        out = flatten(df, flatten_names=False)
+        assert len(out.columns) == len(set(out.columns)), (seed, out.columns)
+
+        def leaves(v):
+            if isinstance(v, dict):
+                for x in v.values():
+                    yield from leaves(x)
+            else:
+                yield v
+
+        got = sorted(v for v in out.collect()[0])
+        assert got == sorted(leaves(row)), (seed, got)
+
+
+def test_flatten_suffix_blindspot_regression(spark):
+    """The exact collision: columns (a, a, a2) via two structs — the
+    naive per-base counter would emit a2 twice."""
+    from pyspark.sql import types as T
+
+    from erddap2agol_spark.operators.convert import flatten
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "s1",
+                T.StructType(
+                    [
+                        T.StructField("a", T.StringType()),
+                        T.StructField("a2", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("s2", T.StructType([T.StructField("a", T.StringType())])),
+        ]
+    )
+    df = spark.createDataFrame([(("v1", "v2"), ("v3",))], schema)
+    out = flatten(df, flatten_names=False)
+    assert sorted(out.columns) == ["a", "a2", "a3"]
+    assert dict(zip(out.columns, out.collect()[0])) == {
+        "a": "v1",
+        "a2": "v2",
+        "a3": "v3",
+    }
