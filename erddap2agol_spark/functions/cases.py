@@ -23,6 +23,16 @@ def _cap_word(w: Column) -> Column:
 
 
 def apply_case(col: Column, mode: str) -> Column:
+    # the multi-word modes assemble via concat_ws, which maps a NULL
+    # input to '' — mask them back to NULL so every mode propagates
+    # NULL like the single-word ones (and the DSL's `default` op,
+    # which exists for exactly that, still fires after a case op)
+    if mode in ("Title", "Camel", "camel", "Acronym"):
+        return F.when(col.isNotNull(), _apply_case_nonnull(col, mode))
+    return _apply_case_nonnull(col, mode)
+
+
+def _apply_case_nonnull(col: Column, mode: str) -> Column:
     if mode == "Upper" or mode == "AllCapital":
         return F.upper(col)
     if mode == "Lower":

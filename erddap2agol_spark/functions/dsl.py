@@ -95,8 +95,14 @@ def compile_ops(col: Column, ops: Sequence[tuple[str, object] | str]) -> Column:
 
 def numeric_prefix_cast(col: Column, to: str = "double") -> Column:
     """F9 — strip at the first char outside ``0123456789+-.`` then cast
-    (reference Converters/Json2GeoJSON.py:248-257)."""
-    return F.regexp_extract(col, r"^[0-9+\-.]+", 0).cast(to)
+    (reference Converters/Json2GeoJSON.py:248-257).
+
+    ``try_cast``, not ``cast``: the allowed-prefix alphabet admits
+    non-numbers ("-", "...", "-+1"), and under ANSI mode (Spark 4
+    default) a plain cast THROWS on them mid-job — the reference's
+    behavior is a null fallback, and one malformed feed value must not
+    kill a 100 TB ingest."""
+    return F.regexp_extract(col, r"^[0-9+\-.]+", 0).try_cast(to)
 
 
 def sanitize_name(col: Column) -> Column:

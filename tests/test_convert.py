@@ -392,3 +392,109 @@ def test_flatten_suffix_blindspot_regression(spark):
         "a2": "v2",
         "a3": "v3",
     }
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: every emitted geometry/feature is structurally valid JSON
+
+
+def test_geometry_emission_always_valid_json_fuzz(spark):
+    """Random coordinates (including negatives, .5 fractions, nulls in
+    properties, special chars in strings) through point/line/polygon/
+    box/multipoint and feature_json always yield parseable JSON with
+    the right GeoJSON structure — the reference emits these strings to
+    a file, so a single malformed corner breaks the whole
+    FeatureCollection."""
+    import json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.functions import geometry as G
+    from erddap2agol_spark.sinks.geojson import feature_json
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(25):
+        pts = [
+            (
+                round(rng.uniform(-90, 90), 3),
+                round(rng.uniform(-180, 180), 3),
+            )
+            for _ in range(rng.randint(2, 5))
+        ]
+        flat = " ".join(f"{a} {b}" for a, b in pts)
+        rows.append(
+            (
+                i,
+                f"{pts[0][0]} {pts[0][1]}",
+                flat,
+                [f"{a} {b}" for a, b in pts],
+                rng.choice(['plain', 'quo"te', "unié", None]),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "id int, pt string, flat string, parts array<string>, label string"
+    )
+
+    emitted = df.select(
+        G.point_geojson(F.col("pt")).alias("pt"),
+        G.line_geojson(F.col("flat")).alias("ln"),
+        G.polygon_geojson(F.col("flat")).alias("pg"),
+        G.multipoint_geojson(F.col("parts")).alias("mp"),
+        feature_json(
+            F.struct("id", "label"), G.point_geojson(F.col("pt"))
+        ).alias("feat"),
+    ).collect()
+    for r in emitted:
+        pt = json.loads(r["pt"])
+        assert pt["type"] == "Point" and len(pt["coordinates"]) == 2
+        ln = json.loads(r["ln"])
+        assert ln["type"] == "LineString"
+        assert all(len(p) == 2 for p in ln["coordinates"])
+        pg = json.loads(r["pg"])
+        assert pg["type"] == "Polygon"
+        ring = pg["coordinates"][0]
+        assert ring[0] == ring[-1]  # closed
+        mp = json.loads(r["mp"])
+        assert mp["type"] == "MultiPoint"
+        feat = json.loads(r["feat"])
+        assert feat["type"] == "Feature"
+        assert set(feat) == {"type", "properties", "geometry"}
+        assert feat["geometry"]["type"] == "Point"
+
+
+def test_regex_functions_match_python_mirror_fuzz(spark):
+    """sanitize_name and numeric_prefix_cast agree with independent
+    Python re mirrors over adversarial strings."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.functions.dsl import (
+        numeric_prefix_cast,
+        sanitize_name,
+    )
+
+    rng = random.Random(7)
+    alphabet = "aZ0 9._-+/\\:;#@!é%" + '"'
+    vals = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        for _ in range(60)
+    ] + ["12.5m", "+3e", "-.5x", "...", "-+1", "", "42"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = df.select(
+        sanitize_name(F.col("v")).alias("s"),
+        numeric_prefix_cast(F.col("v")).alias("n"),
+    ).collect()
+    for v, r in zip(vals, got):
+        assert r["s"] == re.sub(r"[^A-Za-z0-9_\-]", "_", v), v
+        m = re.match(r"^[0-9+\-.]+", v)
+        want = None
+        if m:
+            try:
+                want = float(m.group(0))
+            except ValueError:
+                want = None
+        assert r["n"] == want, (v, r["n"], want)
