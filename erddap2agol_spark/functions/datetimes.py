@@ -138,7 +138,14 @@ def _decode_one(s: str | None) -> datetime | None:
         v = int(s)
         if len(s.lstrip("+-")) == 13:
             v = v / 1000.0
-        return datetime.fromtimestamp(float(v), tz=timezone.utc).replace(tzinfo=None)
+        try:
+            return datetime.fromtimestamp(float(v), tz=timezone.utc).replace(
+                tzinfo=None
+            )
+        except (ValueError, OverflowError, OSError):
+            # beyond datetime's year range (year 0 / year 10000+):
+            # garbage-in contract is None, never an exception
+            return None
     # ordinal suffixes: "March 3rd, 2024" -> "March 3, 2024"
     s = _ORDINAL_RE.sub(r"\1", s)
     # trailing tz abbreviation
@@ -176,10 +183,13 @@ def _decode_one(s: str | None) -> datetime | None:
     if dt.tzinfo is not None:
         dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
     elif tz_offset_h is not None:
-        dt = datetime.fromtimestamp(
-            dt.replace(tzinfo=timezone.utc).timestamp() - tz_offset_h * 3600,
-            tz=timezone.utc,
-        ).replace(tzinfo=None)
+        try:
+            dt = datetime.fromtimestamp(
+                dt.replace(tzinfo=timezone.utc).timestamp() - tz_offset_h * 3600,
+                tz=timezone.utc,
+            ).replace(tzinfo=None)
+        except (ValueError, OverflowError, OSError):
+            return None
     return dt
 
 

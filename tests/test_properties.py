@@ -108,3 +108,31 @@ def test_parse_das_never_crashes_and_attrs_survive(entries):
     assert len(rows) == len(entries)
     for (var, attr, val), row in zip(entries, rows):
         assert row[1] == var and row[2] == attr and row[4] == val
+
+
+@given(
+    s=st.one_of(
+        st.none(),
+        st.text(max_size=40),
+        st.text(alphabet="0123456789:/-T +.Zabcdefghijklmnopqrstuvwxyz,", max_size=40),
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_decode_datetime_never_raises(s):
+    """The universal decoder's contract on garbage is None, never an
+    exception — a feed with one mangled timestamp must not kill the
+    ingest (same robustness contract the try_cast fix gives F9)."""
+    out = _decode_one(s)
+    assert out is None or isinstance(out, datetime)
+
+
+@given(
+    epoch=st.integers(-10**13, 10**14),
+)
+@settings(max_examples=200, deadline=None)
+def test_decode_datetime_epoch_digits_never_raise(epoch):
+    """Every pure-digit string hits the epoch branch (or a width
+    heuristic) and must come back as a datetime or None — never an
+    OverflowError/OSError from fromtimestamp on out-of-range values."""
+    out = _decode_one(str(epoch))
+    assert out is None or isinstance(out, datetime)
