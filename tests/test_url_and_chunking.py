@@ -112,3 +112,83 @@ def test_chunk_urls_one_per_slice():
 def test_time_slices_rejects_reversed_range():
     with pytest.raises(ValueError):
         chunking.time_slices(T1, T0, 10)
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: URL compiler invariants
+
+
+from datetime import datetime, timedelta
+from urllib.parse import unquote
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from erddap2agol_spark.sources.erddap_url import (
+    TimeRange,
+    tabledap_chunk_urls,
+    tabledap_url,
+)
+
+_COLNAME = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+)
+
+
+@given(
+    cols=st.lists(_COLNAME, min_size=0, max_size=6, unique=True),
+    with_depth=st.booleans(),
+    with_time_col=st.booleans(),
+    start=st.datetimes(
+        min_value=datetime(1980, 1, 1), max_value=datetime(2100, 1, 1)
+    ).map(lambda d: d.replace(microsecond=0)),
+    span_s=st.integers(0, 10**9),
+    n_chunks=st.integers(1, 5),
+)
+@settings(max_examples=150, deadline=None)
+def test_tabledap_url_invariants(
+    cols, with_depth, with_time_col, start, span_s, n_chunks
+):
+    """The reference's projection rules hold for ANY column list: time
+    is projected exactly once and FIRST, depth (when present) second,
+    remaining column order preserved, the whole projection
+    percent-decodes back to exactly the input set, and chunk URLs are
+    pointwise tabledap_url over their slices."""
+    cols = [c for c in cols if c not in ("time", "depth")]
+    if with_depth:
+        cols.insert(len(cols) // 2, "depth")
+    if with_time_col:
+        cols.insert(0, "time")
+    tr = TimeRange(start, start + timedelta(seconds=span_s))
+    url = tabledap_url("https://srv.example/erddap/", "ds1", cols, tr)
+
+    assert url.startswith("https://srv.example/erddap/tabledap/ds1.csvp?")
+    query = url.split("?", 1)[1]
+    projection = query.split("&", 1)[0]
+    parts = unquote(projection).split(",")
+    assert parts[0] == "time"
+    assert parts.count("time") == 1
+    non_time = [c for c in cols if c != "time"]
+    if with_depth:
+        assert parts[1] == "depth"
+        assert parts[1:] == ["depth"] + [c for c in non_time if c != "depth"]
+    else:
+        assert parts[1:] == non_time
+    # time predicate: both bounds present, encoded, ISO-Z, ordered
+    assert f"&time%3E%3D{tr.start.strftime('%Y-%m-%dT%H:%M:%SZ')}" in url
+    assert f"&time%3C%3D{tr.end.strftime('%Y-%m-%dT%H:%M:%SZ')}" in url
+    # raw >= <= , [ ] never leak unencoded into the query
+    assert not any(ch in query for ch in (">", "<", ",", "[", "]"))
+
+    chunks = [
+        TimeRange(
+            tr.start + timedelta(seconds=i), tr.start + timedelta(seconds=i + 1)
+        )
+        for i in range(n_chunks)
+    ]
+    urls = tabledap_chunk_urls("https://srv.example/erddap", "ds1", cols, chunks)
+    assert urls == [
+        tabledap_url("https://srv.example/erddap", "ds1", cols, c)
+        for c in chunks
+    ]
+    assert len(set(urls)) == len(urls)  # distinct slices -> distinct tasks
