@@ -319,3 +319,50 @@ def test_feed_geometry_null_when_absent(spark):
     out = feeds.with_feed_geometry(feeds.feeds_to_dataframe(spark, src))
     rows = out.collect()
     assert len(rows) == 1 and rows[0].geometry is None
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: feed parsing invariants over generated XML
+
+
+def test_parse_feed_xml_fuzz():
+    """Random well-formed RSS/ATOM trees (namespaced or not, weird
+    child tags, comma/space coordinate soup, repeated geometry
+    elements): parse_feed_xml never raises, yields exactly one row per
+    item, keeps extras as valid JSON, and accumulates repeated
+    geometry parts with the '|' separator."""
+    import json as _json
+    import random
+    from xml.sax.saxutils import escape
+
+    from erddap2agol_spark.sources.feeds import parse_feed_xml
+
+    known_geo = ["point", "polygon", "line"]
+    other = ["title", "link", "guid", "pubDate", "weird", "category"]
+    texts = ["", "a b", "1,2 3,4", "10.5 -20.25", ",,", "x,y", "  pad  ", "<&>"]
+
+    for seed in range(40):
+        rng = random.Random(seed)
+        ns = 'xmlns:georss="http://www.georss.org/georss" ' if rng.random() < 0.5 else ""
+        items_xml, expect = [], []
+        for _ in range(rng.randint(0, 4)):
+            children, n_parts = [], {}
+            for _ in range(rng.randint(0, 6)):
+                tag = rng.choice(known_geo + other)
+                txt = rng.choice(texts)
+                pfx = "georss:" if (ns and tag in known_geo and rng.random() < 0.7) else ""
+                children.append(f"<{pfx}{tag}>{escape(txt)}</{pfx}{tag}>")
+                if tag in known_geo and txt.strip():
+                    n_parts[tag] = n_parts.get(tag, 0) + 1
+            items_xml.append("<item>" + "".join(children) + "</item>")
+            expect.append(n_parts)
+        xml = f'<rss {ns}version="2.0"><channel>' + "".join(items_xml) + "</channel></rss>"
+
+        rows = parse_feed_xml(xml, source="fuzz")
+        assert len(rows) == len(items_xml), seed
+        for row, parts in zip(rows, expect):
+            _json.loads(row["extras"])  # always valid JSON
+            for tag, n in parts.items():
+                key = {"point": "georss_point", "polygon": "georss_polygon", "line": "georss_line"}[tag]
+                got = row.get(key, "")
+                assert got.count("|") == n - 1, (seed, key, got)
