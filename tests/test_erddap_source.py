@@ -314,3 +314,33 @@ def test_csvp_read_nan_is_missing(spark, tmp_path):
     rows = df.orderBy("time").collect()
     assert rows[0]["v"] == 1.5
     assert rows[1]["v"] is None  # literal NaN = ERDDAP missing, not float NaN
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: csvp header splitting
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from erddap2agol_spark.sources.csvp import split_csvp_name
+
+_NAME = st.text(
+    alphabet="abcXYZ09_ -", min_size=1, max_size=12
+).filter(lambda s: "(" not in s and s.strip())
+_UNITS = st.text(alphabet="abc09_ -()", max_size=10).filter(
+    lambda s: s.count("(") == s.count(")")
+)
+
+
+@given(name=_NAME, units=_UNITS)
+@settings(max_examples=200, deadline=None)
+def test_split_csvp_name_roundtrip(name, units):
+    """Any 'name (units)' header — including nested parens inside the
+    units, the case the greedy-to-LAST-paren regex exists for — splits
+    back to exactly (stripped name, units); headers with no
+    parenthesized suffix come back unchanged with units None."""
+    n, u = split_csvp_name(f"{name} ({units})")
+    assert (n, u) == (name.strip(), units)
+    n2, u2 = split_csvp_name(name)
+    assert (n2, u2) == (name.strip(), None)
