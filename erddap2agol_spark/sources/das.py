@@ -59,12 +59,16 @@ def parse_das_text(text: str, dataset_id: str) -> list[tuple[str, str, str, str,
 
     for raw in text.splitlines():
         line = raw.strip()
-        if not line or line == "Attributes {":
-            continue
         if pending_head is not None:
+            # Continuation of a multi-line quoted string: blank interior
+            # lines are part of the value (summary/license attributes
+            # routinely contain empty lines), so this check must come
+            # before the blank-line skip.
             pending.append(line)
             if line.endswith(";"):
                 flush_pending()
+            continue
+        if not line or line == "Attributes {":
             continue
         if line == "}":
             var = None
@@ -88,7 +92,11 @@ def parse_das_text(text: str, dataset_id: str) -> list[tuple[str, str, str, str,
         if value.startswith('"') and value.endswith('"') and len(value) >= 2:
             value = value[1:-1]
         rows.append((dataset_id, var, attr, datatype, value))
-    flush_pending()
+    # A pending buffer at EOF is an UNTERMINATED string literal — a
+    # truncated response.  Drop it rather than emit a half-parsed value:
+    # a line-boundary truncation of any document then parses to an exact
+    # prefix of the full parse (fuzz-asserted), matching the decoder
+    # garbage contract (malformed input -> absent, never wrong).
     return rows
 
 
