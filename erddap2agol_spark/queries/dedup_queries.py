@@ -437,7 +437,10 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard_est", F.round(F.col("n_match") / 8.0, 6))
         .drop("n_match")
     )
-    sh = docs.select(
+    # ensure_parallelism: documents at bench SF is a ONE-split parquet
+    # scan, and an unspread ~52x shingle fan-out runs single-threaded
+    # (measured: the bare explode 8.7 s -> 1.1 s with the spread)
+    sh = dedup.ensure_parallelism(docs).select(
         F.col("doc_id").alias("doc"),
         # word_shingles is already distinct per doc
         F.explode(dedup.word_shingles(F.col("text"), 3)).alias("sh"),
