@@ -127,6 +127,24 @@ def minhash_signatures(
     return hashed.groupBy("doc").agg(*aggs)
 
 
+def band_keys(sig: DataFrame, n_perm: int, rows_per_band: int) -> DataFrame:
+    """Melt a wide signature table (``doc``, ``m0``..``m{n_perm-1}``) to
+    LSH band keys ``(doc, band, band_sig)`` — one row per (doc, band),
+    ``band_sig`` the ``|``-joined signature slice.  Two docs are LSH
+    candidates iff they share a ``(band, band_sig)`` pair; every consumer
+    of the banding (the batch self-join in :func:`lsh_candidate_pairs`,
+    the streaming ingest store in ``streaming/neardup.py``) goes through
+    this one melt so the bucket definition can never drift."""
+    n_bands = n_perm // rows_per_band
+    stack_args = ", ".join(
+        f"{b}, concat_ws('|', {', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        for b in range(n_bands)
+    )
+    return sig.selectExpr(
+        "doc", f"stack({n_bands}, {stack_args}) AS (band, band_sig)"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -172,14 +190,7 @@ def lsh_candidate_pairs(
     # thread to race the cold cache — that pathology is specific to
     # broadcast-subquery plans), and an eager count() measured +1.2 s
     # steady-state per call at sf0.1 for zero benefit
-    n_bands = n_perm // rows_per_band
-    stack_args = ", ".join(
-        f"{b}, concat_ws('|', {', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
-        for b in range(n_bands)
-    )
-    bands = sig.selectExpr(
-        "doc", f"stack({n_bands}, {stack_args}) AS (band, band_sig)"
-    )
+    bands = band_keys(sig, n_perm, rows_per_band)
     cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.band_sig") == F.col("b.band_sig"))
