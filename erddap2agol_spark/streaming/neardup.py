@@ -43,6 +43,8 @@ here is unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -179,6 +181,71 @@ def start_lsh_dedup_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+#: Partition id holding compacted history.  Negative so it can never
+#: collide with a Structured Streaming batch id (those count up from 0),
+#: which keeps the replay exclusion (`ingest_batch != current`) exact.
+_COMPACTED = -1
+
+
+def compact_store(
+    spark: SparkSession, store_dir: str, keep_last: int = 1, n_files: int = 8
+) -> int:
+    """Fold finished per-batch store partitions into the compacted one.
+
+    A long-running ingest writes one small ``ingest_batch=<id>``
+    directory per micro-batch; after days of 10-second triggers the
+    probe's store scan is dominated by file opens, not bytes (the
+    classic streaming small-files problem).  Compaction rewrites all
+    batch partitions except the ``keep_last`` most recent into the
+    single ``ingest_batch=-1`` partition at ``n_files`` files.
+
+    The most recent partitions are left alone because only the LAST
+    uncommitted batch can ever be replayed after a restart — its
+    partition must stay intact (and stay excluded from its own probe).
+    Crash-safety: the compacted partition is fully written BEFORE the
+    source partitions are dropped, and a crash between the two leaves
+    duplicate band rows — harmless, the probe is a semi-join.  Returns
+    the number of batch partitions folded in."""
+    import shutil
+
+    if not os.path.isdir(store_dir):
+        return 0
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store_dir)
+        if d.startswith(f"{_BATCH_COL}=")
+        and int(d.split("=", 1)[1]) != _COMPACTED
+    )
+    fold = parts[: max(0, len(parts) - keep_last)]
+    if not fold:
+        return 0
+    src = [f"{store_dir}/{_BATCH_COL}={b}" for b in fold]
+    old = f"{store_dir}/{_BATCH_COL}={_COMPACTED}"
+    if os.path.isdir(old):
+        src.append(old)
+    staged = f"{store_dir}/.compact_staging"
+    (
+        spark.read.parquet(*src)
+        .select("doc", "band", "band_sig")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    # staged is complete on disk; now swap it in and drop the sources.
+    # Order matters: dropping sources first could lose accepted history
+    # on a crash; this order can only leave (harmless) duplicates.
+    tmp_old = None
+    if os.path.isdir(old):
+        tmp_old = f"{store_dir}/.compact_old"
+        os.rename(old, tmp_old)
+    os.rename(staged, old)
+    for b in fold:
+        shutil.rmtree(f"{store_dir}/{_BATCH_COL}={b}")
+    if tmp_old:
+        shutil.rmtree(tmp_old)
+    return len(fold)
 
 
 def read_accepted(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -104,6 +104,63 @@ def test_ingest_batch_empty_batch_is_noop(spark, tmp_path):
     assert not os.path.exists(out)
 
 
+def test_restart_from_checkpoint_keeps_gate_state(spark, tmp_path):
+    """A NEW query over the same checkpoint resumes the batch-id
+    sequence, so the store written by the first run keeps rejecting
+    near-dups after a restart and nothing is reprocessed."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, src, [(1, TEXT_A), (2, TEXT_B)])
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    q = neardup.start_lsh_dedup_ingest(stream, store, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _accepted_ids(spark, out) == [1, 2]
+
+    # restart: a near-dup of pre-restart history must still be rejected
+    _write_batch(spark, src, [(4, TEXT_A_VAR), (5, TEXT_C)])
+    stream2 = spark.readStream.schema(_SCHEMA).parquet(src)
+    q2 = neardup.start_lsh_dedup_ingest(stream2, store, out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert _accepted_ids(spark, out) == [1, 2, 5]
+
+
+def test_compact_store_preserves_the_gate(spark, tmp_path):
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    b = [
+        spark.createDataFrame([(1, TEXT_A)], _SCHEMA),
+        spark.createDataFrame([(2, TEXT_B)], _SCHEMA),
+        spark.createDataFrame([(5, TEXT_C)], _SCHEMA),
+    ]
+    for i, df in enumerate(b):
+        neardup.ingest_batch(df, i, store, out)
+
+    n_before = spark.read.parquet(store).count()
+    assert neardup.compact_store(spark, store, keep_last=1, n_files=2) == 2
+    # two batch partitions folded into ingest_batch=-1; batch 2 intact
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("ingest_batch="))
+    assert dirs == ["ingest_batch=-1", "ingest_batch=2"]
+    assert spark.read.parquet(store).count() == n_before
+
+    # the gate still rejects near-dups of compacted history
+    b3 = spark.createDataFrame([(6, TEXT_B_VAR), (7, TEXT_A)], _SCHEMA)
+    assert neardup.ingest_batch(b3, 3, store, out) == 0
+    # second compaction folds batch 2 + merges the existing compacted part
+    assert neardup.compact_store(spark, store, keep_last=1, n_files=2) == 1
+    assert spark.read.parquet(store).count() == n_before
+    # idempotent when nothing to fold
+    assert neardup.compact_store(spark, store, keep_last=1) == 0
+
+
 def test_ingest_probe_plan_broadcasts_the_batch_side(spark, tmp_path):
     """The store probe must never shuffle accepted history: with a store
     in place, the batch's band keys are the broadcast side and the store
