@@ -157,11 +157,21 @@ def nrt_search_url(
     now: datetime,
     window_days: int = 7,
     items_per_page: int = 10_000_000,
+    keywords: list[str] | None = None,
+    protocol: str | None = None,
 ) -> str:
     """S3 NRT variant: advanced search constrained to datasets with data
-    inside the moving window (P11)."""
+    inside the moving window (P11).  Mirrors the reference's advanced
+    query shape (core.py:117-127: optional ``searchFor`` term, empty
+    ``maxTime``, ``protocol`` filter) with one deliberate difference —
+    the window bound is an ABSOLUTE ISO instant instead of the server-
+    evaluated ``now-{N}days`` literal, so the compiled URL is
+    deterministic for a given ``now`` (testable, cache-keyable, and
+    identical across retries that straddle midnight)."""
     min_time = iso_z(now - timedelta(days=window_days))
+    search = f"searchFor={'+'.join(keywords)}&" if keywords else ""
+    proto = f"&protocol={protocol}" if protocol else ""
     return (
-        f"{server.rstrip('/')}/search/advanced.json?page=1"
-        f"&itemsPerPage={items_per_page}&minTime={min_time}"
+        f"{server.rstrip('/')}/search/advanced.json?{search}page=1"
+        f"&itemsPerPage={items_per_page}&minTime={min_time}&maxTime={proto}"
     )

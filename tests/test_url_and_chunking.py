@@ -78,6 +78,17 @@ def test_search_urls():
         SERVER, datetime(2024, 6, 15, 12)
     )
     assert "itemsPerPage=10000000" in eu.nrt_search_url(SERVER, datetime(2024, 6, 15))
+    # advanced-search term + protocol, reference core.py:119-127 shape
+    full = eu.nrt_search_url(
+        SERVER,
+        datetime(2024, 6, 15, 12),
+        keywords=["glider", "salinity"],
+        protocol="tabledap",
+    )
+    assert "advanced.json?searchFor=glider+salinity&page=1" in full
+    assert full.endswith("&maxTime=&protocol=tabledap")
+    # bare variant keeps the empty maxTime and no protocol filter
+    assert eu.nrt_search_url(SERVER, datetime(2024, 6, 15, 12)).endswith("&maxTime=")
 
 
 # --- chunk planner ---------------------------------------------------------
