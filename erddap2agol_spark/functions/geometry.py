@@ -21,9 +21,25 @@ from pyspark.sql import functions as F
 
 def _fmt(d: Column) -> Column:
     """Render a double as a compact JSON number (no trailing .0 for ints —
-    matches the reference's json.dumps output for floats)."""
-    i = d.cast("long")
-    return F.when(d == i.cast("double"), i.cast("string")).otherwise(d.cast("string"))
+    matches the reference's json.dumps output for floats).
+
+    Non-finite ordinates (NaN/±Inf) render as NULL, which propagates
+    through the surrounding ``concat`` exactly like a NULL ordinate —
+    the geometry collapses to GeoJSON-legal ``null`` instead of either
+    emitting a JSON-illegal ``NaN`` literal or, worse, throwing: a plain
+    ``cast("long")`` raises CAST_OVERFLOW under ANSI mode (Spark 4
+    default), so ONE bad coordinate row would kill an entire export job.
+    ``try_cast`` also keeps huge finite doubles (beyond long range) on
+    the plain-string path rather than crashing the integer-compaction
+    probe."""
+    finite = F.when(
+        F.isnan(d) | (d == F.lit(float("inf"))) | (d == F.lit(float("-inf"))),
+        F.lit(None).cast("double"),
+    ).otherwise(d)
+    i = finite.try_cast("long")
+    return F.when(finite == i.cast("double"), i.cast("string")).otherwise(
+        finite.cast("string")
+    )
 
 
 def _pair(x: Column, y: Column) -> Column:

@@ -398,6 +398,40 @@ def test_flatten_suffix_blindspot_regression(spark):
 # property fuzz: every emitted geometry/feature is structurally valid JSON
 
 
+def test_nonfinite_coordinates_render_null_geometry_not_crash(spark):
+    """NaN/±Inf ordinates must collapse to GeoJSON-legal null geometry.
+    Before the _fmt guard, the integer-compaction probe's cast("long")
+    threw CAST_OVERFLOW under ANSI mode — ONE bad coordinate row killed
+    the entire export job — and a plain cast("string") would have
+    emitted the JSON-illegal literal NaN instead."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.functions import geometry as G
+    from erddap2agol_spark.sinks.geojson import feature_json
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(1, nan, 2.0), (2, inf, -3.5), (3, 5.0, -inf), (4, 1e300, 2.0),
+         (5, None, 2.0), (6, 1.5, 2.0)],
+        "id bigint, x double, y double",
+    )
+    rows = df.select(
+        F.col("id"),
+        feature_json(
+            F.struct("id"), G.point_from_xy(F.col("x"), F.col("y"))
+        ).alias("feat"),
+    ).collect()
+    geoms = {}
+    for r in rows:
+        geoms[r.id] = json.loads(r.feat)["geometry"]  # parseable: no NaN leak
+    assert geoms[1] is None and geoms[2] is None and geoms[3] is None
+    assert geoms[5] is None  # NULL ordinate: unchanged propagation
+    assert geoms[4]["coordinates"][0] == 1e300  # huge finite survives
+    assert geoms[6]["coordinates"] == [1.5, 2]
+
+
 def test_geometry_emission_always_valid_json_fuzz(spark):
     """Random coordinates (including negatives, .5 fractions, nulls in
     properties, special chars in strings) through point/line/polygon/
