@@ -50,13 +50,16 @@ def _point_body(lat_lon: Column, const_z: Column | None = None) -> Column:
     """"lat lon [alt]" string -> the "[lon,lat(,z)]" coordinate fragment
     shared by Point and MultiPoint assembly."""
     parts = F.split(F.trim(lat_lon), r"\s+")
-    lat = F.element_at(parts, 1).cast("double")
-    lon = F.element_at(parts, 2).cast("double")
-    # F.get is 0-based and NULL-safe out of bounds (element_at raises
-    # under ANSI mode when the third ordinate is absent)
-    z = F.get(parts, 2).cast("double")
+    # F.get is 0-based and NULL-safe out of bounds; element_at raises
+    # under ANSI mode, so a feed item with a one-token point string
+    # ("12.5") would abort the whole ingest job instead of rendering
+    # null geometry.  try_cast likewise turns non-numeric tokens into
+    # NULL instead of CAST_INVALID_INPUT — feeds are untrusted input.
+    lat = F.get(parts, 0).try_cast("double")
+    lon = F.get(parts, 1).try_cast("double")
+    z = F.get(parts, 2).try_cast("double")
     if const_z is not None:
-        z = F.coalesce(z, const_z.cast("double"))
+        z = F.coalesce(z, const_z.try_cast("double"))
     return F.when(z.isNotNull(), _triple(lon, lat, z)).otherwise(_pair(lon, lat))
 
 
@@ -90,6 +93,35 @@ def point_from_xy(x: Column, y: Column) -> Column:
     )
 
 
+def _ordinate_slots(
+    flat: Column, srs_dim: int
+) -> tuple[Column, Column, Column | None]:
+    """Split a flat ordinate list into per-slot arrays (1st ordinate of
+    every point, 2nd, optional 3rd) — the capture-free prologue of the
+    flat parsers.  try_cast turns a non-numeric token into a NULL
+    ordinate (null geometry downstream) instead of an ANSI
+    CAST_INVALID_INPUT abort — feeds are untrusted input.
+
+    Why slots + ``zip_with`` instead of an index ramp whose lambda
+    captures the token array: co-projecting two flat parsers over the
+    same column (e.g. ``line_geojson`` and ``measured_line_geojson``
+    side by side) made Spark's subexpression machinery cross-bind the
+    captured array between the sibling transforms' lambda variables —
+    element_at probed the 1-element INDEX array and one malformed-free
+    row still aborted the job (and in other orderings silently fed one
+    column's rendered output into the other's cast).  Slot arrays keep
+    every lambda's inputs its own arguments, so there is nothing to
+    cross-bind; a trailing partial point pads with NULL and is dropped
+    by the callers' null filter."""
+    nums = F.transform(
+        F.split(F.trim(flat), r"\s+"), lambda s: s.try_cast("double")
+    )
+    a = F.filter(nums, lambda v, ix: ix % srs_dim == 0)
+    b = F.filter(nums, lambda v, ix: ix % srs_dim == 1)
+    c = F.filter(nums, lambda v, ix: ix % srs_dim == 2) if srs_dim >= 3 else None
+    return a, b, c
+
+
 def _coords_from_flat(
     flat: Column,
     srs_dim: int = 2,
@@ -99,24 +131,28 @@ def _coords_from_flat(
     """Flat ordinate list "a b a b ..." -> array of "[lon,lat]" strings.
     ``srs_dim=3`` consumes a third ordinate per point; ``const_z`` appends
     the same elevation to every 2-D point (the reference's addElevation,
-    Xml2GeoJSON.py:923-930)."""
-    nums = F.transform(F.split(F.trim(flat), r"\s+"), lambda s: s.cast("double"))
-    n_pts = (F.size(nums) / srs_dim).cast("int")
-    idx = F.sequence(F.lit(0), n_pts - 1)
+    Xml2GeoJSON.py:923-930).  Incomplete or non-numeric points render as
+    NULL and are filtered out."""
+    a, b, c = _ordinate_slots(flat, srs_dim)
+    xs, ys = (b, a) if lat_first else (a, b)
+    if srs_dim >= 3:
+        xy = F.zip_with(
+            xs, ys, lambda x, y: F.struct(x.alias("x"), y.alias("y"))
+        )
+        coords = F.zip_with(xy, c, lambda p, z: _triple(p["x"], p["y"], z))
+    elif const_z is not None:
+        cz = const_z.try_cast("double")
 
-    def pt(i: Column) -> Column:
-        a = F.element_at(nums, i * srs_dim + 1)
-        b = F.element_at(nums, i * srs_dim + 2)
-        x, y = (b, a) if lat_first else (a, b)
-        if srs_dim >= 3:
-            return _triple(x, y, F.element_at(nums, i * srs_dim + 3))
-        if const_z is not None:
-            cz = const_z.cast("double")
+        def pt2z(x: Column, y: Column) -> Column:
             # per-row: only rows that actually carry an elevation get Z
-            return F.when(cz.isNotNull(), _triple(x, y, cz)).otherwise(_pair(x, y))
-        return _pair(x, y)
+            return F.when(cz.isNotNull(), _triple(x, y, cz)).otherwise(
+                _pair(x, y)
+            )
 
-    return F.transform(idx, pt)
+        coords = F.zip_with(xs, ys, pt2z)
+    else:
+        coords = F.zip_with(xs, ys, _pair)
+    return F.filter(coords, lambda s: s.isNotNull())
 
 
 def line_geojson(
@@ -171,10 +207,18 @@ def _ring_body(
     coords = _coords_from_flat(flat, srs_dim, lat_first, const_z)
     if reverse:
         coords = F.reverse(coords)
-    closed = F.when(
-        F.element_at(coords, 1) == F.element_at(coords, -1), coords
-    ).otherwise(F.concat(coords, F.array(F.element_at(coords, 1))))
-    return F.concat(F.lit("[["), F.concat_ws(",", closed), F.lit("]]"))
+    # F.get (0-based) is NULL-safe on an empty array where element_at
+    # raises under ANSI — a degenerate ring renders NULL (null geometry
+    # via the caller's concat), it doesn't abort the job
+    first = F.get(coords, 0)
+    last = F.get(coords, F.size(coords) - 1)
+    closed = F.when(first == last, coords).otherwise(
+        F.concat(coords, F.array(first))
+    )
+    return F.when(
+        F.size(coords) >= 1,
+        F.concat(F.lit("[["), F.concat_ws(",", closed), F.lit("]]")),
+    ).otherwise(F.lit(None).cast("string"))
 
 
 def multipolygon_geojson(
@@ -213,17 +257,30 @@ def polygon_geojson(
 def box_geojson(corners: Column, lat_first: bool = True) -> Column:
     """GeoRSS box/GML envelope: "lat1 lon1 lat2 lon2" two corners ->
     5-point ring Polygon (reference Xml2GeoJSON.py box assembly)."""
-    nums = F.transform(F.split(F.trim(corners), r"\s+"), lambda s: s.cast("double"))
+    # F.get + try_cast: a box string with missing or non-numeric corner
+    # ordinates renders NULL geometry instead of an ANSI abort; the
+    # explicit 4-ordinate guard stops concat_ws from silently skipping
+    # NULL corners and emitting a partial (wrong) ring
+    nums = F.transform(
+        F.split(F.trim(corners), r"\s+"), lambda s: s.try_cast("double")
+    )
     if lat_first:
-        y1, x1 = F.element_at(nums, 1), F.element_at(nums, 2)
-        y2, x2 = F.element_at(nums, 3), F.element_at(nums, 4)
+        y1, x1 = F.get(nums, 0), F.get(nums, 1)
+        y2, x2 = F.get(nums, 2), F.get(nums, 3)
     else:
-        x1, y1 = F.element_at(nums, 1), F.element_at(nums, 2)
-        x2, y2 = F.element_at(nums, 3), F.element_at(nums, 4)
+        x1, y1 = F.get(nums, 0), F.get(nums, 1)
+        x2, y2 = F.get(nums, 2), F.get(nums, 3)
     ring = F.concat_ws(
         ",", _pair(x1, y1), _pair(x2, y1), _pair(x2, y2), _pair(x1, y2), _pair(x1, y1)
     )
-    return F.concat(F.lit('{"type":"Polygon","coordinates":[['), ring, F.lit("]]}"))
+    ok = (
+        (F.size(nums) >= 4)
+        & x1.isNotNull() & y1.isNotNull() & x2.isNotNull() & y2.isNotNull()
+    )
+    return F.when(
+        ok,
+        F.concat(F.lit('{"type":"Polygon","coordinates":[['), ring, F.lit("]]}")),
+    ).otherwise(F.lit(None).cast("string"))
 
 
 def _triple(x: Column, y: Column, z: Column) -> Column:
@@ -237,7 +294,7 @@ def _z_transform(
 ) -> Column:
     """The reference's Z pipeline (Json2GeoJSON.py:368-374): abs() first
     when zAbsolute, then scale by zFactor, then shift by zOffset."""
-    zz = z.cast("double")
+    zz = z.try_cast("double")
     if z_absolute:
         zz = F.abs(zz)
     return zz * z_factor + z_offset
@@ -272,7 +329,7 @@ def point_zm_geojson(
     )
     if m is not None and m_output:
         ords.append(zz if zz is not None else F.lit("null"))
-        ords.append(_fmt(m.cast("double")))
+        ords.append(_fmt(m.try_cast("double")))
     elif zz is not None:
         ords.append(zz)
     return F.concat(
@@ -299,21 +356,32 @@ def measured_line_geojson(
     running measure ordinate (0, inc, 2*inc, ... — the reference's
     per-coordinate counter), with the Z slot defaulting to 0 (then
     scaled) or ``null`` when Z output is off."""
-    nums = F.transform(F.split(F.trim(flat), r"\s+"), lambda s: s.cast("double"))
-    n_pts = (F.size(nums) / srs_dim).cast("int")
-    idx = F.sequence(F.lit(0), n_pts - 1)
+    a, b, c = _ordinate_slots(flat, srs_dim)
+    xs, ys = (b, a) if lat_first else (a, b)
+    xy = F.zip_with(xs, ys, lambda x, y: F.struct(x.alias("x"), y.alias("y")))
+    if srs_dim >= 3:
+        xyz = F.zip_with(
+            xy,
+            c,
+            lambda p, z: F.struct(
+                p["x"].alias("x"), p["y"].alias("y"), z.alias("z")
+            ),
+        )
+    else:
+        xyz = F.transform(
+            xy,
+            lambda p: F.struct(
+                p["x"].alias("x"), p["y"].alias("y"), F.lit(0.0).alias("z")
+            ),
+        )
 
-    def pt(i: Column) -> Column:
-        a = F.element_at(nums, i * srs_dim + 1)
-        b = F.element_at(nums, i * srs_dim + 2)
-        x, y = (b, a) if lat_first else (a, b)
-        z = F.element_at(nums, i * srs_dim + 3) if srs_dim >= 3 else F.lit(0.0)
+    def pt(p: Column, i: Column) -> Column:
         zz = (
-            _fmt(_z_transform(z, z_factor, z_offset, z_absolute))
+            _fmt(_z_transform(p["z"], z_factor, z_offset, z_absolute))
             if z_output
             else None
         )
-        parts: list[Column] = [_fmt(x), _fmt(y)]
+        parts: list[Column] = [_fmt(p["x"]), _fmt(p["y"])]
         if m_increment is not None:
             parts.append(zz if zz is not None else F.lit("null"))
             parts.append(_fmt(i.cast("double") * m_increment))
@@ -321,7 +389,7 @@ def measured_line_geojson(
             parts.append(zz)
         return F.concat(F.lit("["), F.concat_ws(",", *parts), F.lit("]"))
 
-    coords = F.transform(idx, pt)
+    coords = F.filter(F.transform(xyz, pt), lambda s: s.isNotNull())
     return F.concat(
         F.lit('{"type":"LineString","coordinates":['),
         F.concat_ws(",", coords),

@@ -432,6 +432,90 @@ def test_nonfinite_coordinates_render_null_geometry_not_crash(spark):
     assert geoms[6]["coordinates"] == [1.5, 2]
 
 
+def test_malformed_geometry_strings_render_null_not_crash(spark):
+    """Feed geometry strings are untrusted: short token lists, garbage
+    numerics, empty rings, and truncated boxes must render null/empty
+    geometry — under ANSI mode the old element_at / cast paths aborted
+    the whole job on the first malformed item."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.functions import geometry as G
+
+    df = spark.createDataFrame(
+        [
+            (1, "12.5", "1 2 3", "", "1 2"),            # short point/odd line/empty ring/short box
+            (2, "abc def", "a b c d", "x y", "1 2 3 x"),  # garbage numerics
+            (3, "10 20", "1 2 3 4", "1 2 3 4 5 6", "1 2 3 4"),  # valid
+        ],
+        "id bigint, pt string, ln string, ring string, box string",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            G.point_geojson(F.col("pt")).alias("pt"),
+            G.line_geojson(F.col("ln")).alias("ln"),
+            G.polygon_geojson(F.col("ring")).alias("pg"),
+            G.box_geojson(F.col("box")).alias("bx"),
+            G.measured_line_geojson(F.col("ln"), m_increment=2.0).alias("ml"),
+        ).collect()
+    }
+    # malformed -> NULL geometry string (callers coalesce to JSON null)
+    assert rows[1].pt is None and rows[2].pt is None
+    assert rows[1].pg is None and rows[2].pg is None
+    assert rows[1].bx is None and rows[2].bx is None
+    # odd-length line keeps the whole points it has; garbage -> null ords
+    assert json.loads(rows[1].ln)["coordinates"] == [[2, 1]]
+    json.loads(rows[2].ln)  # parseable
+    json.loads(rows[1].ml) and json.loads(rows[2].ml)
+    # valid row unchanged
+    assert json.loads(rows[3].pt)["coordinates"] == [20, 10]
+    assert json.loads(rows[3].pg)["coordinates"][0][0] == [2, 1]
+    assert json.loads(rows[3].bx)["type"] == "Polygon"
+
+
+def test_sibling_geometry_projections_do_not_cross_bind(spark):
+    """All geometry forms co-projected in ONE select, two over the SAME
+    input column.  The index-ramp formulation (a transform whose lambda
+    captured the token array) made Spark's subexpression machinery
+    cross-bind the captured array between sibling transforms — probing
+    the 1-element index array crashed the job, and in other orderings
+    one column's rendered JSON leaked into the other column's cast.
+    The slot/zip_with formulation leaves nothing to cross-bind."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.functions import geometry as G
+
+    df = spark.createDataFrame(
+        [(1, "12.5", "1 2 3", "", "1 2"),
+         (2, "abc def", "a b c d", "x y", "1 2 3 x"),
+         (3, "10 20", "1 2 3 4", "1 2 3 4 5 6", "1 2 3 4")],
+        "id bigint, pt string, ln string, ring string, box string",
+    )
+    rows = df.select(
+        "id",
+        G.point_geojson(F.col("pt")).alias("pt"),
+        G.line_geojson(F.col("ln")).alias("ln"),
+        G.polygon_geojson(F.col("ring")).alias("pg"),
+        G.box_geojson(F.col("box")).alias("bx"),
+        G.measured_line_geojson(F.col("ln"), m_increment=2.0).alias("ml"),
+    ).collect()
+    by_id = {r.id: r for r in rows}
+    for r in rows:
+        for col in ("pt", "ln", "pg", "bx", "ml"):
+            v = r[col]
+            if v is not None:
+                json.loads(v)
+    # the two siblings over `ln` must agree on the xy prefix (no leak)
+    ln3 = json.loads(by_id[3].ln)["coordinates"]
+    ml3 = json.loads(by_id[3].ml)["coordinates"]
+    assert [p[:2] for p in ml3] == ln3 == [[2, 1], [4, 3]]
+
+
 def test_geometry_emission_always_valid_json_fuzz(spark):
     """Random coordinates (including negatives, .5 fractions, nulls in
     properties, special chars in strings) through point/line/polygon/
