@@ -198,12 +198,19 @@ def time_extent_from_meta(
         "dataset_id",
         F.split(F.regexp_replace("value", r"\s+", ""), ",").alias("parts"),
     )
-    start = F.timestamp_seconds(F.element_at("parts", 1).cast("double"))
-    end = F.timestamp_seconds(F.element_at("parts", 2).cast("double"))
+    # F.get + try_cast: DAS metadata is remote content — an actual_range
+    # with no comma or a non-numeric bound yields NULL start/end for that
+    # dataset instead of an ANSI element_at/cast abort of the whole scan
+    start = F.timestamp_seconds(F.get("parts", 0).try_cast("double"))
+    end = F.timestamp_seconds(F.get("parts", 1).try_cast("double"))
     return rng.select(
         "dataset_id",
         start.alias("start_time"),
-        F.least(end, now_lit).alias("end_time"),
+        # least() skips NULLs, which would turn a MISSING end bound into
+        # "now"; an unknown end must stay NULL, only a future one clamps
+        F.when(end.isNull(), end).otherwise(F.least(end, now_lit)).alias(
+            "end_time"
+        ),
     )
 
 
@@ -220,7 +227,9 @@ def geographic_range_from_meta(meta: DataFrame) -> DataFrame:
         (F.col("variable") == "NC_GLOBAL") & F.col("attr").isin(*keys)
     )
     return g.groupBy("dataset_id").pivot("attr", list(keys)).agg(
-        F.first(F.col("value").cast("double"))
+        # try_cast: a non-numeric geospatial bound in remote metadata is
+        # a NULL extent, not an ANSI abort of the whole metadata scan
+        F.first(F.col("value").try_cast("double"))
     ).select(
         "dataset_id",
         *[F.col(src).alias(dst) for src, dst in keys.items()],

@@ -145,6 +145,35 @@ def test_time_extent_clamp_and_negative_epoch(spark):
     assert ext["ancient"][1].year == 2000
 
 
+def test_malformed_metadata_yields_null_ranges_not_crash(spark):
+    """DAS metadata is remote content: an actual_range with no comma or
+    non-numeric bounds, and a garbage geospatial extent, must degrade to
+    NULLs for that dataset — under ANSI mode the old element_at/cast
+    aborted the whole metadata scan."""
+    rows = [
+        ("bad1", "time", "actual_range", "1.0"),           # no comma
+        ("bad2", "time", "actual_range", "abc,def"),       # non-numeric
+        ("ok", "time", "actual_range", "0.0,86400.0"),
+        ("bad3", "NC_GLOBAL", "geospatial_lat_min", "north-ish"),
+        ("bad3", "NC_GLOBAL", "geospatial_lat_max", "31.1"),
+    ]
+    meta = spark.createDataFrame(
+        rows, "dataset_id string, variable string, attr string, value string"
+    )
+    ext = {
+        r.dataset_id: (r.start_time, r.end_time)
+        for r in das.time_extent_from_meta(meta, now=NOW).collect()
+    }
+    assert ext["bad1"][0] is not None and ext["bad1"][1] is None
+    assert ext["bad2"] == (None, None)
+    assert ext["ok"][0].year == 1970
+    geo = {
+        r.dataset_id: (r.lat_min, r.lat_max)
+        for r in das.geographic_range_from_meta(meta).collect()
+    }
+    assert geo["bad3"] == (None, 31.1)
+
+
 def test_geographic_range(spark):
     geo = {
         r.dataset_id: (r.lat_min, r.lat_max, r.lon_min, r.lon_max)
