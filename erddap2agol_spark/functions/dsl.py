@@ -38,6 +38,15 @@ def _operand(arg: object) -> Column:
     return F.lit(arg)
 
 
+def _num(c: Column) -> Column:
+    """Numeric coercion for the arithmetic ops: ``try_cast`` renders a
+    non-numeric field value as NULL (the op yields NULL for that row)
+    instead of an ANSI CAST_INVALID_INPUT abort of the whole extraction
+    job — field values are untrusted document content (same rationale as
+    ``numeric_prefix_cast`` below)."""
+    return c.try_cast("double")
+
+
 def compile_op(col: Column, op: str, arg: object = None) -> Column:
     """Compile one DSL op onto ``col``. Mirrors the reference op table
     (Converters/Json2GeoJSON.py:113-128)."""
@@ -56,21 +65,21 @@ def compile_op(col: Column, op: str, arg: object = None) -> Column:
     if op == "concat":
         return F.concat(col, _operand(arg).cast("string"))
     if op == "add":
-        return col.cast("double") + _operand(arg).cast("double")
+        return _num(col) + _num(_operand(arg))
     if op == "sub":
-        return col.cast("double") - _operand(arg).cast("double")
+        return _num(col) - _num(_operand(arg))
     if op == "mult":
-        return col.cast("double") * _operand(arg).cast("double")
+        return _num(col) * _num(_operand(arg))
     if op == "div":
-        return col.cast("double") / _operand(arg).cast("double")
+        return _num(col) / _num(_operand(arg))
     if op == "abs":
-        return F.abs(col.cast("double"))
+        return F.abs(_num(col))
     if op == "pow":
-        return F.pow(col.cast("double"), float(arg))
+        return F.pow(_num(col), float(arg))
     if op == "root":
-        return F.pow(col.cast("double"), 1.0 / float(arg))
+        return F.pow(_num(col), 1.0 / float(arg))
     if op == "rand":  # value × uniform(0,1) — reference Json2GeoJSON.py:124
-        return col.cast("double") * F.rand()
+        return _num(col) * F.rand()
     if op == "default":  # fallback when null (operand may be a field)
         return F.coalesce(col, _operand(arg))
     if op == "width":  # truncate or right-pad to exactly n chars

@@ -140,14 +140,17 @@ def apply_field_types(df: DataFrame, types: dict[str, str]) -> DataFrame:
     for f in df.schema.fields:
         t = types.get(f.name, "text")
         c = F.col(f.name)
+        # try_cast / try_to_timestamp throughout: the type here is a NAME
+        # HEURISTIC over untrusted data — a column called "count" with a
+        # stray "N/A" must yield NULL for that cell, not an ANSI abort
         if t == "integer":
-            c = c.cast("bigint")
+            c = c.try_cast("bigint")
         elif t == "float":
-            c = c.cast("double")
+            c = c.try_cast("double")
         elif t == "date" and isinstance(f.dataType, T.StringType):
             c = F.when(
-                c.rlike(r"^[+-]?\d+$"), F.timestamp_seconds(c.cast("bigint"))
-            ).otherwise(F.to_timestamp(c))
+                c.rlike(r"^[+-]?\d+$"), F.timestamp_seconds(c.try_cast("bigint"))
+            ).otherwise(F.try_to_timestamp(c))
         elif t == "date" and isinstance(
             f.dataType, (T.LongType, T.IntegerType, T.ShortType)
         ):

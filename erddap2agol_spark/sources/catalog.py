@@ -47,7 +47,9 @@ def parse_table_json(spark: SparkSession, text: str) -> DataFrame:
     df = spark.createDataFrame(rows, schema=names)
     for c in ("min_time", "max_time"):
         if c in df.columns:
-            df = df.withColumn(c, F.to_timestamp(F.col(c)))
+            # try_to_timestamp: a malformed date in remote catalog JSON
+            # is a NULL bound for that dataset, not an ANSI scan abort
+            df = df.withColumn(c, F.try_to_timestamp(F.col(c)))
     return df
 
 

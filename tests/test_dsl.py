@@ -233,3 +233,19 @@ def test_dsl_arithmetic_matches_ieee_python(spark, start, num):
         "out"
     ]
     assert got == want, (start, ops, got, want)
+
+
+def test_dsl_arithmetic_on_garbage_yields_null_not_crash(spark):
+    """Field values are untrusted document content: a non-numeric value
+    through an arithmetic op must yield NULL for that row — under ANSI
+    mode the old plain cast aborted the whole extraction job."""
+    df = spark.createDataFrame(
+        [("abc",), ("12.5",), ("",), (None,)], "v string"
+    )
+    for op in ("add", "sub", "mult", "div", "abs", "pow", "root", "rand"):
+        arg = 2.0 if op not in ("abs", "rand") else None
+        ops = [(op, arg)] if arg is not None else [(op, None)]
+        rows = df.select(compile_ops(F.col("v"), ops).alias("out")).collect()
+        vals = [r.out for r in rows]
+        assert vals[0] is None and vals[2] is None and vals[3] is None, op
+        assert vals[1] is not None, op
