@@ -232,7 +232,9 @@ def with_feed_geometry(items: DataFrame, geometry_col: str = "geometry") -> Data
 
     from ..functions import geometry as G
 
-    elev = F.col("georss_elev").cast("double")
+    # try_cast: feed attributes are untrusted — a garbage elevation or
+    # W3C geo tag is NULL, not an ANSI abort of the feed scan
+    elev = F.col("georss_elev").try_cast("double")
     elev_or_null = F.when(elev.isNotNull(), elev)
     dims3 = F.col("geo_dims") == 3
     sep = r"\s*" + re.escape(PART_SEP) + r"\s*"
@@ -314,7 +316,7 @@ def with_feed_geometry(items: DataFrame, geometry_col: str = "geometry") -> Data
         .when(
             F.col("geo_lat").isNotNull() & F.col("geo_lon").isNotNull(),
             G.point_from_xy(
-                F.col("geo_lon").cast("double"), F.col("geo_lat").cast("double")
+                F.col("geo_lon").try_cast("double"), F.col("geo_lat").try_cast("double")
             ),
         )
     )
