@@ -387,7 +387,14 @@ def measured_line_geojson(
             parts.append(_fmt(i.cast("double") * m_increment))
         elif z_output and srs_dim >= 3:
             parts.append(zz)
-        return F.concat(F.lit("["), F.concat_ws(",", *parts), F.lit("]"))
+        # a point with no renderable x/y (NULL ordinate, or non-finite
+        # — _fmt nulls those too) is junk: concat_ws would keep its z/m
+        # slots and emit a bogus coordinate — NULL it so the filter
+        # below drops it like the other flat parsers do
+        return F.when(
+            parts[0].isNotNull() & parts[1].isNotNull(),
+            F.concat(F.lit("["), F.concat_ws(",", *parts), F.lit("]")),
+        )
 
     coords = F.filter(F.transform(xyz, pt), lambda s: s.isNotNull())
     return F.concat(

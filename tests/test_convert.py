@@ -469,7 +469,9 @@ def test_malformed_geometry_strings_render_null_not_crash(spark):
     # odd-length line keeps the whole points it has; garbage -> null ords
     assert json.loads(rows[1].ln)["coordinates"] == [[2, 1]]
     json.loads(rows[2].ln)  # parseable
-    json.loads(rows[1].ml) and json.loads(rows[2].ml)
+    assert json.loads(rows[1].ml)["coordinates"] == [[2, 1, 0, 0]]
+    # all-garbage measured line: junk points DROP, not render as z/m-only
+    assert json.loads(rows[2].ml)["coordinates"] == []
     # valid row unchanged
     assert json.loads(rows[3].pt)["coordinates"] == [20, 10]
     assert json.loads(rows[3].pg)["coordinates"][0][0] == [2, 1]
