@@ -82,3 +82,28 @@ class TestShingleFuzz:
                 for k in range(rows_per_band)
             )
             assert r.band_sig == expect
+
+
+def test_sibling_shingle_projections_do_not_cross_bind(spark):
+    """Three shingle widths co-projected over the same column — the
+    lambda-capture cross-binding class found in the geometry parsers
+    (VERDICT r4 work): siblings must not leak arrays between their
+    transforms' lambda variables."""
+    texts = ["a b c d e", "x", "", "one two three four five six"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id bigint, t string"
+    )
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            dedup.word_shingles(F.col("t"), 2).alias("s2"),
+            dedup.word_shingles(F.col("t"), 3).alias("s3"),
+            dedup.word_shingles(F.col("t"), 4).alias("s4"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        for n, col in ((2, "s2"), (3, "s3"), (4, "s4")):
+            assert list(rows[i][col]) == _mirror_shingles(t, n), (t, n)
