@@ -273,9 +273,12 @@ def box_geojson(corners: Column, lat_first: bool = True) -> Column:
     ring = F.concat_ws(
         ",", _pair(x1, y1), _pair(x2, y1), _pair(x2, y2), _pair(x1, y2), _pair(x1, y1)
     )
+    # guard on the RENDERED ordinates: _fmt also nulls NaN/±Inf, which
+    # pass a bare isNotNull and would leave a partial skipped-slot ring
     ok = (
         (F.size(nums) >= 4)
-        & x1.isNotNull() & y1.isNotNull() & x2.isNotNull() & y2.isNotNull()
+        & _fmt(x1).isNotNull() & _fmt(y1).isNotNull()
+        & _fmt(x2).isNotNull() & _fmt(y2).isNotNull()
     )
     return F.when(
         ok,
@@ -328,14 +331,23 @@ def point_zm_geojson(
         else None
     )
     if m is not None and m_output:
-        ords.append(zz if zz is not None else F.lit("null"))
-        ords.append(_fmt(m.try_cast("double")))
+        # coalesce BOTH positional slots: a runtime-NULL z or m (garbage
+        # value through try_cast) must render as the literal null, not be
+        # skipped by concat_ws — dropping a slot shifts the measure into
+        # the z position and silently mis-shapes the XYZM coordinate
+        ords.append(F.coalesce(zz, F.lit("null")) if zz is not None else F.lit("null"))
+        ords.append(F.coalesce(_fmt(m.try_cast("double")), F.lit("null")))
     elif zz is not None:
         ords.append(zz)
-    return F.concat(
-        F.lit('{"type":"Point","coordinates":['),
-        F.concat_ws(",", *ords),
-        F.lit("]}"),
+    # no renderable x/y (NULL or non-finite) -> null geometry, not a
+    # coordinate with skipped leading slots
+    return F.when(
+        ords[0].isNotNull() & ords[1].isNotNull(),
+        F.concat(
+            F.lit('{"type":"Point","coordinates":['),
+            F.concat_ws(",", *ords),
+            F.lit("]}"),
+        ),
     )
 
 
@@ -375,6 +387,14 @@ def measured_line_geojson(
             ),
         )
 
+    # drop junk points (no renderable x/y — NULL or non-finite, which
+    # _fmt nulls) BEFORE numbering, so the running measure is the
+    # per-RENDERED-coordinate ramp 0, inc, 2*inc the docstring promises
+    # (filtering after numbering left gaps in m at dropped points)
+    kept = F.filter(
+        xyz, lambda p: _fmt(p["x"]).isNotNull() & _fmt(p["y"]).isNotNull()
+    )
+
     def pt(p: Column, i: Column) -> Column:
         zz = (
             _fmt(_z_transform(p["z"], z_factor, z_offset, z_absolute))
@@ -383,20 +403,19 @@ def measured_line_geojson(
         )
         parts: list[Column] = [_fmt(p["x"]), _fmt(p["y"])]
         if m_increment is not None:
-            parts.append(zz if zz is not None else F.lit("null"))
+            # coalesce the positional z slot: a runtime-NULL z (garbage
+            # token) must render as the literal null, not be skipped by
+            # concat_ws — dropping it would shift the measure into the
+            # z position
+            parts.append(
+                F.coalesce(zz, F.lit("null")) if zz is not None else F.lit("null")
+            )
             parts.append(_fmt(i.cast("double") * m_increment))
         elif z_output and srs_dim >= 3:
             parts.append(zz)
-        # a point with no renderable x/y (NULL ordinate, or non-finite
-        # — _fmt nulls those too) is junk: concat_ws would keep its z/m
-        # slots and emit a bogus coordinate — NULL it so the filter
-        # below drops it like the other flat parsers do
-        return F.when(
-            parts[0].isNotNull() & parts[1].isNotNull(),
-            F.concat(F.lit("["), F.concat_ws(",", *parts), F.lit("]")),
-        )
+        return F.concat(F.lit("["), F.concat_ws(",", *parts), F.lit("]"))
 
-    coords = F.filter(F.transform(xyz, pt), lambda s: s.isNotNull())
+    coords = F.transform(kept, pt)
     return F.concat(
         F.lit('{"type":"LineString","coordinates":['),
         F.concat_ws(",", coords),

@@ -32,6 +32,13 @@ def iso_z(t: datetime) -> str:
     return t.strftime(ISO_Z)
 
 
+def _q(term: str) -> str:
+    """Percent-encode one query-string value (spaces become '+')."""
+    from urllib.parse import quote_plus
+
+    return quote_plus(term)
+
+
 @dataclass(frozen=True)
 class TimeRange:
     start: datetime
@@ -144,8 +151,11 @@ def search_url(
     protocol: str = "tabledap",
     items_per_page: int = 100_000,
 ) -> str:
-    """S3: full-text catalog search (keywords AND-joined with '+')."""
-    terms = "+".join(keywords)
+    """S3: full-text catalog search (keywords AND-joined with '+').
+    Each keyword is percent-encoded (quote_plus turns internal spaces
+    into '+', matching the joiner) so a term containing '&', '=' or
+    unicode cannot truncate or split the query string."""
+    terms = "+".join(_q(k) for k in keywords)
     return (
         f"{server.rstrip('/')}/search/index.json?page=1"
         f"&itemsPerPage={items_per_page}&searchFor={terms}&protocol={protocol}"
@@ -169,8 +179,8 @@ def nrt_search_url(
     deterministic for a given ``now`` (testable, cache-keyable, and
     identical across retries that straddle midnight)."""
     min_time = iso_z(now - timedelta(days=window_days))
-    search = f"searchFor={'+'.join(keywords)}&" if keywords else ""
-    proto = f"&protocol={protocol}" if protocol else ""
+    search = f"searchFor={'+'.join(_q(k) for k in keywords)}&" if keywords else ""
+    proto = f"&protocol={_q(protocol)}" if protocol else ""
     return (
         f"{server.rstrip('/')}/search/advanced.json?{search}page=1"
         f"&itemsPerPage={items_per_page}&minTime={min_time}&maxTime={proto}"

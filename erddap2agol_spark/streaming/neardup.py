@@ -62,10 +62,19 @@ def _store_bands(
     probe (partition-pruned, the files are never listed into tasks): a
     REPLAYED batch must not collide with the band keys its first attempt
     already wrote, or every replayed doc would reject against itself."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.option("basePath", store_dir).parquet(store_dir)
-    except Exception:  # AnalysisException: path does not exist yet
-        return None
+    except AnalysisException as e:
+        # ONLY the first-batch no-store-yet case may fall through to an
+        # empty history; any other read failure (permissions, corrupt
+        # footer) must FAIL the batch so foreachBatch retries it —
+        # swallowing it would silently disable the gate and admit
+        # near-dups into the accepted corpus
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
     if exclude_batch is not None and _BATCH_COL in df.columns:
         df = df.filter(F.col(_BATCH_COL) != exclude_batch)
     return df.select("band", "band_sig", "doc")
@@ -183,49 +192,55 @@ def start_lsh_dedup_ingest(
     )
 
 
-#: Partition id holding compacted history.  Negative so it can never
-#: collide with a Structured Streaming batch id (those count up from 0),
-#: which keeps the replay exclusion (`ingest_batch != current`) exact.
-_COMPACTED = -1
-
-
 def compact_store(
     spark: SparkSession, store_dir: str, keep_last: int = 1, n_files: int = 8
 ) -> int:
-    """Fold finished per-batch store partitions into the compacted one.
+    """Fold finished per-batch store partitions into a compacted one.
 
     A long-running ingest writes one small ``ingest_batch=<id>``
     directory per micro-batch; after days of 10-second triggers the
     probe's store scan is dominated by file opens, not bytes (the
     classic streaming small-files problem).  Compaction rewrites all
-    batch partitions except the ``keep_last`` most recent into the
-    single ``ingest_batch=-1`` partition at ``n_files`` files.
+    batch partitions except the ``keep_last`` most recent — plus any
+    previous compacted generations — into a fresh NEGATIVE generation
+    partition (``ingest_batch=-1``, then ``-2``, ...) at ``n_files``
+    files.  Negative ids can never collide with a streaming batch id
+    (those count up from 0), so the replay exclusion
+    (``ingest_batch != current``) always keeps compacted history.
 
     The most recent partitions are left alone because only the LAST
     uncommitted batch can ever be replayed after a restart — its
     partition must stay intact (and stay excluded from its own probe).
-    Crash-safety: the compacted partition is fully written BEFORE the
-    source partitions are dropped, and a crash between the two leaves
-    duplicate band rows — harmless, the probe is a semi-join.  Returns
-    the number of batch partitions folded in."""
+
+    Crash-safety, window by window: the merged data is written to a
+    dot-prefixed staging dir (invisible to Spark's partition listing),
+    promoted with ONE rename to a generation name that never pre-exists,
+    and only then are the source partitions removed.  A crash before
+    the rename leaves an orphan staging dir (cleaned on the next call);
+    a crash after it leaves duplicate band rows across generations —
+    harmless, the probe is a semi-join.  No window can lose accepted
+    history or wedge a later compaction.  Returns the number of batch
+    partitions folded in."""
     import shutil
 
     if not os.path.isdir(store_dir):
         return 0
-    parts = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(store_dir)
-        if d.startswith(f"{_BATCH_COL}=")
-        and int(d.split("=", 1)[1]) != _COMPACTED
-    )
-    fold = parts[: max(0, len(parts) - keep_last)]
-    if not fold:
-        return 0
-    src = [f"{store_dir}/{_BATCH_COL}={b}" for b in fold]
-    old = f"{store_dir}/{_BATCH_COL}={_COMPACTED}"
-    if os.path.isdir(old):
-        src.append(old)
     staged = f"{store_dir}/.compact_staging"
+    if os.path.isdir(staged):
+        shutil.rmtree(staged)  # leftover from a crashed attempt
+    gens: list[int] = []
+    batches: list[int] = []
+    for d in os.listdir(store_dir):
+        if d.startswith(f"{_BATCH_COL}="):
+            v = int(d.split("=", 1)[1])
+            (gens if v < 0 else batches).append(v)
+    batches.sort()
+    fold = batches[: max(0, len(batches) - keep_last)]
+    if not fold and len(gens) <= 1:
+        return 0
+    src = [f"{store_dir}/{_BATCH_COL}={b}" for b in fold] + [
+        f"{store_dir}/{_BATCH_COL}={g}" for g in gens
+    ]
     (
         spark.read.parquet(*src)
         .select("doc", "band", "band_sig")
@@ -233,18 +248,9 @@ def compact_store(
         .write.mode("overwrite")
         .parquet(staged)
     )
-    # staged is complete on disk; now swap it in and drop the sources.
-    # Order matters: dropping sources first could lose accepted history
-    # on a crash; this order can only leave (harmless) duplicates.
-    tmp_old = None
-    if os.path.isdir(old):
-        tmp_old = f"{store_dir}/.compact_old"
-        os.rename(old, tmp_old)
-    os.rename(staged, old)
-    for b in fold:
-        shutil.rmtree(f"{store_dir}/{_BATCH_COL}={b}")
-    if tmp_old:
-        shutil.rmtree(tmp_old)
+    os.rename(staged, f"{store_dir}/{_BATCH_COL}={min(gens, default=0) - 1}")
+    for path in src:
+        shutil.rmtree(path)
     return len(fold)
 
 

@@ -618,3 +618,49 @@ def test_regex_functions_match_python_mirror_fuzz(spark):
             except ValueError:
                 want = None
         assert r["n"] == want, (v, r["n"], want)
+
+
+def test_zm_slots_keep_arity_on_garbage_and_measure_ramp_on_drops(spark):
+    """Review findings (r4): a runtime-NULL z or m must render as the
+    literal null, never be skipped by concat_ws (dropping a slot shifts
+    the measure into the z position); junk points dropped from a
+    measured line must not leave gaps in the 0, inc, 2*inc measure
+    ramp; a NaN box corner must yield null geometry, not a partial
+    ring."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.functions import geometry as G
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, "zz", "n/a", "1 2 x 4 5 6", "1 2 x y 5 6", "NaN 2 3 4")],
+        "x double, y double, z string, m string, ln3 string, ln2 string, box string",
+    )
+    row = df.select(
+        G.point_zm_geojson(
+            F.col("x"), F.col("y"), z=F.col("z").try_cast("double"), m=F.col("m")
+        ).alias("zm"),
+        G.measured_line_geojson(
+            F.col("ln3"), srs_dim=3, m_increment=2.0
+        ).alias("ml3"),
+        G.measured_line_geojson(
+            F.col("ln2"), srs_dim=2, m_increment=2.0
+        ).alias("ml2"),
+        G.box_geojson(F.col("box")).alias("bx"),
+    ).collect()[0]
+    # garbage z AND m: both positional slots render as null, arity = 4
+    assert json.loads(row.zm)["coordinates"] == [1, 2, None, None]
+    # garbage z token mid-line: slot null, measure stays in position 4
+    assert json.loads(row.ml3)["coordinates"] == [[2, 1, None, 0], [5, 4, 6, 2]]
+    # junk middle point drops; measure ramp renumbers (0, 2), no gap
+    assert json.loads(row.ml2)["coordinates"] == [[2, 1, 0, 0], [6, 5, 0, 2]]
+    # NaN corner: null geometry, not a partial skipped-slot ring
+    assert row.bx is None
+
+
+def test_search_urls_percent_encode_terms():
+    from erddap2agol_spark.sources import erddap_url as eu
+
+    u = eu.search_url("https://x/erddap", ["sea surface", "a&b=c"])
+    assert "searchFor=sea+surface+a%26b%3Dc" in u
