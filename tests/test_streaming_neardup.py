@@ -161,6 +161,31 @@ def test_compact_store_preserves_the_gate(spark, tmp_path):
     assert neardup.compact_store(spark, store, keep_last=1) == 0
 
 
+def test_compact_store_recovers_from_crashed_attempt(spark, tmp_path):
+    """A crash before the staging rename leaves an orphan dot-dir that
+    Spark never lists; the next compaction cleans it and proceeds, and
+    history survives every window (review finding r4)."""
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    for i, t in enumerate((TEXT_A, TEXT_B, TEXT_C)):
+        neardup.ingest_batch(
+            spark.createDataFrame([(i + 1, t)], _SCHEMA), i, store, out
+        )
+    n = spark.read.parquet(store).count()
+    # simulate a crashed attempt: orphan staging dir with junk
+    os.makedirs(os.path.join(store, ".compact_staging"))
+    with open(os.path.join(store, ".compact_staging", "junk"), "w") as f:
+        f.write("partial")
+    assert neardup.compact_store(spark, store, keep_last=1) == 2
+    dirs = sorted(d for d in os.listdir(store) if not d.startswith("."))
+    assert dirs == ["ingest_batch=-1", "ingest_batch=2"]
+    assert not os.path.exists(os.path.join(store, ".compact_staging"))
+    assert spark.read.parquet(store).count() == n
+    # gate still rejects against compacted history
+    dup = spark.createDataFrame([(9, TEXT_A)], _SCHEMA)
+    assert neardup.ingest_batch(dup, 3, store, out) == 0
+
+
 def test_ingest_probe_plan_broadcasts_the_batch_side(spark, tmp_path):
     """The store probe must never shuffle accepted history: with a store
     in place, the batch's band keys are the broadcast side and the store
