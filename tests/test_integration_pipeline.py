@@ -189,3 +189,53 @@ def test_glider_spaced_column_names(spark, tmp_path):
     fc = json.load(open(path))
     assert n == 3 and len(fc["features"]) == 3
     assert all(f["properties"]["glider_id"] in ("g1", "g2") for f in fc["features"])
+
+
+def test_streaming_corpus_ingest_lifecycle(spark, tmp_path):
+    """Streaming capstone: a document stream flows through the
+    MinHash-LSH ingest gate (near-dups of accepted history rejected
+    batch over batch), the accepted corpus is then compacted and read
+    back as a batch table, and the batch exact-dedup canon confirms the
+    gate left no duplicate content behind — the streaming and batch
+    faces of the dedup family agreeing on one corpus."""
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators import dedup
+    from erddap2agol_spark.streaming import neardup
+
+    words = [f"w{i}" for i in range(40)]
+    text_a = " ".join(words)
+    text_b = " ".join(w + "x" for w in words)
+    text_c = " ".join(w + "q" for w in words)
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    feed([(1, text_a), (2, text_b)])
+    q = neardup.start_lsh_dedup_ingest(
+        spark.readStream.schema(schema).parquet(src), store, out, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        feed([(3, text_a), (4, text_c)])   # 3 = exact dup of history
+        q.processAllAvailable()
+        feed([(5, text_b), (6, text_b)])   # both dups (one of history)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    neardup.compact_store(spark, store, keep_last=1)
+    corpus = neardup.read_accepted(spark, out)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 4]
+    # batch exact-dedup canon over the accepted corpus: every content
+    # hash must be unique — the gate admitted no duplicate text
+    canon = dedup.exact_dedup(corpus, "text", "doc_id")
+    assert canon.filter(F.col("n_copies") > 1).count() == 0
+    assert canon.count() == 3
