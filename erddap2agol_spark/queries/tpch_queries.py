@@ -1037,11 +1037,14 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q21 (suppliers who kept orders waiting), re-keyed: "
     "lateness is shipping >60 days after the order date (no commit/"
     "receipt dates exist). The EXISTS/NOT-EXISTS pair is decorrelated "
-    "into per-order supplier counts: an order blames supplier S when S "
-    "is its ONLY late supplier and other suppliers exist — three "
-    "aggregates all hashed on the order key (the shuffle is planned "
-    "once and reused), then one supplier-name rollup; no correlated "
-    "per-row probes.",
+    "into ONE pass over lineitem: per-(order, supplier) late flags "
+    "(first shuffle, distinct-supplier grain), then per-order counts "
+    "n_all / n_late plus the sole late supplier's key in the SAME "
+    "aggregate (second shuffle) — an order blames supplier S when S is "
+    "its only late supplier and other suppliers exist. The fact table "
+    "is scanned and joined exactly once (the naive EXISTS/NOT-EXISTS "
+    "form replays the lineitem-orders join three times); supplier "
+    "names broadcast onto a per-order-sized table.",
 )
 def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -1050,26 +1053,27 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    fli = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-    lates = (
-        fli.filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("late")
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
-    alls = fli.groupBy(F.col("l_orderkey").alias("a_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_all")
-    )
-    latec = lates.groupBy(F.col("l_orderkey").alias("c_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_late")
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lates.join(alls, F.col("l_orderkey") == F.col("a_orderkey"))
-        .join(latec, F.col("l_orderkey") == F.col("c_orderkey"))
-        .filter((F.col("n_all") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        per_order.filter((F.col("n_all") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("late_supp"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
