@@ -270,17 +270,24 @@ def semi_join_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r_name, n_name
     """,
     doc="J2/J3: broadcast dimension-enrichment joins -> grouped revenue "
-    "(fact side never shuffles for the joins; dims are broadcast).",
+    "(fact side never shuffles for the joins).  The dim CHAIN is "
+    "denormalized first — nation⋈region (25 rows) folds into customer, "
+    "then ONE broadcast carries the whole chain to the fact scan — "
+    "instead of three separate broadcast builds walking the snowflake "
+    "one hop at a time.",
 )
 def enrich_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = _t(spark, sf_dir, "region")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),

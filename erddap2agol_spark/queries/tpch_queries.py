@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from . import register
@@ -407,15 +408,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = cost.join(
         F.broadcast(dims), F.col("s_suppkey") == F.col("l_suppkey")
     )
-    best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("supply_cost").alias("min_cost")
-    )
+    # the correlated MIN is a window over the part key, not a self-join:
+    # eligible feeds one pass (the aggregate-then-rejoin form replays the
+    # lineitem scan + cost aggregate on both sides).  Groups are bounded
+    # by suppliers-per-part, so the partitioned window is skew-safe.
+    per_part = Window.partitionBy("l_partkey")
     return (
-        eligible.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("supply_cost") == F.col("min_cost")),
-        )
+        eligible.withColumn("min_cost", F.min("supply_cost").over(per_part))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
@@ -862,9 +862,11 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q18 (large-volume customers): orders whose total "
     "quantity tops 300 units, with their customers. The HAVING "
-    "subquery is a per-order aggregate SEMI-joined back onto orders — "
-    "both sides hash on the order key so the aggregate's shuffle is "
-    "reused by the join; top-100 compiles to TakeOrderedAndProject.",
+    "subquery's per-order aggregate IS the output's total_qty, so it is "
+    "computed once — one lineitem scan, one shuffle on the order key — "
+    "and the >300 survivors (a tiny fraction of orders) join straight "
+    "to orders/customer instead of semi-joining then re-aggregating the "
+    "fact table; top-100 compiles to TakeOrderedAndProject.",
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -873,17 +875,21 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
-        li.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 300)
-        .select("big_orderkey")
     )
     return (
-        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("qty"), 2).alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
