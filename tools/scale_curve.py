@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Empirical scaling curves for the corpus-operator families.
+
+The repo's 100 TB claims are plan-shape arguments (SCALE.md); this tool
+adds the measurement: build synthetically scaled copies of the
+``documents`` / ``embeddings`` tables at 1x / 4x / 16x / 64x, run each
+representative operator at every scale, and fit the scaling exponent
+``alpha`` in ``t ~ SF^alpha`` from the two largest points (the small
+points sit on the Spark job floor).  ``alpha <= ~1`` is the pass bar: a
+bucketed/banded/broadcast design scales linearly in rows; an all-pairs
+or global-sort design shows alpha -> 2 (or dies) long before 64x.
+
+Corpus construction is per-family, because the failure mode of naive
+duplication differs:
+
+- **Linear map/agg family** (quality gates, langid, token histogram,
+  Bloom decontamination, exact-dedup canon, bigram LM, corpus
+  manifest): identical copies with ONE appended salt token and offset
+  doc_ids.  Token/length statistics and (crucially) the Heaps-law
+  vocabulary growth stay realistic — the bigram model table must stay
+  vocabulary-sized, not corpus-sized, exactly as in a real corpus.
+- **Pair-generating family** (MinHash-LSH pairs, SimHash Hamming
+  pairs): identical copies would put every copy of a document in one
+  LSH bucket — candidate pairs would grow m^2 BY CONSTRUCTION and the
+  curve would measure the synthetic corpus, not the operator.  Instead
+  copy k renames every token with a per-copy suffix (``w -> w_k``):
+  each copy is an isomorphic image of the base corpus — its internal
+  near-duplicate structure (and therefore its pair count) is exactly
+  the base corpus's — while copies share zero shingles.  True pairs
+  grow exactly linearly in the multiplier, which is the regime the
+  banded join must stay linear in.  (A word-reordering scramble was
+  tried first and REJECTED: sorting words by a per-word hash
+  canonicalizes word order, so any two documents sharing vocabulary
+  collapse into near-identical sequences — measured 6500x pair
+  inflation at 4x.)
+- **ANN** (brute-force top-k): embeddings replicated with offset ids;
+  per-query work is corpus-linear regardless of vector values.
+
+Diagnostic only (not a graded artifact).  Writes scaled dirs under
+/tmp/spark_graft_scale/, symlinking the unscaled tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/spark_graft_scale"
+MULTS = (1, 4, 16, 64)
+ID_OFFSET = 10**9
+
+LINEAR_QUERIES = [
+    "gopher_quality_flags",
+    "text_langid",
+    "token_histogram",
+    "bloom_decontaminate",
+    "dedup_exact",
+    "lm_perplexity",
+    "corpus_manifest",
+]
+PAIR_QUERIES = ["dedup_minhash_lsh", "simhash_hamming_pairs"]
+ANN_QUERIES = ["ann_bruteforce_topk"]
+
+
+def _scaled_docs(spark, mult: int, scrambled: bool):
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.sources.tables import load_table
+
+    base = load_table(spark, BASE_SF, "documents")
+    parts = []
+    for k in range(mult):
+        d = base.select(
+            (F.col("doc_id") + F.lit(k * ID_OFFSET)).alias("doc_id"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+        )
+        if k == 0:
+            d = d.withColumn("text", F.col("text"))
+        elif scrambled:
+            # per-copy vocabulary rename: copy k is an isomorphic image
+            # of the base corpus (identical internal near-dup pair
+            # structure), disjoint from every other copy's shingle space
+            words = F.split(F.col("text"), r"\s+")
+            d = d.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(words, lambda w: F.concat(w, F.lit(f"_{k}"))),
+                    " ",
+                ),
+            )
+        else:
+            # one appended salt token: breaks exact duplication, keeps
+            # token/length statistics and vocabulary growth realistic
+            d = d.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" zscalecopy{k}"))
+            )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.withColumn("n_chars", F.length("text").cast("long"))
+
+
+def _scaled_embeddings(spark, mult: int):
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.sources.tables import load_table
+
+    base = load_table(spark, BASE_SF, "embeddings")
+    id_col = "doc_id" if "doc_id" in base.columns else base.columns[0]
+    parts = [
+        base.withColumn(id_col, F.col(id_col) + F.lit(k * ID_OFFSET))
+        for k in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def build_dir(spark, mult: int, scrambled: bool) -> str:
+    from erddap2agol_spark.sources.tables import TABLE_NAMES, table_path
+
+    tag = "scrambled" if scrambled else "salted"
+    out_dir = os.path.join(WORK, f"x{mult}_{tag}")
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLE_NAMES:
+        if name in ("documents", "embeddings"):
+            continue
+        os.symlink(table_path(BASE_SF, name), table_path(out_dir, name))
+    _scaled_docs(spark, mult, scrambled).coalesce(max(1, mult // 2)).write.mode(
+        "overwrite"
+    ).parquet(table_path(out_dir, "documents"))
+    _scaled_embeddings(spark, mult).coalesce(max(1, mult // 2)).write.mode(
+        "overwrite"
+    ).parquet(table_path(out_dir, "embeddings"))
+    open(os.path.join(out_dir, "_DONE"), "w").close()
+    return out_dir
+
+
+def time_query(spec, spark, sf_dir: str) -> tuple[float, int]:
+    best, rows = float("inf"), -1
+    for _ in range(2):
+        t0 = time.time()
+        rows = spec.spark(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    return best, rows
+
+
+def main() -> None:
+    from erddap2agol_spark.queries import REGISTRY, _load_all
+    from erddap2agol_spark.session import get_spark
+
+    _load_all()
+    spark = get_spark(app_name="scale_curve")
+    mults = [int(m) for m in sys.argv[1:]] or list(MULTS)
+
+    dirs: dict[tuple[int, bool], str] = {}
+    for m in mults:
+        for scrambled in (False, True):
+            dirs[(m, scrambled)] = build_dir(spark, m, scrambled)
+
+    plan = (
+        [(q, False) for q in LINEAR_QUERIES]
+        + [(q, True) for q in PAIR_QUERIES]
+        + [(q, False) for q in ANN_QUERIES]
+    )
+    results: dict[str, dict[int, tuple[float, int]]] = {}
+    for q, scrambled in plan:
+        spec = REGISTRY.get(q)
+        if spec is None:
+            continue
+        results[q] = {}
+        for m in mults:
+            t, n = time_query(spec, spark, dirs[(m, scrambled)])
+            results[q][m] = (t, n)
+            print(f"  {q:28s} x{m:<3d} {t:7.2f}s  rows={n}", flush=True)
+
+    import math
+
+    print(f"\n{'query':28s} " + " ".join(f"x{m:<7d}" for m in mults) + "  alpha")
+    summary = {}
+    for q, by_m in results.items():
+        times = " ".join(f"{by_m[m][0]:7.2f}" for m in mults)
+        m_hi, m_lo = mults[-1], mults[-2] if len(mults) > 1 else mults[0]
+        alpha = (
+            math.log(by_m[m_hi][0] / by_m[m_lo][0]) / math.log(m_hi / m_lo)
+            if m_hi != m_lo
+            else float("nan")
+        )
+        summary[q] = round(alpha, 2)
+        print(f"{q:28s} {times}  {alpha:5.2f}")
+    print(json.dumps({"base": BASE_SF, "mults": mults, "alpha": summary}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
