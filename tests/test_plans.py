@@ -378,6 +378,33 @@ def test_correlated_subquery_decorrelates(spark):
     assert "HashAggregate" in plan
 
 
+def test_one_fact_scan_per_rewritten_query(spark):
+    """The round-4 one-pass rewrites (Q21 blame, Q18 HAVING, Q2
+    correlated MIN) must keep scanning lineitem exactly ONCE — the
+    decorrelated forms they replaced replayed the fact scan per join
+    branch, a second full scan+shuffle at 100 TB.  Counts the physical
+    plan's lineitem FileScans so a regression to the aggregate-then-
+    rejoin shape fails here, not in a bench diff."""
+    import re
+
+    for q, n_scans in (
+        ("q21_late_sole_suppliers", 1),
+        ("q18_large_volume_customers", 1),
+        ("q2_min_cost_supplier", 1),
+        # the enrichment join reads its fact (orders) once too
+        ("enrich_revenue_by_region", 1),
+    ):
+        plan = _plan(spark, q)
+        # formatted explain puts each scan's path on its own Location line
+        pat = (
+            r"Location:[^\n]*(?:lineitem|orders)\.parquet"
+            if q == "enrich_revenue_by_region"
+            else r"Location:[^\n]*lineitem\.parquet"
+        )
+        found = len(re.findall(pat, plan))
+        assert found == n_scans, f"{q}: {found} fact scans (want {n_scans})"
+
+
 def test_tpch_suite_plan_shapes(spark):
     """Round-4 TPC-H family: dims must broadcast (no sort-merge join
     against part/supplier/nation/region), top-k queries must compile to

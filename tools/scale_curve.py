@@ -35,6 +35,13 @@ duplication differs:
   inflation at 4x.)
 - **ANN** (brute-force top-k): embeddings replicated with offset ids;
   per-query work is corpus-linear regardless of vector values.
+- **Events/orders family** (sessionization, LOCF resample, EWMA,
+  rolling distinct, transition matrix, interval overlap): copy k
+  offsets ``user_id``/``event_id``/``o_orderkey`` (per-user session
+  structure identical per copy -> per-key window work exactly linear)
+  and shifts ``o_orderdate`` by k x 2600 days so the copies' interval
+  ranges are DISJOINT — naive duplication would overlap every copy in
+  time and grow the overlap-join output m^2 by construction.
 
 Diagnostic only (not a graded artifact).  Writes scaled dirs under
 /tmp/spark_graft_scale/, symlinking the unscaled tables.
@@ -66,6 +73,14 @@ LINEAR_QUERIES = [
 ]
 PAIR_QUERIES = ["dedup_minhash_lsh", "simhash_hamming_pairs"]
 ANN_QUERIES = ["ann_bruteforce_topk"]
+EVENT_QUERIES = [
+    "sessionization",
+    "resample_daily_locf",
+    "ewma_value",
+    "rolling_weekly_active_users",
+    "event_transition_matrix",
+    "interval_overlap_counts",
+]
 
 
 def _scaled_docs(spark, mult: int, scrambled: bool):
@@ -126,6 +141,65 @@ def _scaled_embeddings(spark, mult: int):
     return out
 
 
+def _scaled_events(spark, mult: int):
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.sources.tables import load_table
+
+    base = load_table(spark, BASE_SF, "events")
+    parts = []
+    for k in range(mult):
+        parts.append(
+            base.withColumn("event_id", F.col("event_id") + F.lit(k * 10**12))
+            .withColumn("user_id", F.col("user_id") + F.lit(k * 10**6))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _scaled_orders(spark, mult: int):
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.sources.tables import load_table
+
+    base = load_table(spark, BASE_SF, "orders")
+    parts = []
+    for k in range(mult):
+        d = base.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * ID_OFFSET))
+        if k:
+            # disjoint date ranges per copy: overlap density stays linear
+            d = d.withColumn("o_orderdate", F.date_add(F.col("o_orderdate"), k * 2600))
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def build_events_dir(spark, mult: int) -> str:
+    from erddap2agol_spark.sources.tables import TABLE_NAMES, table_path
+
+    out_dir = os.path.join(WORK, f"x{mult}_events")
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLE_NAMES:
+        if name in ("events", "orders"):
+            continue
+        os.symlink(table_path(BASE_SF, name), table_path(out_dir, name))
+    _scaled_events(spark, mult).coalesce(max(1, mult // 2)).write.mode(
+        "overwrite"
+    ).parquet(table_path(out_dir, "events"))
+    _scaled_orders(spark, mult).coalesce(max(1, mult // 2)).write.mode(
+        "overwrite"
+    ).parquet(table_path(out_dir, "orders"))
+    open(os.path.join(out_dir, "_DONE"), "w").close()
+    return out_dir
+
+
 def build_dir(spark, mult: int, scrambled: bool) -> str:
     from erddap2agol_spark.sources.tables import TABLE_NAMES, table_path
 
@@ -166,24 +240,32 @@ def main() -> None:
     spark = get_spark(app_name="scale_curve")
     mults = [int(m) for m in sys.argv[1:]] or list(MULTS)
 
-    dirs: dict[tuple[int, bool], str] = {}
-    for m in mults:
-        for scrambled in (False, True):
-            dirs[(m, scrambled)] = build_dir(spark, m, scrambled)
+    families = os.environ.get("SCALE_CURVE_FAMILIES", "docs,events").split(",")
 
-    plan = (
-        [(q, False) for q in LINEAR_QUERIES]
-        + [(q, True) for q in PAIR_QUERIES]
-        + [(q, False) for q in ANN_QUERIES]
-    )
+    dirs: dict[tuple[int, str], str] = {}
+    plan: list[tuple[str, str]] = []
+    if "docs" in families:
+        for m in mults:
+            dirs[(m, "salted")] = build_dir(spark, m, scrambled=False)
+            dirs[(m, "scrambled")] = build_dir(spark, m, scrambled=True)
+        plan += (
+            [(q, "salted") for q in LINEAR_QUERIES]
+            + [(q, "scrambled") for q in PAIR_QUERIES]
+            + [(q, "salted") for q in ANN_QUERIES]
+        )
+    if "events" in families:
+        for m in mults:
+            dirs[(m, "events")] = build_events_dir(spark, m)
+        plan += [(q, "events") for q in EVENT_QUERIES]
+
     results: dict[str, dict[int, tuple[float, int]]] = {}
-    for q, scrambled in plan:
+    for q, tag in plan:
         spec = REGISTRY.get(q)
         if spec is None:
             continue
         results[q] = {}
         for m in mults:
-            t, n = time_query(spec, spark, dirs[(m, scrambled)])
+            t, n = time_query(spec, spark, dirs[(m, tag)])
             results[q][m] = (t, n)
             print(f"  {q:28s} x{m:<3d} {t:7.2f}s  rows={n}", flush=True)
 
