@@ -180,6 +180,76 @@ def _ranged_row_number(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    name: str = "rowid",
+) -> DataFrame:
+    """Per-group row numbering whose parallelism does NOT collapse to
+    one task per group — the scale form for FEW, HUGE strata (a plain
+    ``row_number() over (partition by stratum order by ...)`` runs one
+    task per stratum: five languages over a 100 TB corpus = five tasks).
+
+    Same discipline as :func:`_ranged_row_number`: deterministic range
+    ids stamped as a pure function of the first order column (never
+    ``spark_partition_id``), so the (group, range) count job and the
+    numbering job always agree.  The offset table is |groups| x
+    |ranges| rows — collected and broadcast, so ``group_col`` must be
+    LOW-CARDINALITY by contract (languages, sources, splits: the same
+    bound as a broadcast dimension).  Window partitions become
+    (group, range): parallelism ~ range count regardless of how few
+    groups exist.  Ties on the first order column land in one range;
+    pass a unique tiebreak column for full determinism.
+    """
+    cols = [F.col(c) for c in order_cols]
+    n_parts = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    bounds = _order_split_bounds(df, order_cols[0], n_parts)
+    if bounds:
+        key_type = df.schema[order_cols[0]].dataType
+        key = F.col(order_cols[0])
+        pid = F.coalesce(
+            sum(
+                (F.lit(b).cast(key_type) <= key).cast("int") for b in bounds
+            ),
+            F.lit(0),
+        )
+    else:
+        pid = F.lit(0)
+    stamped = df.withColumn("__pid", pid)
+    counts = stamped.groupBy(group_col, "__pid").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    rows = sorted(
+        (r[group_col], r["__pid"], r["__n"]) for r in counts.collect()
+    )
+    offsets, acc, cur = [], 0, object()
+    for g, p, n in rows:
+        if g != cur:
+            cur, acc = g, 0
+        offsets.append((g, p, acc))
+        acc += n
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    off_schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType),
+            StructField("__pid", IntegerType()),
+            StructField("__off", LongType()),
+        ]
+    )
+    off = df.sparkSession.createDataFrame(offsets, off_schema)
+    w = Window.partitionBy(group_col, "__pid").orderBy(*cols)
+    return (
+        stamped.join(F.broadcast(off), [group_col, "__pid"])
+        .withColumn(name, F.row_number().over(w) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
 def chunk_buckets(
     df: DataFrame,
     order_cols: Sequence[str],

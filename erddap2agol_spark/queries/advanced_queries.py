@@ -1181,6 +1181,121 @@ def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             CASE WHEN value < 20 THEN 'low'
+                  WHEN value < 60 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN tier IS DISTINCT FROM
+                          lag(tier) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                     THEN 1 ELSE 0 END AS changed
+      FROM e WHERE event_type <> 'purchase'
+    ),
+    seg AS (
+      SELECT *, sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, seg_id, tier, min(ts) AS valid_from
+      FROM seg GROUP BY user_id, seg_id, tier
+    ),
+    dim AS (
+      SELECT user_id, seg_id, tier, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, seg_id) AS valid_to
+      FROM intervals
+    ),
+    f AS (
+      SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts, d.tier
+    FROM f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    ORDER BY f.event_id
+    """,
+    doc="Point-in-time lookup against an SCD Type-2 dimension — the "
+    "warehouse temporal-join pattern: each purchase is attributed the "
+    "tier that was valid AT its timestamp (dimension built from the "
+    "non-purchase events; purchases before any dimension row get "
+    "NULL). The oracle is the textbook validity-range theta join "
+    "(valid_from <= t < valid_to); Spark's plan must NOT contain it — "
+    "dimension change rows and fact rows are co-partitioned on the "
+    "entity key and UNIONED, and one running last-non-null window pass "
+    "resolves every fact's as-of match. Cost: one user-keyed shuffle, "
+    "independent of interval count; the range-join form explodes with "
+    "interval x fact density at 100 TB. Reference analog: the date-"
+    "cache lookup the NRT loop does per dataset "
+    "(src/erddap_wrangler.py update_dataset date gate), generalized to "
+    "versioned attributes.",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    tier = (
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim_events = ev.filter(F.col("event_type") != "purchase").withColumn(
+        "tier", tier
+    )
+    seg = dim_events.withColumn(
+        "changed",
+        F.when(~F.col("tier").eqNullSafe(F.lag("tier").over(w)), 1).otherwise(0),
+    ).withColumn(
+        "seg_id",
+        F.sum("changed").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dim = seg.groupBy("user_id", "seg_id", "tier").agg(
+        F.min("ts").alias("ts")
+    )
+    # as-of merge: dim change rows sort BEFORE facts at the same
+    # timestamp (ord 0 < 1), so a change effective at t applies to a
+    # purchase at t — matching the oracle's valid_from <= t bound.
+    # Zero-length versions (two changes at one timestamp) resolve to
+    # the later seg_id, exactly the interval the theta join keeps.
+    dim_rows = dim.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("ord"),
+        F.col("seg_id").cast("long").alias("seq"),
+        "tier",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    fact_rows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("ord"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.lit(None).cast("string").alias("tier"),
+        "event_id",
+    )
+    mw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "ord", "seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dim_rows.unionByName(fact_rows)
+        .withColumn("tier_at", F.last("tier", ignorenulls=True).over(mw))
+        .filter(F.col("ord") == 1)
+        .select("event_id", "user_id", "ts", F.col("tier_at").alias("tier"))
+        .orderBy("event_id")
+    )
+
+
+@register(
     "incremental_agg_merge",
     oracle="""
     SELECT user_id, count(*) AS n_events,

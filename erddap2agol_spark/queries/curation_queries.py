@@ -610,3 +610,64 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_topk_sample(
         docs, "doc_id", wt, 15, by="lang", max_weight=8
     ).select("lang", "doc_id", "wkey", F.col("rk").cast("int").alias("rk"))
+
+
+@register(
+    "stratified_exact_split",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_g
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN rk <= CAST(FLOOR((4 * n_g + 4) / 5.0) AS BIGINT)
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(doc_id) AS id_sum
+    FROM ranked
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+    doc="EXACT stratified train/test split: every language stratum "
+    "contributes ceil(0.8 * n_g) documents to train — not the "
+    "proportional-in-expectation hash gate (sampling.hash_split) but "
+    "the exact-count guarantee an eval-set budget requires. Selection "
+    "is the md5-rank prefix per stratum, so membership is a "
+    "deterministic function of ids alone (stable under repartitioning "
+    "and retries) and id_sum witnesses WHICH documents landed in each "
+    "split, not just how many. The per-stratum rank uses "
+    "windows.grouped_row_number — range-split parallelism, NOT one "
+    "task per stratum: five languages over a 100 TB corpus would "
+    "otherwise run five tasks. Threshold math is integer-exact "
+    "(floor((4n+4)/5) == ceil(0.8n)) so no float boundary can flip a "
+    "document cross-engine.",
+)
+def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import grouped_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = grouped_row_number(
+        docs.withColumn("h", F.md5(F.col("doc_id").cast("string"))),
+        "lang",
+        ["h", "doc_id"],
+        name="rk",
+    )
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
+    thresh = F.floor((F.col("n_g") * 4 + 4) / 5.0).cast("long")
+    return (
+        ranked.join(F.broadcast(sizes), "lang")
+        .withColumn(
+            "split",
+            F.when(F.col("rk") <= thresh, "train").otherwise("test"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -133,3 +133,49 @@ def csvp_glider_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seg_id", "x1", "y1", "x2", "y2", "depth_end", "temp_end")
         .orderBy("seg_id")
     )
+
+
+_DRIFT = "/root/repo/fixtures/schema_drift"
+
+
+@register(
+    "schema_drift_union",
+    oracle=f"""
+    SELECT CAST(epoch AS INT) AS epoch,
+           count(*) AS n,
+           round(avg(temp), 2) AS avg_temp,
+           round(avg(salinity), 2) AS avg_salinity,
+           count(station) AS n_station
+    FROM read_parquet('{_DRIFT}/*/*.parquet',
+                      union_by_name=true, hive_partitioning=true)
+    GROUP BY epoch
+    ORDER BY epoch
+    """,
+    doc="Schema evolution across dataset epochs — the long-lived-"
+    "deployment reality the reference meets when an ERDDAP dataset "
+    "grows columns between harvests (its DAS re-probe picks up new "
+    "attributes per run, src/das_client.py getActualAttributes): a "
+    "partitioned store whose epoch=2 files carry two columns epoch=1 "
+    "never had. Spark reads the whole store in ONE scan with "
+    "mergeSchema (missing columns surface as NULL; partition "
+    "discovery yields the epoch key, so epoch predicates become "
+    "partition pruning, never file reads); the oracle is DuckDB's "
+    "union_by_name read of the same files. Aggregating avg(salinity) "
+    "per epoch proves the NULL-fill semantics agree cross-engine.",
+)
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", _DRIFT)
+        .parquet(_DRIFT)
+    )
+    return (
+        store.groupBy(F.col("epoch").cast("int").alias("epoch"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("temp"), 2).alias("avg_temp"),
+            F.round(F.avg("salinity"), 2).alias("avg_salinity"),
+            F.count("station").alias("n_station"),
+        )
+        .orderBy("epoch")
+    )

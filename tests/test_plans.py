@@ -278,6 +278,38 @@ def test_scalable_row_number_matches_global(spark):
     assert a == b
 
 
+def test_grouped_row_number_matches_plain_window(spark):
+    """grouped_row_number (range-split parallelism for few huge strata)
+    must equal the plain one-task-per-group window's numbering, and be
+    invariant under input repartitioning (the stamp is a pure function
+    of the row, never spark_partition_id)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators import windows
+    from erddap2agol_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select("event_id", "event_type")
+    plain = {
+        (r.event_type, r.event_id): r.rk
+        for r in ev.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy("event_id")
+            ),
+        ).collect()
+    }
+    for reparts in (None, 3, 17):
+        src = ev if reparts is None else ev.repartition(reparts)
+        got = {
+            (r.event_type, r.event_id): r.rk
+            for r in windows.grouped_row_number(
+                src, "event_type", ["event_id"], name="rk"
+            ).collect()
+        }
+        assert got == plain, f"repartition={reparts}"
+
+
 def test_scalable_chunk_buckets_matches_ntile(spark):
     from erddap2agol_spark.operators import windows
     from erddap2agol_spark.sources.tables import load_table
