@@ -123,39 +123,28 @@ def _order_split_bounds(
     return sorted(picks)
 
 
-def _ranged_row_number(
-    df: DataFrame, order_cols: Sequence[str], name: str
-) -> DataFrame:
-    """Global row numbering WITHOUT a single-partition window: assign a
-    range id from deterministic split points on the first order column,
-    number rows inside each range, then add per-range offsets (one tiny
-    aggregate, broadcast back).
+def _stamp_range_pid(df: DataFrame, key_col: str) -> DataFrame:
+    """Stamp a deterministic range id ``__pid`` from split points on
+    ``key_col``.
 
-    The range id is a PURE FUNCTION of the row (a literal-array
-    ``size(filter(bounds, b -> b <= key))`` rank, whole-stage codegen) —
-    NOT ``spark_partition_id()`` after ``repartitionByRange``, whose
-    sampled boundaries are recomputed per job and can disagree between
-    the offset-count job and the numbering job (observed at sf0.01:
-    shifted offsets, duplicate row ids).  Every job stamps identical
-    ids, so the counts always match the numbering.
-
-    Total order follows ``order_cols``; rows tying on the first column
-    land in the same range, so ties order by the remaining columns —
-    pass a unique tiebreak column for full determinism.
+    The range id is a PURE FUNCTION of the row (a sum of boolean casts
+    against literal split points, whole-stage codegen) — NOT
+    ``spark_partition_id()`` after ``repartitionByRange``, whose sampled
+    boundaries are recomputed per job and can disagree between an
+    offset-count job and the numbering job (observed at sf0.01: shifted
+    offsets, duplicate row ids).  Every job stamps identical ids, so
+    counts always match numbering.  No HOF lambda either: an outer
+    column reference inside one mis-binds through a later join.  Null
+    keys coalesce to range 0, matching NULLS FIRST ascending order.
     """
-    cols = [F.col(c) for c in order_cols]
     n_parts = max(
         df.sparkSession.sparkContext.defaultParallelism,
         df.rdd.getNumPartitions(),
     )
-    bounds = _order_split_bounds(df, order_cols[0], n_parts)
+    bounds = _order_split_bounds(df, key_col, n_parts)
     if bounds:
-        key_type = df.schema[order_cols[0]].dataType
-        key = F.col(order_cols[0])
-        # rank of the key among the split points, as a sum of boolean
-        # casts (plain codegen — no HOF lambda, whose outer column
-        # reference mis-binds through the later join); null keys sum
-        # null -> coalesce 0, matching NULLS FIRST ascending order
+        key_type = df.schema[key_col].dataType
+        key = F.col(key_col)
         pid = F.coalesce(
             sum(
                 (F.lit(b).cast(key_type) <= key).cast("int") for b in bounds
@@ -164,7 +153,23 @@ def _ranged_row_number(
         )
     else:
         pid = F.lit(0)
-    stamped = df.withColumn("__pid", pid)
+    return df.withColumn("__pid", pid)
+
+
+def _ranged_row_number(
+    df: DataFrame, order_cols: Sequence[str], name: str
+) -> DataFrame:
+    """Global row numbering WITHOUT a single-partition window: assign a
+    range id from deterministic split points on the first order column
+    (see :func:`_stamp_range_pid`), number rows inside each range, then
+    add per-range offsets (one tiny aggregate, broadcast back).
+
+    Total order follows ``order_cols``; rows tying on the first column
+    land in the same range, so ties order by the remaining columns —
+    pass a unique tiebreak column for full determinism.
+    """
+    cols = [F.col(c) for c in order_cols]
+    stamped = _stamp_range_pid(df, order_cols[0])
     counts = stamped.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     rows = sorted((r["__pid"], r["__n"]) for r in counts.collect())
     offsets, acc = [], 0
@@ -192,46 +197,35 @@ def grouped_row_number(
     task per stratum: five languages over a 100 TB corpus = five tasks).
 
     Same discipline as :func:`_ranged_row_number`: deterministic range
-    ids stamped as a pure function of the first order column (never
-    ``spark_partition_id``), so the (group, range) count job and the
+    ids stamped as a pure function of the first order column (see
+    :func:`_stamp_range_pid`), so the (group, range) count job and the
     numbering job always agree.  The offset table is |groups| x
     |ranges| rows — collected and broadcast, so ``group_col`` must be
     LOW-CARDINALITY by contract (languages, sources, splits: the same
     bound as a broadcast dimension).  Window partitions become
     (group, range): parallelism ~ range count regardless of how few
     groups exist.  Ties on the first order column land in one range;
-    pass a unique tiebreak column for full determinism.
+    pass a unique tiebreak column for full determinism.  NULL group
+    values are their own group, exactly as a plain window's
+    ``partitionBy`` treats them (offsets join null-safely).
     """
     cols = [F.col(c) for c in order_cols]
-    n_parts = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
-    bounds = _order_split_bounds(df, order_cols[0], n_parts)
-    if bounds:
-        key_type = df.schema[order_cols[0]].dataType
-        key = F.col(order_cols[0])
-        pid = F.coalesce(
-            sum(
-                (F.lit(b).cast(key_type) <= key).cast("int") for b in bounds
-            ),
-            F.lit(0),
-        )
-    else:
-        pid = F.lit(0)
-    stamped = df.withColumn("__pid", pid)
+    stamped = _stamp_range_pid(df, order_cols[0])
     counts = stamped.groupBy(group_col, "__pid").agg(
         F.count(F.lit(1)).alias("__n")
     )
-    rows = sorted(
-        (r[group_col], r["__pid"], r["__n"]) for r in counts.collect()
-    )
-    offsets, acc, cur = [], 0, object()
-    for g, p, n in rows:
-        if g != cur:
-            cur, acc = g, 0
-        offsets.append((g, p, acc))
-        acc += n
+    # group values need identity only (a NULL group is a real group, and
+    # group types need not be mutually orderable driver-side): bucket
+    # per group, order by range id within each
+    by_group: dict = {}
+    for r in counts.collect():
+        by_group.setdefault(r[group_col], []).append((r["__pid"], r["__n"]))
+    offsets = []
+    for g, lst in by_group.items():
+        acc = 0
+        for p, n in sorted(lst):
+            offsets.append((g, p, acc))
+            acc += n
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     off_schema = StructType(
@@ -241,12 +235,20 @@ def grouped_row_number(
             StructField("__off", LongType()),
         ]
     )
-    off = df.sparkSession.createDataFrame(offsets, off_schema)
+    off = (
+        df.sparkSession.createDataFrame(offsets, off_schema)
+        .withColumnRenamed(group_col, "__g")
+        .withColumnRenamed("__pid", "__opid")
+    )
     w = Window.partitionBy(group_col, "__pid").orderBy(*cols)
     return (
-        stamped.join(F.broadcast(off), [group_col, "__pid"])
+        stamped.join(
+            F.broadcast(off),
+            F.col(group_col).eqNullSafe(F.col("__g"))
+            & (F.col("__pid") == F.col("__opid")),
+        )
         .withColumn(name, F.row_number().over(w) + F.col("__off"))
-        .drop("__pid", "__off")
+        .drop("__pid", "__opid", "__off", "__g")
     )
 
 

@@ -627,7 +627,7 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN rk <= CAST(FLOOR((4 * n_g + 4) / 5.0) AS BIGINT)
                 THEN 'train' ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(doc_id) AS id_sum
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
     FROM ranked
     GROUP BY lang, split
     ORDER BY lang, split

@@ -269,12 +269,17 @@ def semi_join_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
     """,
-    doc="J2/J3: broadcast dimension-enrichment joins -> grouped revenue "
-    "(fact side never shuffles for the joins).  The dim CHAIN is "
-    "denormalized first — nation⋈region (25 rows) folds into customer, "
-    "then ONE broadcast carries the whole chain to the fact scan — "
-    "instead of three separate broadcast builds walking the snowflake "
-    "one hop at a time.",
+    doc="J2/J3: dimension-enrichment joins -> grouped revenue.  The dim "
+    "CHAIN is denormalized first — nation⋈region (25 rows, broadcast "
+    "FORCED: always dim-safe per tables.BROADCAST_TABLES) folds into "
+    "customer, then one chain join carries it to the fact scan — "
+    "instead of three joins walking the snowflake one hop at a time.  "
+    "The customer-chain join is deliberately left to cost-based "
+    "planning, NOT hinted: customer is excluded from BROADCAST_TABLES "
+    "because it scales with the fact data — at catalog scale the "
+    "optimizer broadcasts it (the plan test sees 3 broadcast joins), "
+    "at 100 TB it correctly degrades to a shuffle hash join on the "
+    "customer key rather than OOMing on a forced broadcast.",
 )
 def enrich_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -287,7 +292,7 @@ def enrich_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name", "r_name")
     )
     return (
-        o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        o.join(dims, o.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),

@@ -309,6 +309,32 @@ def test_grouped_row_number_matches_plain_window(spark):
         }
         assert got == plain, f"repartition={reparts}"
 
+    # NULL group values are a real group, not a crash and not dropped
+    # (code-review r4: the offsets join must be null-safe and the
+    # driver-side fold must not order mixed None/str keys)
+    nulled = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(
+            F.col("event_type")
+        ),
+    )
+    plain_n = {
+        (r.event_type, r.event_id): r.rk
+        for r in nulled.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy("event_id")
+            ),
+        ).collect()
+    }
+    got_n = {
+        (r.event_type, r.event_id): r.rk
+        for r in windows.grouped_row_number(
+            nulled, "event_type", ["event_id"], name="rk"
+        ).collect()
+    }
+    assert got_n == plain_n
+
 
 def test_scalable_chunk_buckets_matches_ntile(spark):
     from erddap2agol_spark.operators import windows

@@ -54,7 +54,9 @@ def main() -> None:
                 t0 = time.time()
                 con.execute(spec.oracle).fetchall()
                 best_d = min(best_d, time.time() - t0)
-        rows.append((name, round(best_s, 3), best_d and round(best_d, 3)))
+        # keep the raw float: a sub-ms oracle rounded to 0.0 would read
+        # as "no oracle" downstream and bias the totals
+        rows.append((name, best_s, best_d))
 
     rows.sort(key=lambda r: -(r[1] / r[2]) if r[2] else 0)
     tot_s = sum(r[1] for r in rows)

@@ -58,7 +58,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WORK = "/tmp/spark_graft_scale"
+# keyed by base dir so switching SPARK_GRAFT_SF_DIR never reuses stale
+# scaled corpora built from a different base
+WORK = os.path.join(
+    "/tmp/spark_graft_scale", os.path.basename(os.path.normpath(BASE_SF))
+)
 MULTS = (1, 4, 16, 64)
 ID_OFFSET = 10**9
 
@@ -238,7 +242,8 @@ def main() -> None:
 
     _load_all()
     spark = get_spark(app_name="scale_curve")
-    mults = [int(m) for m in sys.argv[1:]] or list(MULTS)
+    # sorted: the alpha fit takes the two LARGEST multipliers
+    mults = sorted({int(m) for m in sys.argv[1:]}) or list(MULTS)
 
     families = os.environ.get("SCALE_CURVE_FAMILIES", "docs,events").split(",")
 
