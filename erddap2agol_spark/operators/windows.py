@@ -123,7 +123,20 @@ def _order_split_bounds(
     return sorted(picks)
 
 
-def _stamp_range_pid(df: DataFrame, key_col: str) -> DataFrame:
+def uniform_hex_bounds(n_parts: int, width: int = 8) -> list[str]:
+    """Analytic split points for a key KNOWN to be a uniform lowercase
+    hex string (md5/sha prefixes): ``n_parts - 1`` evenly spaced
+    ``width``-hex-digit prefixes.  Lexicographic comparison against a
+    prefix bound ranges the full string correctly, so a hash-ordered
+    numbering can skip the count + sample jobs the sampling sketch
+    (:func:`_order_split_bounds`) would otherwise spend."""
+    step = 16**width // n_parts
+    return [format(i * step, f"0{width}x") for i in range(1, n_parts)]
+
+
+def _stamp_range_pid(
+    df: DataFrame, key_col: str, bounds: list | None = None
+) -> DataFrame:
     """Stamp a deterministic range id ``__pid`` from split points on
     ``key_col``.
 
@@ -137,11 +150,12 @@ def _stamp_range_pid(df: DataFrame, key_col: str) -> DataFrame:
     column reference inside one mis-binds through a later join.  Null
     keys coalesce to range 0, matching NULLS FIRST ascending order.
     """
-    n_parts = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
-    bounds = _order_split_bounds(df, key_col, n_parts)
+    if bounds is None:
+        n_parts = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            df.rdd.getNumPartitions(),
+        )
+        bounds = _order_split_bounds(df, key_col, n_parts)
     if bounds:
         key_type = df.schema[key_col].dataType
         key = F.col(key_col)
@@ -190,6 +204,7 @@ def grouped_row_number(
     group_col: str,
     order_cols: Sequence[str],
     name: str = "rowid",
+    bounds: list | None = None,
 ) -> DataFrame:
     """Per-group row numbering whose parallelism does NOT collapse to
     one task per group — the scale form for FEW, HUGE strata (a plain
@@ -208,9 +223,13 @@ def grouped_row_number(
     pass a unique tiebreak column for full determinism.  NULL group
     values are their own group, exactly as a plain window's
     ``partitionBy`` treats them (offsets join null-safely).
+
+    Pass ``bounds`` when the order key's distribution is known (e.g.
+    :func:`uniform_hex_bounds` for an md5 key) to skip the sampling
+    sketch's count + sample jobs — two fewer passes over the input.
     """
     cols = [F.col(c) for c in order_cols]
-    stamped = _stamp_range_pid(df, order_cols[0])
+    stamped = _stamp_range_pid(df, order_cols[0], bounds=bounds)
     counts = stamped.groupBy(group_col, "__pid").agg(
         F.count(F.lit(1)).alias("__n")
     )

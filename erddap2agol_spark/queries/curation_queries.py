@@ -647,7 +647,7 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document cross-engine.",
 )
 def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.windows import grouped_row_number
+    from ..operators.windows import grouped_row_number, uniform_hex_bounds
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     ranked = grouped_row_number(
@@ -655,6 +655,11 @@ def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         ["h", "doc_id"],
         name="rk",
+        # md5 keys are uniform by construction: analytic split points,
+        # no count/sample jobs
+        bounds=uniform_hex_bounds(
+            spark.sparkContext.defaultParallelism
+        ),
     )
     sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
     thresh = F.floor((F.col("n_g") * 4 + 4) / 5.0).cast("long")
