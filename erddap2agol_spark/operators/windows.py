@@ -130,6 +130,12 @@ def uniform_hex_bounds(n_parts: int, width: int = 8) -> list[str]:
     prefix bound ranges the full string correctly, so a hash-ordered
     numbering can skip the count + sample jobs the sampling sketch
     (:func:`_order_split_bounds`) would otherwise spend."""
+    if n_parts > 16**width:
+        raise ValueError(
+            f"n_parts={n_parts} exceeds the {width}-hex-digit key space "
+            f"({16 ** width}): step would floor to 0 and every bound "
+            "would collapse to one range — widen `width`"
+        )
     step = 16**width // n_parts
     return [format(i * step, f"0{width}x") for i in range(1, n_parts)]
 
@@ -156,6 +162,31 @@ def _stamp_range_pid(
             df.rdd.getNumPartitions(),
         )
         bounds = _order_split_bounds(df, key_col, n_parts)
+    elif bounds:
+        # caller-supplied bounds whose type mismatches the key would
+        # cast to NULL and silently stamp EVERY row into range 0 — the
+        # exact parallelism collapse the stamp exists to prevent.
+        # Cheap driver-side guard: python type must match the column
+        # category (string bounds for string keys, numeric for numeric).
+        from pyspark.sql.types import NumericType, StringType
+
+        kt = df.schema[key_col].dataType
+        ok = (
+            all(isinstance(b, str) for b in bounds)
+            if isinstance(kt, StringType)
+            else all(
+                isinstance(b, (int, float)) and not isinstance(b, bool)
+                for b in bounds
+            )
+            if isinstance(kt, NumericType)
+            else True
+        )
+        if not ok:
+            raise TypeError(
+                f"bounds {type(bounds[0]).__name__} values do not match "
+                f"key column {key_col!r} of type {kt.simpleString()}; a "
+                "failed cast would stamp every row into one range"
+            )
     if bounds:
         key_type = df.schema[key_col].dataType
         key = F.col(key_col)

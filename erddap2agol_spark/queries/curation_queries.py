@@ -656,9 +656,14 @@ def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["h", "doc_id"],
         name="rk",
         # md5 keys are uniform by construction: analytic split points,
-        # no count/sample jobs
+        # no count/sample jobs.  Range count keeps the input-partition
+        # floor the sampled path would use — capping at core count
+        # alone would grow per-range sort size with the corpus.
         bounds=uniform_hex_bounds(
-            spark.sparkContext.defaultParallelism
+            max(
+                spark.sparkContext.defaultParallelism,
+                docs.rdd.getNumPartitions(),
+            )
         ),
     )
     sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))

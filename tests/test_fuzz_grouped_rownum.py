@@ -18,21 +18,23 @@ from hypothesis import given, settings, strategies as st
 from erddap2agol_spark.operators.windows import grouped_row_number
 
 _GROUP = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
-# duplicate-heavy order keys: small domain forces ties onto the
-# tiebreak column (the unique id)
-_KEY = st.integers(min_value=-3, max_value=3)
+# duplicate-heavy order keys (NULL included): small domain forces ties
+# onto the tiebreak column (the unique id)
+_KEY = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
 _ROWS = st.lists(st.tuples(_GROUP, _KEY), min_size=1, max_size=24)
 
 
-def _mirror(rows: list[tuple[str | None, int, int]]) -> dict[int, int]:
+def _mirror(rows: list[tuple[str | None, int | None, int]]) -> dict[int, int]:
     """Independent mirror: per-group rank in (key, id) order.  NULL
-    order keys sort FIRST (Spark ascending NULLS FIRST)."""
+    order keys sort FIRST (Spark ascending NULLS FIRST) — the sort key
+    makes that explicit instead of relying on None being orderable."""
     out: dict[int, int] = {}
-    groups: dict[object, list[tuple[int, int]]] = {}
+    groups: dict[object, list[tuple[int | None, int]]] = {}
     for g, k, i in rows:
         groups.setdefault(g, []).append((k, i))
     for g, lst in groups.items():
-        for rank, (_, i) in enumerate(sorted(lst), start=1):
+        ordered = sorted(lst, key=lambda t: (t[0] is not None, t[0] or 0, t[1]))
+        for rank, (_, i) in enumerate(ordered, start=1):
             out[i] = rank
     return out
 

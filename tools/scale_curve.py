@@ -58,10 +58,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-# keyed by base dir so switching SPARK_GRAFT_SF_DIR never reuses stale
-# scaled corpora built from a different base
+# keyed by the FULL normalized base path (hashed) so switching
+# SPARK_GRAFT_SF_DIR never reuses stale scaled corpora — not by
+# basename, which two different bases can share
+import hashlib
+
 WORK = os.path.join(
-    "/tmp/spark_graft_scale", os.path.basename(os.path.normpath(BASE_SF))
+    "/tmp/spark_graft_scale",
+    os.path.basename(os.path.normpath(BASE_SF))
+    + "-"
+    + hashlib.md5(os.path.normpath(BASE_SF).encode()).hexdigest()[:8],
 )
 MULTS = (1, 4, 16, 64)
 ID_OFFSET = 10**9
