@@ -123,3 +123,69 @@ def frame_sample_plan(
     return df.select(
         F.col(id_col), F.explode(idx).alias("frame_index")
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id bigint, width int, height int, n_channels int, data binary"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    width: int,
+    height: int,
+    fake: bool = False,
+    batch_rows: int = 16,
+) -> DataFrame:
+    """Resize to a fixed (width, height) via ``mapInPandas`` —
+    binary in, binary out, the standard image-preprocessing step of a
+    multimodal training pipeline.
+
+    Plumbing is real and matches :func:`decode_media`'s distribution
+    shape: Arrow batches with a TIGHT row cap (resize holds both the
+    source blob AND the w*h*c output per row — the default cap is
+    smaller than decode's for that reason), declared output schema,
+    no driver involvement.  The pixel work is the stub: ``fake=True``
+    emits a deterministic pseudo-raster (md5-keystream of the content
+    digest, exactly width*height*channels bytes — stable for tests and
+    schema/size assertions); otherwise NotImplementedError marks the
+    seam where PIL/libvips drops in with the signature and plan
+    unchanged.
+    """
+    n_channels = 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_len = width * height * n_channels
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                if not fake:
+                    raise NotImplementedError(
+                        "image codecs unavailable in this environment; "
+                        "pass fake=True or plug a resizer here"
+                    )
+                rows = []
+                for _, r in chunk.iterrows():
+                    blob = bytes(r[bin_col]) if r[bin_col] is not None else b""
+                    seed = hashlib.md5(blob).digest()
+                    stream = bytearray()
+                    counter = 0
+                    while len(stream) < out_len:
+                        stream += hashlib.md5(
+                            seed + counter.to_bytes(4, "big")
+                        ).digest()
+                        counter += 1
+                    rows.append(
+                        {
+                            "media_id": int(r[id_col]),
+                            "width": width,
+                            "height": height,
+                            "n_channels": n_channels,
+                            "data": bytes(stream[:out_len]),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(resize, schema=RESIZE_SCHEMA)

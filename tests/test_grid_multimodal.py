@@ -157,3 +157,32 @@ def test_frame_sample_plan(spark):
     out = multimodal.frame_sample_plan(df, "media_id", "n_frames", every_n=10)
     got = sorted((r.media_id, r.frame_index) for r in out.collect())
     assert got == [(1, 0), (1, 10), (1, 20), (2, 0), (3, 0)]
+
+
+def test_resize_media_fake_shape_and_determinism(spark, media):
+    out = multimodal.resize_media(
+        media, "media_id", "payload", width=8, height=4, fake=True
+    )
+    rows1 = {r.media_id: bytes(r.data) for r in out.collect()}
+    assert set(rows1) == {1, 2, 3, 4, 5}
+    # exact raster size: width * height * 3 channels, even for NULL blobs
+    assert all(len(b) == 8 * 4 * 3 for b in rows1.values())
+    rows2 = {
+        r.media_id: bytes(r.data)
+        for r in multimodal.resize_media(
+            media, "media_id", "payload", width=8, height=4, fake=True
+        ).collect()
+    }
+    assert rows1 == rows2  # deterministic stub
+    # different content -> different raster (keystream is digest-seeded)
+    assert rows1[1] != rows1[2]
+
+
+def test_resize_media_stub_raises_without_fake(spark, media):
+    with pytest.raises(Exception) as exc_info:
+        multimodal.resize_media(
+            media, "media_id", "payload", width=8, height=4, fake=False
+        ).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
