@@ -85,6 +85,28 @@ def cmd_oracle(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Run the plan audit (plans/audit.py — the same detectors the test
+    suite applies registry-wide) against one query and print findings."""
+    reg = _registry()
+    if args.query not in reg:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+    from .plans.audit import audit
+
+    spark = _spark()
+    try:
+        findings = audit(reg[args.query].spark(spark, args.sf_dir))
+    finally:
+        spark.stop()
+    if not findings:
+        print(f"{args.query}: OK — no scale anti-patterns detected")
+        return 0
+    for f in findings:
+        print(f"{args.query}: {f}")
+    return 1
+
+
 def cmd_sql(args) -> int:
     from .sources.tables import register_views
 
@@ -116,6 +138,13 @@ def main(argv: list[str] | None = None) -> int:
     op = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     op.add_argument("query")
     op.set_defaults(fn=cmd_oracle)
+
+    ap = sub.add_parser(
+        "audit", help="plan-audit a query for scale anti-patterns"
+    )
+    ap.add_argument("query")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF)
+    ap.set_defaults(fn=cmd_audit)
 
     qp = sub.add_parser("sql", help="run raw Spark SQL over the tables")
     qp.add_argument("statement")

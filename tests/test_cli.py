@@ -27,3 +27,7 @@ def test_cli_oracle_prints_sql():
 
 def test_cli_unknown_query_rc2():
     assert main(["oracle", "no_such_query"]) == 2
+
+
+def test_cli_audit_unknown_query_rc2():
+    assert main(["audit", "no_such_query"]) == 2
