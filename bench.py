@@ -56,6 +56,9 @@ HEADLINE = [
     # round 4: corpus-LM scoring (train + apply in one plan) and LPA
     "lm_perplexity",
     "label_prop_communities",
+    # round 4 close: the warehouse temporal join (window as-of form —
+    # its oracle is the validity-range theta join DuckDB must execute)
+    "scd2_point_in_time",
 ]
 
 
