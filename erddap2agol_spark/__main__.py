@@ -5,6 +5,7 @@ is a named query here, runnable by name against any SF directory.
     python -m erddap2agol_spark list [--filter SUBSTR]
     python -m erddap2agol_spark run QUERY [--sf-dir DIR] [--show N]
     python -m erddap2agol_spark explain QUERY [--sf-dir DIR]
+    python -m erddap2agol_spark audit QUERY [--sf-dir DIR]
     python -m erddap2agol_spark oracle QUERY
     python -m erddap2agol_spark sql "SELECT ..." [--sf-dir DIR]
 
@@ -103,7 +104,8 @@ def cmd_audit(args) -> int:
         print(f"{args.query}: OK — no scale anti-patterns detected")
         return 0
     for f in findings:
-        print(f"{args.query}: {f}")
+        # same shape assert_scalable uses: [kind] detail
+        print(f"{args.query}: [{f.kind}] {f.detail}")
     return 1
 
 

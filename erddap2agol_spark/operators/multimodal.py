@@ -65,6 +65,58 @@ DECODE_SCHEMA = (
 )
 
 
+def _media_map(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    schema: str,
+    row_builder,
+    fake: bool,
+    batch_rows: int,
+    codec_name: str,
+) -> DataFrame:
+    """Shared ``mapInPandas`` scaffolding for per-blob media work.
+
+    ``row_builder(media_id, blob)`` maps one (nullable id, bytes) pair
+    to an output dict; the scaffold owns the fake-guard, NULL handling
+    (NULL blob -> empty bytes, NULL id passes through as None), and
+    BOTH batch bounds: the inner chunk loop bounds OUTPUT-row
+    construction, and — because Arrow's input batch size is a SESSION
+    knob, not a per-operator one — the session's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` is lowered to
+    ``batch_rows`` if it is currently larger, so an incoming batch can
+    never materialize more than ``batch_rows`` source blobs either.
+    (Session-wide by necessity; media pipelines want small Arrow
+    batches everywhere blobs flow.)
+    """
+    spark = df.sparkSession
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    try:
+        current = int(spark.conf.get(key))
+    except Exception:
+        current = 10000
+    if current <= 0 or current > batch_rows:
+        spark.conf.set(key, str(batch_rows))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                if not fake:
+                    raise NotImplementedError(
+                        f"{codec_name} unavailable in this environment; "
+                        "pass fake=True or plug a codec here"
+                    )
+                rows = []
+                for _, r in chunk.iterrows():
+                    blob = bytes(r[bin_col]) if r[bin_col] is not None else b""
+                    mid = None if pd.isna(r[id_col]) else int(r[id_col])
+                    rows.append(row_builder(mid, blob))
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+
+
 def decode_media(
     df: DataFrame,
     id_col: str,
@@ -73,9 +125,9 @@ def decode_media(
     batch_rows: int = 64,
 ) -> DataFrame:
     """Decode/feature-extract via ``mapInPandas`` — the real distribution
-    shape for codec work: Arrow batches in, bounded rows per batch (media
-    blobs are large; cap the batch so executor memory holds
-    ``batch_rows x blob``), typed rows out.
+    shape for codec work: Arrow batches in, bounded rows per batch on
+    BOTH sides (see :func:`_media_map` — media blobs are large), typed
+    rows out.
 
     The codec itself is the stub: ``fake=True`` derives deterministic
     pseudo-dimensions from the content digest (stable for tests);
@@ -83,33 +135,22 @@ def decode_media(
     PIL/ffmpeg in a real deployment — signature and plan unchanged).
     """
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_rows):
-                chunk = pdf.iloc[start : start + batch_rows]
-                if not fake:
-                    raise NotImplementedError(
-                        "media codecs unavailable in this environment; "
-                        "pass fake=True or plug a decoder here"
-                    )
-                rows = []
-                for _, r in chunk.iterrows():
-                    blob = bytes(r[bin_col]) if r[bin_col] is not None else b""
-                    digest = hashlib.md5(blob).digest()
-                    rows.append(
-                        {
-                            "media_id": int(r[id_col]),
-                            "n_bytes": len(blob),
-                            "format": "fake",
-                            "width": 16 + digest[0] % 240,
-                            "height": 16 + digest[1] % 240,
-                            "n_channels": 1 + digest[2] % 3,
-                            "duration_ms": int.from_bytes(digest[3:5], "big"),
-                        }
-                    )
-                yield pd.DataFrame(rows)
+    def build(mid, blob):
+        digest = hashlib.md5(blob).digest()
+        return {
+            "media_id": mid,
+            "n_bytes": len(blob),
+            "format": "fake",
+            "width": 16 + digest[0] % 240,
+            "height": 16 + digest[1] % 240,
+            "n_channels": 1 + digest[2] % 3,
+            "duration_ms": int.from_bytes(digest[3:5], "big"),
+        }
 
-    return df.select(id_col, bin_col).mapInPandas(decode, schema=DECODE_SCHEMA)
+    return _media_map(
+        df, id_col, bin_col, DECODE_SCHEMA, build, fake, batch_rows,
+        "media codecs",
+    )
 
 
 def frame_sample_plan(
@@ -143,49 +184,36 @@ def resize_media(
     binary in, binary out, the standard image-preprocessing step of a
     multimodal training pipeline.
 
-    Plumbing is real and matches :func:`decode_media`'s distribution
-    shape: Arrow batches with a TIGHT row cap (resize holds both the
-    source blob AND the w*h*c output per row — the default cap is
-    smaller than decode's for that reason), declared output schema,
-    no driver involvement.  The pixel work is the stub: ``fake=True``
-    emits a deterministic pseudo-raster (md5-keystream of the content
-    digest, exactly width*height*channels bytes — stable for tests and
+    Plumbing is real and shares :func:`_media_map`'s scaffolding with
+    :func:`decode_media` (input AND output batch bounds — resize holds
+    both the source blob and the w*h*c raster per row, hence the
+    tighter default cap), declared output schema, no driver
+    involvement.  The pixel work is the stub: ``fake=True`` emits a
+    deterministic pseudo-raster (md5-keystream of the content digest,
+    exactly width*height*channels bytes — stable for tests and
     schema/size assertions); otherwise NotImplementedError marks the
     seam where PIL/libvips drops in with the signature and plan
     unchanged.
     """
     n_channels = 3
+    out_len = width * height * n_channels
 
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out_len = width * height * n_channels
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_rows):
-                chunk = pdf.iloc[start : start + batch_rows]
-                if not fake:
-                    raise NotImplementedError(
-                        "image codecs unavailable in this environment; "
-                        "pass fake=True or plug a resizer here"
-                    )
-                rows = []
-                for _, r in chunk.iterrows():
-                    blob = bytes(r[bin_col]) if r[bin_col] is not None else b""
-                    seed = hashlib.md5(blob).digest()
-                    stream = bytearray()
-                    counter = 0
-                    while len(stream) < out_len:
-                        stream += hashlib.md5(
-                            seed + counter.to_bytes(4, "big")
-                        ).digest()
-                        counter += 1
-                    rows.append(
-                        {
-                            "media_id": int(r[id_col]),
-                            "width": width,
-                            "height": height,
-                            "n_channels": n_channels,
-                            "data": bytes(stream[:out_len]),
-                        }
-                    )
-                yield pd.DataFrame(rows)
+    def build(mid, blob):
+        seed = hashlib.md5(blob).digest()
+        stream = bytearray()
+        counter = 0
+        while len(stream) < out_len:
+            stream += hashlib.md5(seed + counter.to_bytes(4, "big")).digest()
+            counter += 1
+        return {
+            "media_id": mid,
+            "width": width,
+            "height": height,
+            "n_channels": n_channels,
+            "data": bytes(stream[:out_len]),
+        }
 
-    return df.select(id_col, bin_col).mapInPandas(resize, schema=RESIZE_SCHEMA)
+    return _media_map(
+        df, id_col, bin_col, RESIZE_SCHEMA, build, fake, batch_rows,
+        "image codecs",
+    )

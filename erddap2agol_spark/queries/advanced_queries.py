@@ -1859,10 +1859,10 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_variant_stats",
     oracle="""
     SELECT event_type,
-           count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+           count(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT))
                 AS BIGINT) AS k_sum,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+           round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INT)), 4)
              AS k_avg
     FROM events
     GROUP BY event_type
@@ -1876,11 +1876,13 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of re-tokenizing the JSON text per path, and extraction "
     "stays inside codegen. The oracle is DuckDB's JSON string "
     "extraction over the same column, proving the typed results agree "
-    "engine-to-engine.",
+    "engine-to-engine. try-variants throughout per the robustness "
+    "contract: malformed JSON or a non-integer k degrades that row to "
+    "NULL (count skips it), never aborts the job.",
 )
 def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "props")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -31,3 +31,13 @@ def test_cli_unknown_query_rc2():
 
 def test_cli_audit_unknown_query_rc2():
     assert main(["audit", "no_such_query"]) == 2
+
+
+def test_cli_audit_clean_query_rc0():
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["audit", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"]
+        )
+    assert rc == 0
+    assert "OK" in buf.getvalue()

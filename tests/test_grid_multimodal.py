@@ -186,3 +186,15 @@ def test_resize_media_stub_raises_without_fake(spark, media):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_props_variant_dirty_rows_degrade_to_null(spark):
+    """Robustness contract on the VARIANT path: malformed JSON and a
+    non-integer k degrade that row to NULL — never abort the job."""
+    bad = spark.createDataFrame(
+        [("view", "{bad json"), ("view", '{"k": "abc"}'), ("view", '{"k": 7}')],
+        "event_type string, props string",
+    )
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    got = [r.k for r in bad.select(k.alias("k")).collect()]
+    assert got == [None, None, 7]
