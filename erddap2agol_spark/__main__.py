@@ -22,11 +22,31 @@ import sys
 DEFAULT_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
 def _spark():
+    """Yield a session; stop it ONLY if this call created it.
+
+    ``getOrCreate`` hands back any live session in the process (e.g. the
+    host application's, or a test harness's) — stopping a borrowed session
+    kills it for its real owner, so teardown is conditional on ownership.
+    """
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
 
+    borrowed = SparkSession.getActiveSession()
+    if borrowed is not None:
+        yield borrowed
+        return
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
-    return get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    try:
+        yield spark
+    finally:
+        spark.stop()
 
 
 def _registry():
@@ -53,13 +73,13 @@ def cmd_run(args) -> int:
     if args.query not in reg:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2
-    spark = _spark()
-    try:
+    with _spark() as spark:
         df = reg[args.query].spark(spark, args.sf_dir).persist()
-        df.show(args.show, truncate=False)
-        print(f"[{df.count()} rows]")  # reads the cache, no second run
-    finally:
-        spark.stop()
+        try:
+            df.show(args.show, truncate=False)
+            print(f"[{df.count()} rows]")  # reads the cache, no second run
+        finally:
+            df.unpersist()
     return 0
 
 
@@ -68,11 +88,8 @@ def cmd_explain(args) -> int:
     if args.query not in reg:
         print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
         return 2
-    spark = _spark()
-    try:
+    with _spark() as spark:
         reg[args.query].spark(spark, args.sf_dir).explain("formatted")
-    finally:
-        spark.stop()
     return 0
 
 
@@ -95,11 +112,8 @@ def cmd_audit(args) -> int:
         return 2
     from .plans.audit import audit
 
-    spark = _spark()
-    try:
+    with _spark() as spark:
         findings = audit(reg[args.query].spark(spark, args.sf_dir))
-    finally:
-        spark.stop()
     if not findings:
         print(f"{args.query}: OK — no scale anti-patterns detected")
         return 0
@@ -112,12 +126,9 @@ def cmd_audit(args) -> int:
 def cmd_sql(args) -> int:
     from .sources.tables import register_views
 
-    spark = _spark()
-    try:
+    with _spark() as spark:
         register_views(spark, args.sf_dir)
         spark.sql(args.statement).show(args.show, truncate=False)
-    finally:
-        spark.stop()
     return 0
 
 

@@ -544,3 +544,85 @@ def cms_join_size(
         F.round(F.avg("ip"), 1).alias("avg_depth_estimate"),
         F.max("ip").alias("max_depth_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries -> exact rescore)
+# ---------------------------------------------------------------------------
+
+
+def mg_partition_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries(k) summaries — the candidate generator of
+    the two-pass EXACT heavy-hitters plan.
+
+    Why not just ``groupBy(key).count()``? At 100 TB the key space can be
+    billions (URLs, n-grams, user agents): the full frequency table IS the
+    shuffle bottleneck. Misra-Gries keeps at most ``k`` counters per
+    partition, and the *mergeable-summaries* formulation (Agarwal et al.,
+    PODS'12) is batch-vectorizable: merge exact batch counts into the
+    running summary, and whenever more than ``k`` keys survive, subtract
+    the (k+1)-th largest count from everything and drop the non-positive
+    rows. Each subtraction removes at least k+1 units of mass, so a key
+    with in-partition count > n_p/(k+1) can never hit zero — hence the
+    UNION of partition candidate sets contains every key with GLOBAL count
+    > N/(k+1) (if a key missed every partition summary, its total is at
+    most sum(n_p)/(k+1)).
+
+    Output: at most ``k`` rows per partition, ``(key, lower)`` where
+    ``lower`` is the surviving MG count (a lower bound on the partition
+    count). Null keys are excluded (counted by no frequency summary).
+    """
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def summarize(batches):
+        import pandas as pd
+
+        summary = None
+        for pdf in batches:
+            vc = pdf[key_col].dropna().value_counts()
+            summary = vc if summary is None else summary.add(vc, fill_value=0)
+            if len(summary) > k:
+                kth = summary.nlargest(k + 1).iloc[-1]
+                summary = summary - kth
+                summary = summary[summary > 0]
+        if summary is not None and len(summary):
+            yield pd.DataFrame(
+                {
+                    key_col: summary.index.to_numpy(),
+                    "lower": summary.to_numpy().astype("int64"),
+                }
+            )
+
+    return (
+        df.select(key_col)
+        .filter(F.col(key_col).isNotNull())
+        .mapInPandas(summarize, schema=f"{key_col} {key_type}, lower bigint")
+    )
+
+
+def heavy_hitters_exact(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """EXACT keys with frequency strictly above N/(k+1), without ever
+    building the full frequency table.
+
+    Pass 1: per-partition Misra-Gries candidates (``mg_partition_candidates``
+    — bounded k rows/partition, provably a superset of the answer).
+    Pass 2: semi-join the input down to candidate keys (broadcast — at most
+    k * n_partitions keys), ONE exact hash aggregate over that subset, and
+    an integer-exact threshold ``cnt * (k+1) > N`` (the total rides along
+    as a broadcast scalar; no driver action, no float division).
+
+    The result is provably identical to the full-table
+    ``GROUP BY ... HAVING count(*)*(k+1) > N`` — which is exactly the SQL
+    oracle — while the only wide operation touches candidate keys.
+    """
+    nn = df.filter(F.col(key_col).isNotNull())
+    cand = mg_partition_candidates(df, key_col, k).select(key_col).distinct()
+    total = nn.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        nn.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(F.broadcast(total))
+        .filter(F.col("n_rows") * (k + 1) > F.col("_n"))
+        .drop("_n")
+    )

@@ -107,6 +107,105 @@ def resample_locf(
     )
 
 
+def interpolate_linear(
+    df: DataFrame,
+    keys: Seq[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    step_s: int,
+) -> DataFrame:
+    """Per-key regular grid at ``step_s`` seconds, LINEARLY interpolated —
+    the sibling of :func:`resample_locf` for instrument series where a
+    step function misrepresents the physics (temperature, salinity).
+
+    Same integer-microsecond grid (epoch-aligned, first point at/after the
+    key's first observation, last at/before its last), same deterministic
+    tie-breaks. Each grid point takes
+    ``prev_v + ((next_v - prev_v) * (t - prev_t)) / (next_t - prev_t)``
+    from the nearest observations on either side; a grid point landing ON
+    an observation copies it exactly. Because the grid is clamped inside
+    the observation span, both neighbours always exist.
+
+    Physical shape: one union, ONE partitioned-window pass in each
+    direction (prev / next carried with ``last ... ignore nulls``) — no
+    self-join, no range join, no per-gap explode. Null observations are
+    carried as non-values (skipped by the ignore-nulls scan) exactly like
+    resample_locf.
+
+    Emits ``(*keys, grid_ts, value)`` with the value rounded to 6dp so the
+    float is cross-engine stable.
+    """
+    step_us = step_s * 1_000_000
+    us = epoch_us(ts_col)
+
+    bounds = df.groupBy(*keys).agg(
+        F.min(us).alias("mn_us"), F.max(us).alias("mx_us")
+    )
+    q = F.col("mn_us") + F.lit(step_us - 1)
+    grid = (
+        bounds.withColumn("lo_us", q - (q % F.lit(step_us)))
+        .filter(F.col("lo_us") <= F.col("mx_us"))
+        .select(
+            *keys,
+            F.explode(F.sequence("lo_us", "mx_us", F.lit(step_us))).alias("t_us"),
+        )
+        .select(
+            *keys,
+            "t_us",
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("ord_id"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    obs = df.select(
+        *keys,
+        us.alias("t_us"),
+        F.lit(0).alias("is_grid"),
+        F.col(id_col).cast("long").alias("ord_id"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    ordc = F.coalesce(F.col("ord_id"), F.lit(0))
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("t_us", "is_grid", ordc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("t_us"), F.desc("is_grid"), ordc.desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    obs_t = F.when(F.col("v").isNotNull(), F.col("t_us"))
+    u = (
+        obs.unionByName(grid)
+        .withColumn("prev_v", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("prev_t", F.last(obs_t, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.last("v", ignorenulls=True).over(w_next))
+        .withColumn("next_t", F.last(obs_t, ignorenulls=True).over(w_next))
+    )
+    interp = (
+        F.when(F.col("prev_t").isNull(), F.col("next_v"))
+        .when(F.col("next_t").isNull(), F.col("prev_v"))
+        .when(F.col("t_us") == F.col("prev_t"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (
+                (F.col("next_v") - F.col("prev_v"))
+                * (F.col("t_us") - F.col("prev_t"))
+            )
+            / (F.col("next_t") - F.col("prev_t"))
+        )
+    )
+    grid_ts = F.timestamp_micros(F.col("t_us"))
+    ts_flavor = df.schema[ts_col].dataType.simpleString()
+    if ts_flavor != "timestamp":
+        grid_ts = grid_ts.cast(ts_flavor)
+    return u.filter(F.col("is_grid") == 1).select(
+        *keys, grid_ts.alias("grid_ts"), F.round(interp, 6).alias("value")
+    )
+
+
 def ewma(
     df: DataFrame,
     keys: Seq[str],

@@ -53,6 +53,7 @@ def _load_all() -> None:
     from . import linkage_queries  # noqa: F401
     from . import lm_queries  # noqa: F401
     from . import mixing_queries  # noqa: F401
+    from . import orderby_queries  # noqa: F401
     from . import pipeline_queries  # noqa: F401
     from . import qc_queries  # noqa: F401
     from . import search_queries  # noqa: F401

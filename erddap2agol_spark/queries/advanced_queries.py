@@ -1893,3 +1893,86 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_RULE_MIN_BOTH = 3
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+    item AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_RULE_MIN_BOTH}
+    )
+    SELECT part_a, part_b, n_both, x.n_item AS n_a, y.n_item AS n_b,
+           round(CAST(n_both AS DOUBLE) / n, 6) AS support,
+           round(CAST(n_both AS DOUBLE) / x.n_item, 6) AS confidence_ab,
+           round(CAST(n_both AS DOUBLE) * n / (x.n_item * y.n_item), 6) AS lift
+    FROM pair
+    JOIN item x ON x.l_partkey = part_a
+    JOIN item y ON y.l_partkey = part_b
+    CROSS JOIN n_orders
+    ORDER BY part_a, part_b
+    """,
+    doc="Market-basket association rules over order baskets: "
+    "support / confidence / lift for every part pair co-purchased in "
+    ">= 3 orders. The pair generator is a self-equi-join ON THE ORDER "
+    "KEY — fan-out bounded by basket size squared (TPC-H baskets are "
+    "<= 7 lines), linear in order count, never an all-pairs item join; "
+    "item counts attach afterwards (by then the pair table is tiny) and "
+    "the basket total rides along as a broadcast scalar. Ratios round "
+    "to 6dp from exact integer counts, so the hash is engine-stable.",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _RULE_MIN_BOTH)
+    )
+    x = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    y = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(x, "part_a")
+        .join(y, "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_both") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence_ab"),
+            F.round(
+                F.col("n_both") * F.col("n") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )

@@ -482,3 +482,33 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+_MG_K = 200
+
+
+@register(
+    "heavy_hitters_users",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_rows
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    HAVING count(*) * {_MG_K + 1} > (
+      SELECT count(*) FROM events WHERE user_id IS NOT NULL
+    )
+    """,
+    doc="EXACT heavy hitters (users with > N/(k+1) of all events) via "
+    "two passes: per-partition Misra-Gries(k) candidate summaries "
+    "(mergeable-summaries batch form — bounded k rows per partition, "
+    "provable superset), then one exact aggregate over the candidate "
+    "semi-join with an integer-exact threshold. The full frequency "
+    "table — the thing that doesn't scale when the key space is "
+    "billions — is never built; the oracle builds it, and the results "
+    "are provably identical.",
+)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitters_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_exact(ev, "user_id", _MG_K)

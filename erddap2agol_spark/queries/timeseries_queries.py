@@ -329,3 +329,78 @@ def wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"), 4
         ).alias("pct_change"),
     )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "interp_hourly_linear",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+    ),
+    b AS (SELECT user_id, min(t_us) AS mn, max(t_us) AS mx FROM e GROUP BY user_id),
+    g AS (
+      SELECT user_id,
+             unnest(generate_series(
+               (mn + {_HOUR_US - 1}) - ((mn + {_HOUR_US - 1}) % {_HOUR_US}),
+               mx, {_HOUR_US})) AS t_us
+      FROM b
+      WHERE (mn + {_HOUR_US - 1}) - ((mn + {_HOUR_US - 1}) % {_HOUR_US}) <= mx
+    ),
+    u AS (
+      SELECT user_id, t_us, 0 AS is_grid, event_id AS ord_id, v FROM e
+      UNION ALL
+      SELECT user_id, t_us, 1, NULL, NULL FROM g
+    ),
+    f AS (
+      SELECT user_id, t_us, is_grid,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t_us, is_grid, coalesce(ord_id, 0)
+               ROWS UNBOUNDED PRECEDING) AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t_us, is_grid, coalesce(ord_id, 0)
+               ROWS UNBOUNDED PRECEDING) AS prev_t,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t_us DESC, is_grid DESC, coalesce(ord_id, 0) DESC
+               ROWS UNBOUNDED PRECEDING) AS next_v,
+             last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY t_us DESC, is_grid DESC, coalesce(ord_id, 0) DESC
+               ROWS UNBOUNDED PRECEDING) AS next_t
+      FROM u
+    )
+    SELECT user_id, make_timestamp(t_us) AS grid_ts,
+           round(CASE WHEN prev_t IS NULL THEN next_v
+                      WHEN next_t IS NULL THEN prev_v
+                      WHEN t_us = prev_t THEN prev_v
+                      ELSE prev_v + ((next_v - prev_v) * (t_us - prev_t))
+                                    / (next_t - prev_t)
+                 END, 6) AS value
+    FROM f WHERE is_grid = 1
+    """,
+    doc="Hourly regular grid per station, LINEARLY interpolated — "
+    "resample_locf's sibling for continuous instrument series. Same "
+    "integer-microsecond epoch-aligned grid, clamped inside each key's "
+    "observation span so both neighbours always exist; one partitioned "
+    "window pass in each direction carries (prev, next) value+time with "
+    "last...ignore nulls — no as-of self-join, no per-gap explode. The "
+    "interpolation arithmetic is parenthesized identically in both "
+    "engines and rounded to 6dp, so the hash is stable.",
+)
+def interp_hourly_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interpolate_linear
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return interpolate_linear(
+        ev, keys=["user_id"], ts_col="ts", id_col="event_id",
+        value_col="value", step_s=3_600,
+    )

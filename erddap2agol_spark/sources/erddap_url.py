@@ -45,6 +45,42 @@ class TimeRange:
     end: datetime
 
 
+#: tabledap server-side grouped reductions (ERDDAP protocol; Spark-side
+#: equivalents live in operators/orderby.py)
+ORDERBY_KINDS = frozenset(
+    {
+        "orderBy",
+        "orderByDescending",
+        "orderByClosest",
+        "orderByCount",
+        "orderByLimit",
+        "orderByMax",
+        "orderByMin",
+        "orderByMinMax",
+        "orderByMean",
+        "orderBySum",
+    }
+)
+
+
+def orderby_clause(kind: str, args: list[str]) -> str:
+    """Compile one ``&orderBy*("a,b,...")`` tabledap clause.
+
+    ERDDAP takes the argument list as ONE quoted, comma-separated string;
+    the quotes and commas are percent-encoded like every other query-string
+    token this compiler emits (``"`` -> %22, ``,`` -> %2C). ``args`` may
+    end with the variant-specific tail ERDDAP expects — a count for
+    ``orderByLimit`` ("10"), a ``col/interval`` for ``orderByClosest``
+    ("time/6hours").
+    """
+    if kind not in ORDERBY_KINDS:
+        raise ValueError(f"unknown orderBy variant {kind!r}")
+    if not args:
+        raise ValueError(f"{kind} needs at least one argument")
+    body = "%2C".join(_q(a) for a in args)
+    return f"&{kind}(%22{body}%22)"
+
+
 def tabledap_url(
     server: str,
     dataset_id: str,
@@ -52,6 +88,7 @@ def tabledap_url(
     time_range: TimeRange | None = None,
     response: str = "csvp",
     time_col: str = "time",
+    order_by: tuple[str, list[str]] | None = None,
 ) -> str:
     """Compile projection + time predicate into a tabledap query URL."""
     cols = [c for c in columns if c != time_col]
@@ -65,6 +102,8 @@ def tabledap_url(
             f"&{time_col}%3E%3D{iso_z(time_range.start)}"
             f"&{time_col}%3C%3D{iso_z(time_range.end)}"
         )
+    if order_by is not None:
+        url += orderby_clause(order_by[0], order_by[1])
     return url
 
 

@@ -41,3 +41,18 @@ def test_cli_audit_clean_query_rc0():
         )
     assert rc == 0
     assert "OK" in buf.getvalue()
+
+
+def test_cli_audit_does_not_stop_a_borrowed_session(spark):
+    """Regression: `audit`/`run` grab the live session via getOrCreate;
+    stopping it would kill the host application's (or this suite's)
+    session for every later query. Ownership-conditional teardown."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["audit", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"]
+        )
+    assert rc == 0
+    # the borrowed session must still be fully alive and usable
+    assert spark.sparkContext._jsc is not None
+    assert spark.range(3).count() == 3

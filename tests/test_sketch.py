@@ -315,3 +315,62 @@ def test_histogram_rank_guarantee_on_sparse_tail(spark):
     # rank 0.9*10 = 9: the 9th order statistic is 0.1, which lives in
     # bin 0 -> the estimate must lie within bin 0's value range
     assert 0.0 <= est <= width
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _zipfish(spark, parts=6):
+    # planted skew: key "hot" 600x, "warm" 120x, 300 singletons
+    rows = (
+        [("hot",)] * 600 + [("warm",)] * 120 + [(f"cold_{i}",) for i in range(300)]
+    )
+    return spark.createDataFrame(rows, "k string").repartition(parts)
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    from erddap2agol_spark.operators.sketch import mg_partition_candidates
+
+    df = _zipfish(spark, parts=6)
+    k = 8
+    cand = mg_partition_candidates(df, "k", k)
+    rows = cand.collect()
+    # bounded: at most k rows per partition
+    assert len(rows) <= k * 6
+    names = {r["k"] for r in rows}
+    # superset guarantee: every key with global count > N/(k+1) survives
+    n_total = 600 + 120 + 300
+    assert 600 > n_total / (k + 1) and 120 > n_total / (k + 1)
+    assert {"hot", "warm"} <= names
+    # and the summary actually pruned the tail (not a disguised groupBy)
+    assert len(names) < 300
+
+
+def test_heavy_hitters_exact_matches_bruteforce(spark):
+    from erddap2agol_spark.operators.sketch import heavy_hitters_exact
+
+    df = _zipfish(spark)
+    k = 8
+    got = {
+        (r["k"], r["n_rows"]) for r in heavy_hitters_exact(df, "k", k).collect()
+    }
+    exact = (
+        df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") * (k + 1) > F.lit(1020))
+    )
+    want = {(r["k"], r["n_rows"]) for r in exact.collect()}
+    assert got == want == {("hot", 600), ("warm", 120)}
+
+
+def test_heavy_hitters_ignores_null_keys(spark):
+    from erddap2agol_spark.operators.sketch import heavy_hitters_exact
+
+    df = spark.createDataFrame(
+        [("a",)] * 10 + [(None,)] * 90, "k string"
+    ).repartition(3)
+    # N counts only non-null rows: threshold 10/(k+1) with k=3 -> a (10) wins
+    got = heavy_hitters_exact(df, "k", 3).collect()
+    assert [(r["k"], r["n_rows"]) for r in got] == [("a", 10)]

@@ -265,3 +265,56 @@ class TestIntervalOverlapJoin:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interpolate_linear_hand_computed(spark):
+    from erddap2agol_spark.operators.timeseries import interpolate_linear
+
+    # obs at :30 (v=10) and 2:30 (v=30): hourly grid points 1:00 and 2:00
+    # sit 25% / 75% along the segment
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 0, 30), 10.0),
+        (2, "a", datetime(2024, 1, 1, 2, 30), 30.0),
+    ]
+    out = interpolate_linear(
+        _df(spark, rows), ["key"], "ts", "id", "value", step_s=3600
+    )
+    got = {r["grid_ts"]: r["value"] for r in out.collect()}
+    assert got == {
+        datetime(2024, 1, 1, 1, 0): 15.0,
+        datetime(2024, 1, 1, 2, 0): 25.0,
+    }
+
+
+def test_interpolate_linear_exact_hit_copies_observation(spark):
+    from erddap2agol_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 1, 0), 7.123456789),
+        (2, "a", datetime(2024, 1, 1, 3, 0), 9.0),
+    ]
+    out = interpolate_linear(
+        _df(spark, rows), ["key"], "ts", "id", "value", step_s=3600
+    )
+    got = {r["grid_ts"]: r["value"] for r in out.collect()}
+    # grid point ON the first observation copies it (rounded to 6dp),
+    # never divides by a zero time delta
+    assert got[datetime(2024, 1, 1, 1, 0)] == 7.123457
+    # midpoint interpolates from the RAW neighbour values, rounded at output
+    assert got[datetime(2024, 1, 1, 2, 0)] == 8.061728
+
+
+def test_interpolate_linear_null_obs_are_skipped(spark):
+    from erddap2agol_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 0, 0), 0.0),
+        (2, "a", datetime(2024, 1, 1, 1, 0), None),  # non-observation
+        (3, "a", datetime(2024, 1, 1, 2, 0), 20.0),
+    ]
+    out = interpolate_linear(
+        _df(spark, rows), ["key"], "ts", "id", "value", step_s=3600
+    )
+    got = {r["grid_ts"]: r["value"] for r in out.collect()}
+    # the null row must not anchor the segment: 1:00 interpolates 0..20
+    assert got[datetime(2024, 1, 1, 1, 0)] == 10.0
