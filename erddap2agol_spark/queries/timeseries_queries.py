@@ -404,3 +404,120 @@ def interp_hourly_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["user_id"], ts_col="ts", id_col="event_id",
         value_col="value", step_s=3_600,
     )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             CAST(value AS DOUBLE) AS v, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    seg AS (
+      SELECT user_id, v,
+             lead(v) OVER w AS v2,
+             lead(t_us) OVER w - t_us AS dt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    )
+    SELECT user_id,
+           round(sum((v + v2) * 0.5 * dt) / sum(dt), 6) AS twa,
+           count(*) + 1 AS n_obs
+    FROM seg WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average per station (trapezoidal integration over "
+    "irregular sampling) — the correct mean for unevenly sampled sensors, "
+    "where the arithmetic mean over-weights burst periods. One partitioned "
+    "lead window builds the segments, one hash aggregate integrates; "
+    "zero-length segments (duplicate timestamps) contribute nothing and "
+    "are excluded identically in both engines.",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions.datetimes import epoch_us
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            epoch_us("ts").alias("t_us"),
+            F.col("value").cast("double").alias("v"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seg = ev.select(
+        "user_id",
+        "v",
+        F.lead("v").over(w).alias("v2"),
+        (F.lead("t_us").over(w) - F.col("t_us")).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return seg.groupBy("user_id").agg(
+        F.round(
+            F.sum((F.col("v") + F.col("v2")) * 0.5 * F.col("dt")) / F.sum("dt"), 6
+        ).alias("twa"),
+        (F.count(F.lit(1)) + 1).alias("n_obs"),
+    )
+
+
+@register(
+    "ohlc_daily_value",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             event_id, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY t_us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY t_us DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, day,
+           max(CASE WHEN rn_a = 1 THEN v END) AS open,
+           max(v) AS high, min(v) AS low,
+           max(CASE WHEN rn_d = 1 THEN v END) AS close,
+           count(*) AS n_obs,
+           round(sum(v), 6) AS volume
+    FROM r GROUP BY event_type, day
+    """,
+    doc="OHLC candlestick resample: per type and day, the first / max / "
+    "min / last value. ONE hash aggregate — open and close are "
+    "argmin/argmax-by-struct on (t_us, event_id) (deterministic "
+    "tie-break on the unique id), never a window sort of the raw rows; "
+    "high/low/volume ride in the same aggregate.",
+)
+def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.datetimes import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = F.date_trunc("day", F.col("ts")).cast(
+        ev.schema["ts"].dataType.simpleString()
+    )
+    t_us = epoch_us("ts")
+    key = F.struct(t_us.alias("t"), F.col("event_id").alias("i"))
+    v = F.col("value").cast("double")
+    return (
+        ev.select(
+            "event_type",
+            day.alias("day"),
+            key.alias("k"),
+            v.alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min(F.struct("k", "v")).getField("v").alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max(F.struct("k", "v")).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum("v"), 6).alias("volume"),
+        )
+    )
