@@ -78,3 +78,84 @@ def test_running_max_across_batches(spark, tmp_path):
         assert latest[2] == 12.0  # state held the old max
     finally:
         q.stop()
+
+
+def test_stuck_run_alerts_across_batches(spark, tmp_path):
+    """transformWithStateInPandas: run-length state survives microbatch
+    boundaries, alerts fire once per run, value change resets the latch."""
+    from erddap2agol_spark.streaming import tws
+
+    src = str(tmp_path / "src_tws")
+    ckpt = str(tmp_path / "ckpt_tws")
+    # batch 1: key 1 reports 5.0 twice (run=2, below threshold);
+    #          key 2 varies
+    spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 5.0), (2, 10, 1.0), (2, 11, 2.0)],
+        schema="k bigint, seq bigint, v double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("k bigint, seq bigint, v double").parquet(src)
+    out = tws.stuck_run_alerts(stream, "k", "v", "seq", min_run=3)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM tws_out").count() == 0  # run=2 only
+
+        # batch 2: key 1 continues 5.0 -> run crosses 3 HERE (state
+        # carried across batches); then keeps reporting 5.0 (no re-alert),
+        # then changes and gets stuck at 7.0 for 3 -> a second alert
+        spark.createDataFrame(
+            [(1, 12, 5.0), (1, 13, 5.0), (1, 14, 7.0), (1, 15, 7.0), (1, 16, 7.0)],
+            schema="k bigint, seq bigint, v double",
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = sorted(
+            spark.sql("SELECT * FROM tws_out").collect(),
+            key=lambda r: (r.k, r.stuck_value),
+        )
+        assert [(r.k, r.stuck_value, r.run_len) for r in rows] == [
+            (1, 5.0, 3),
+            (1, 7.0, 3),
+        ]
+    finally:
+        q.stop()
+
+
+def test_advance_run_state_machine_pure():
+    from erddap2agol_spark.streaming.tws import advance_run_state, _EMPTY
+
+    st, alerts = advance_run_state(_EMPTY, [5.0, 5.0], 3)
+    assert st == (5.0, 2, False) and alerts == []
+    # crossing fires once; continuing the run stays latched
+    st, alerts = advance_run_state(st, [5.0, 5.0], 3)
+    assert st == (5.0, 4, True) and alerts == [(5.0, 3)]
+    # value change resets; a fresh run fires again
+    st, alerts = advance_run_state(st, [7.0, 7.0, 7.0, 7.0], 3)
+    assert st == (7.0, 4, True) and alerts == [(7.0, 3)]
+
+
+def test_stuck_run_engine_gating(spark):
+    from erddap2agol_spark.streaming import tws
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS k", "value AS seq", "CAST(value AS DOUBLE) AS v")
+    )
+    # ttl needs the tws engine
+    with pytest.raises(ValueError, match="TTL"):
+        tws.stuck_run_alerts(stream, "k", "v", "seq", ttl_ms=1000, engine="apws")
+    with pytest.raises(ValueError, match="unknown engine"):
+        tws.stuck_run_alerts(stream, "k", "v", "seq", engine="bogus")
+    # this container ships a broken protobuf -> auto resolves to apws;
+    # if protobuf ever appears, auto must still build a plan (both paths
+    # return a streaming DataFrame without starting a query)
+    df = tws.stuck_run_alerts(stream, "k", "v", "seq")
+    assert df.isStreaming and [f.name for f in df.schema.fields] == [
+        "k", "stuck_value", "run_len",
+    ]
