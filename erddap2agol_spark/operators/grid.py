@@ -104,3 +104,81 @@ def write_grid_partitioned(df: DataFrame, time_col: str, path: str) -> None:
         .partitionBy("grid_date")
         .parquet(path)
     )
+
+
+def bilinear_regrid(
+    cells: DataFrame,
+    dims: Sequence[str],
+    lat_col: str,
+    lon_col: str,
+    value_col: str,
+    lat0: float,
+    lon0: float,
+    step: float,
+    fy: float,
+    fx: float,
+) -> DataFrame:
+    """Bilinear resampling of a regular long-form grid onto a staggered
+    target grid (offset ``(fy, fx)`` of a cell, 0 < f < 1) — the
+    Arakawa-style re-staggering / half-cell regrid a griddap consumer
+    does when aligning two model grids.
+
+    Join-free formulation: instead of looking UP the 4 corners of every
+    target point (a 4-way self-join), each SOURCE cell is exploded to the
+    at-most-4 target points it supports, tagged with its corner weight
+    ((1-fy)(1-fx), fy(1-fx), (1-fy)fx, fy*fx — constants, because both
+    grids are uniform), then ONE hash aggregate per target sums w*value.
+    Map + explode(4) + aggregate: no join, no window, shuffle keyed on
+    the target cell. Targets missing any of their 4 corners (grid edges,
+    fill cells) are dropped by the count guard — never silently
+    extrapolated.
+
+    ``lat0/lon0/step`` describe the source grid (``lat = lat0 + i*step``);
+    indices are recovered with round() so float axis values never drift
+    the key.
+    """
+    w00 = (1.0 - fy) * (1.0 - fx)
+    w10 = fy * (1.0 - fx)
+    w01 = (1.0 - fy) * fx
+    w11 = fy * fx
+    iy = F.round((F.col(lat_col) - F.lit(lat0)) / F.lit(step)).cast("bigint")
+    ix = F.round((F.col(lon_col) - F.lit(lon0)) / F.lit(step)).cast("bigint")
+    # (dy, dx, w): this cell acts as corner (dy, dx) of target (iy-dy, ix-dx)
+    corners = F.array(
+        *[
+            F.struct(
+                F.lit(dy).alias("dy"), F.lit(dx).alias("dx"), F.lit(w).alias("w")
+            )
+            for dy, dx, w in ((0, 0, w00), (1, 0, w10), (0, 1, w01), (1, 1, w11))
+        ]
+    )
+    ex = (
+        cells.select(
+            *dims,
+            iy.alias("iy"),
+            ix.alias("ix"),
+            F.col(value_col).alias("v"),
+            F.explode(corners).alias("c"),
+        )
+        .select(
+            *dims,
+            (F.col("iy") - F.col("c.dy")).alias("ty"),
+            (F.col("ix") - F.col("c.dx")).alias("tx"),
+            (F.col("c.w") * F.col("v")).alias("wv"),
+            F.col("v").alias("v"),
+        )
+    )
+    return (
+        ex.groupBy(*dims, "ty", "tx")
+        .agg(
+            F.sum("wv").alias("wv_sum"),
+            F.count("v").alias("n_corners"),
+        )
+        .filter(F.col("n_corners") == 4)
+        .select(
+            *dims,
+            (F.lit(lat0) + (F.col("ty") + F.lit(fy)) * F.lit(step)).alias(lat_col),
+            (F.lit(lon0) + (F.col("tx") + F.lit(fx)) * F.lit(step)).alias(lon_col),
+            F.round(F.col("wv_sum"), 6).alias(value_col),
+        )
+    )

@@ -179,3 +179,54 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch")
     )
+
+
+@register(
+    "grid_bilinear_regrid",
+    oracle=f"""
+    WITH src AS (
+      SELECT var, time, altitude,
+             CAST(round((lat - 25.0) / 1.0) AS BIGINT) AS iy,
+             CAST(round((lon - (-95.0)) / 1.0) AS BIGINT) AS ix,
+             value AS v
+      FROM read_parquet('{_TRUTH}')
+    ),
+    ex AS (
+      SELECT var, time, altitude, iy - c.dy AS ty, ix - c.dx AS tx,
+             c.w * v AS wv, v
+      FROM src CROSS JOIN (
+        VALUES (0, 0, 0.5625), (1, 0, 0.1875), (0, 1, 0.1875), (1, 1, 0.0625)
+      ) c(dy, dx, w)
+    )
+    SELECT var, time, altitude,
+           CAST(25.0 + (ty + 0.25) * 1.0 AS DOUBLE) AS lat,
+           CAST(-95.0 + (tx + 0.25) * 1.0 AS DOUBLE) AS lon,
+           round(sum(wv), 6) AS value
+    FROM ex
+    GROUP BY var, time, altitude, ty, tx
+    HAVING count(v) = 4
+    """,
+    doc="Bilinear regrid onto a quarter-cell-staggered target grid, "
+    "join-free: every source cell explodes to the <=4 target points it "
+    "supports with constant corner weights (both grids uniform), one "
+    "hash aggregate per target, count guard drops edge/fill-adjacent "
+    "targets instead of extrapolating. Runs on the DECODED NetCDF bytes "
+    "(binaryFile + mapInPandas) while the oracle regrids the independent "
+    "truth parquet — the hash grades decode + resampling end-to-end.",
+)
+def grid_bilinear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nc_dir, _ = ensure_griddap_fixture(FIXTURE_ROOT)
+    cells = read_griddap_netcdf(spark, nc_dir)
+    v = F.when(F.isnan("value"), None).otherwise(F.col("value"))
+    return grid.bilinear_regrid(
+        cells.withColumn("value", v),
+        dims=["var", "time", "altitude"],
+        lat_col="lat",
+        lon_col="lon",
+        value_col="value",
+        lat0=25.0,
+        lon0=-95.0,
+        step=1.0,
+        fy=0.25,
+        fx=0.25,
+    )

@@ -198,3 +198,41 @@ def test_props_variant_dirty_rows_degrade_to_null(spark):
     k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
     got = [r.k for r in bad.select(k.alias("k")).collect()]
     assert got == [None, None, 7]
+
+
+def test_bilinear_regrid_hand_computed(spark):
+    from erddap2agol_spark.operators.grid import bilinear_regrid
+
+    rows = [
+        ("t", 0.0, 0.0, 1.0), ("t", 0.0, 1.0, 2.0),
+        ("t", 1.0, 0.0, 3.0), ("t", 1.0, 1.0, 4.0),
+        ("t", 0.0, 2.0, None),  # null corner: poisons its targets
+        ("t", 1.0, 2.0, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "var string, lat double, lon double, value double")
+    out = bilinear_regrid(
+        df, ["var"], "lat", "lon", "value",
+        lat0=0.0, lon0=0.0, step=1.0, fy=0.5, fx=0.5,
+    ).collect()
+    got = {(r["lat"], r["lon"]): r["value"] for r in out}
+    # center of the 2x2 block: plain average
+    assert got == {(0.5, 0.5): 2.5}
+    # the (0.5, 1.5) target needs the null corner -> dropped, and no
+    # edge target is extrapolated
+    assert len(out) == 1
+
+
+def test_bilinear_regrid_weights(spark):
+    from erddap2agol_spark.operators.grid import bilinear_regrid
+
+    rows = [
+        ("t", 0.0, 0.0, 0.0), ("t", 0.0, 1.0, 0.0),
+        ("t", 1.0, 0.0, 0.0), ("t", 1.0, 1.0, 16.0),
+    ]
+    df = spark.createDataFrame(rows, "var string, lat double, lon double, value double")
+    out = bilinear_regrid(
+        df, ["var"], "lat", "lon", "value",
+        lat0=0.0, lon0=0.0, step=1.0, fy=0.25, fx=0.25,
+    ).collect()
+    # target (0.25, 0.25): the far corner (1,1) carries weight fy*fx=1/16
+    assert {(r["lat"], r["lon"]): r["value"] for r in out} == {(0.25, 0.25): 1.0}
