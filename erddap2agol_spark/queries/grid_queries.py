@@ -230,3 +230,56 @@ def grid_bilinear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         fy=0.25,
         fx=0.25,
     )
+
+
+def _sigma_t_oracle() -> str:
+    from ..functions.seawater import sigma_t_sql
+
+    return f"""
+    WITH wide AS (
+      SELECT time, altitude, lat, lon,
+             max(CASE WHEN var = 'water_temp' THEN value END) AS t,
+             max(CASE WHEN var = 'salinity' THEN value END) AS s
+      FROM read_parquet('{_TRUTH}')
+      GROUP BY time, altitude, lat, lon
+    )
+    SELECT time, altitude, lat, lon,
+           round({sigma_t_sql("t", "s")}, 6) AS sigma_t
+    FROM wide WHERE t IS NOT NULL AND s IS NOT NULL
+    """
+
+
+@register(
+    "grid_sigma_t",
+    oracle=_sigma_t_oracle(),
+    doc="Derived variable over the decoded NetCDF grid: EOS-80 seawater "
+    "density anomaly sigma-t(S, T, 0) per cell. The long form pivots to "
+    "(t, s) with ONE conditional aggregate (no self-join of the cell "
+    "table), then the polynomial runs in whole-stage codegen. Spark and "
+    "the oracle share one expression builder (functions/seawater.py) — "
+    "identical Horner association, sqrt(S)*S for S^1.5 — so the floats "
+    "match bit-for-bit before the 6dp round; the oracle computes from "
+    "the independent truth parquet, grading decode + pivot + physics.",
+)
+def grid_sigma_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.seawater import sigma_t
+
+    nc_dir, _ = ensure_griddap_fixture(FIXTURE_ROOT)
+    cells = read_griddap_netcdf(spark, nc_dir)
+    v = F.when(F.isnan("value"), None).otherwise(F.col("value"))
+    wide = (
+        cells.withColumn("value", v)
+        .groupBy("time", "altitude", "lat", "lon")
+        .agg(
+            F.max(F.when(F.col("var") == "water_temp", F.col("value"))).alias("t"),
+            F.max(F.when(F.col("var") == "salinity", F.col("value"))).alias("s"),
+        )
+        .filter(F.col("t").isNotNull() & F.col("s").isNotNull())
+    )
+    return wide.select(
+        "time",
+        "altitude",
+        "lat",
+        "lon",
+        F.round(sigma_t(F.col("t"), F.col("s")), 6).alias("sigma_t"),
+    )

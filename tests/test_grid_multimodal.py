@@ -236,3 +236,18 @@ def test_bilinear_regrid_weights(spark):
     ).collect()
     # target (0.25, 0.25): the far corner (1,1) carries weight fy*fx=1/16
     assert {(r["lat"], r["lon"]): r["value"] for r in out} == {(0.25, 0.25): 1.0}
+
+
+def test_sigma_t_unesco_check_value(spark):
+    """EOS-80 published check value: rho(S=35, T=5, P=0) = 1027.67547."""
+    from erddap2agol_spark.functions.seawater import sigma_t, sigma_t_sql
+    import duckdb
+
+    df = spark.createDataFrame([(5.0, 35.0)], "t double, s double")
+    [r] = df.select(F.round(sigma_t(F.col("t"), F.col("s")), 5).alias("st")).collect()
+    assert r["st"] == 27.67547
+    # the SQL builder produces the bit-identical expression
+    [(d,)] = duckdb.sql(
+        f"SELECT round({sigma_t_sql('5.0', '35.0')}, 5)"
+    ).fetchall()
+    assert d == 27.67547
