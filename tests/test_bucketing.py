@@ -131,3 +131,42 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     joined = fact.join(dim.filter(F.col("tag") == "keep"), "day")
     plan = _plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst's runtime bloom-filter semi-join reduction composes with
+    this engine's plans: a selective dim filter on one side of a SHUFFLE
+    join injects a might_contain probe into the fact scan side. The
+    default thresholds (10 GiB application-side scan) are cluster-scale —
+    right for 100 TB, never reached at test SF — so the test lowers them
+    to prove the wiring, then restores."""
+    from pyspark.sql import functions as F
+    from erddap2agol_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf, "lineitem")
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+        # and the probed side is the fact (lineitem) scan
+        probe_idx = plan.index("might_contain")
+        assert "l_orderkey" in plan[probe_idx : probe_idx + 400]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
