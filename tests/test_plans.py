@@ -536,7 +536,9 @@ NESTED_LOOP_JUSTIFIED = {
     "kmv_pair_overlap",  # |groups|^2 cross of the distinct-group dictionary
     "cms_join_size_estimate",  # 1-row exact-size scalar beside the estimate
     "referential_integrity_report",  # 1-row count scalars per FK edge
+    "basket_association_rules",  # 1-row basket-total scalar
     "benford_first_digit",  # 1-row total scalar
+    "heavy_hitters_users",  # 1-row non-null-total scalar (exact threshold)
     "token_communities",  # pmi n_docs scalar x unrolled LPA rounds
     "q11_important_stock",  # HAVING-over-global-total scalar
     "quantile_sketch_prices",  # 1-row exact-percentile scalar beside the estimates
