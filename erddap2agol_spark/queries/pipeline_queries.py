@@ -420,3 +420,46 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_entropy",
         )
     )
+
+
+_CHUNK, _STRIDE = 200, 150  # 50-char overlap
+
+
+@register(
+    "doc_chunks_overlap",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s / {_STRIDE} AS BIGINT) AS chunk_id,
+           s AS chunk_start,
+           length(substr(text, s + 1, {_CHUNK})) AS chunk_len,
+           substr(text, s + 1, {_CHUNK}) AS chunk_text
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, length(text) - 1, {_STRIDE})) AS s
+      FROM documents WHERE length(text) > 0
+    )
+    """,
+    doc="Sliding-window document chunking (200-char chunks, 50-char "
+    "overlap) — the context-window split every LLM training pipeline "
+    "runs before tokenization. Chunk starts are generated per row with "
+    "sequence() and exploded (JVM-side, no UDF, no join); the final "
+    "short chunk is kept, empty docs are excluded on both engines. "
+    "Fan-out is ceil(len/stride) — bounded by document length, linear "
+    "in corpus size, embarrassingly parallel.",
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.length("text") - 1, F.lit(_STRIDE)
+    )
+    ex = docs.select("doc_id", "text", F.explode(starts).alias("s"))
+    chunk = F.substring(F.col("text"), F.col("s") + 1, _CHUNK)
+    return ex.select(
+        "doc_id",
+        (F.col("s") / _STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("s").alias("chunk_start"),
+        F.length(chunk).alias("chunk_len"),
+        chunk.alias("chunk_text"),
+    )
