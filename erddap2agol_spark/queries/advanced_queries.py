@@ -1976,3 +1976,77 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "part_b")
     )
+
+
+@register(
+    "measure_correlations",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+           round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price
+    FROM lineitem
+    """,
+    doc="Pairwise Pearson correlations across the fact measures — the "
+    "one-pass profiling readout (co-moment accumulators, map-side "
+    "combinable, one row out regardless of input size).",
+)
+def measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "revenue_share_of_parent",
+    oracle="""
+    WITH nat AS (
+      SELECT r_name AS region, n_name AS nation,
+             round(sum(o_totalprice), 2) AS nation_rev
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT region, nation, nation_rev,
+           round(sum(nation_rev) OVER (PARTITION BY region), 2) AS region_rev,
+           round(nation_rev / sum(nation_rev) OVER (PARTITION BY region), 6)
+             AS share_of_region
+    FROM nat
+    """,
+    doc="Percent-of-parent along the geo hierarchy: nation revenue as a "
+    "share of its region. The heavy work is ONE fact aggregate (dims "
+    "broadcast); the window runs over the 25-row nation aggregate — "
+    "partitioned by region, never over raw facts. Shares divide "
+    "already-rounded sums so the ratio is engine-exact.",
+)
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("nation_rev"))
+    )
+    w = Window.partitionBy("region")
+    region_rev = F.round(F.sum("nation_rev").over(w), 2)
+    return nat.select(
+        "region",
+        "nation",
+        "nation_rev",
+        region_rev.alias("region_rev"),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias(
+            "share_of_region"
+        ),
+    )
