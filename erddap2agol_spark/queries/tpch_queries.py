@@ -1132,67 +1132,3 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
-
-
-@register(
-    "q5_local_supplier_volume",
-    oracle="""
-    SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer, orders, lineitem, supplier, nation, region
-    WHERE c_custkey = o_custkey
-      AND l_orderkey = o_orderkey
-      AND l_suppkey = s_suppkey
-      AND c_nationkey = s_nationkey
-      AND s_nationkey = n_nationkey
-      AND n_regionkey = r_regionkey
-      AND r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY n_name
-    ORDER BY revenue DESC, n_name
-    """,
-    doc="TPC-H Q5 (local supplier volume): revenue per nation where the "
-    "customer and supplier share the nation, one region, one order "
-    "year. region->nation->supplier collapses to ONE broadcast dim "
-    "(suppliers of the region's nations, with n_name carried along); "
-    "the only real shuffles are orders-customer (both hashed on the "
-    "customer key) and the orderkey join onto lineitem; the "
-    "same-nation predicate is applied as a post-join filter so it "
-    "never degrades the equi-join into a nested loop; the date range "
-    "pushes into the orders scan.",
-)
-def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    nation = load_table(spark, sf_dir, "nation")
-    nat = nation.join(
-        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
-    ).select("n_nationkey", "n_name")
-    supp = (
-        load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
-    orders = load_table(spark, sf_dir, "orders")
-    ts_type = orders.schema["o_orderdate"].dataType.simpleString()
-    orders = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast(ts_type))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast(ts_type))
-    ).select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    return (
-        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "n_name")
-    )
