@@ -115,12 +115,21 @@ def test_order_by_closest_snaps_to_nearest_tick(spark):
         carry=["id"],
     )
     got = {(r["station"], r["tick"]): r["id"] for r in out.collect()}
-    # A: 00:10 -> tick 00:00; 05:00 and 07:00 both snap to 06:00, 05:00 is
-    # closer (1h vs 1h... both 1h? 05:00->06:00 = 1h, 07:00->06:00 = 1h ->
-    # distance tie breaks on earlier ts)
+    # A: 00:10 -> tick 00:00; 05:00 and 07:00 both snap to 06:00 at equal
+    # 1h distance -> the tie breaks on the earlier ts (id 2)
     assert got[("A", dt.datetime(2024, 1, 1, 0, 0))] == 1
     assert got[("A", dt.datetime(2024, 1, 1, 6, 0))] == 2
     # B: 02:00 -> 00:00 (2h) vs 06:00 (4h) -> 00:00; 03:00 is equidistant
     # (3h both ways) -> shift-mod snap rounds half UP to 06:00
     assert got[("B", dt.datetime(2024, 1, 1, 0, 0))] == 4
     assert got[("B", dt.datetime(2024, 1, 1, 6, 0))] == 5
+
+
+def test_order_by_mean_and_sum(spark):
+    out_m = orderby.order_by_mean(_frame(spark), ["station"], ["val"]).collect()
+    got_m = {r["station"]: r["val_mean"] for r in out_m}
+    # nulls are skipped by avg (B has one non-null val)
+    assert got_m == {"A": round((5.0 + 9.0 + 9.0) / 3, 6), "B": 1.0}
+    out_s = orderby.order_by_sum(_frame(spark), ["station"], ["val", "id"]).collect()
+    got_s = {r["station"]: (r["val_sum"], r["id_sum"]) for r in out_s}
+    assert got_s == {"A": (23.0, 6), "B": (1.0, 9)}
