@@ -1,0 +1,81 @@
+"""Python DataSource WRITER for GeoJSON FeatureCollections (K2 at scale):
+executor-parallel part spool, manifest commit marker, sequential
+single-document assembly."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from erddap2agol_spark.sinks import geojson
+from erddap2agol_spark.sinks.geojson_sink import GeoJSONDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(GeoJSONDataSource)
+    return spark
+
+
+def _features(spark, n=7):
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("lon"),
+        (F.col("id") * -0.5).alias("lat"),
+    )
+    geom = F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        F.col("lon").cast("string"),
+        F.lit(","),
+        F.col("lat").cast("string"),
+        F.lit("]}"),
+    )
+    return geojson.features_df(df, ["id"], geom).repartition(3)
+
+
+def test_writer_roundtrip_and_manifest(registered, tmp_path):
+    path = str(tmp_path / "fc")
+    _features(registered).write.format("geojson_fc").mode("append").save(path)
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    assert manifest["n_features"] == 7
+    assert sum(p["n_features"] for p in manifest["parts"]) == 7
+    doc = json.load(open(os.path.join(path, "collection.geojson")))
+    assert doc["type"] == "FeatureCollection"
+    assert sorted(f["properties"]["id"] for f in doc["features"]) == list(range(7))
+    assert doc["features"][0]["geometry"]["type"] == "Point"
+
+
+def test_writer_overwrite_and_collision(registered, tmp_path):
+    path = str(tmp_path / "fc2")
+    _features(registered, 3).write.format("geojson_fc").mode("append").save(path)
+    # append into a non-empty target collides (this sink owns the dir)
+    with pytest.raises(Exception):
+        _features(registered, 3).write.format("geojson_fc").mode("append").save(path)
+    _features(registered, 5).write.format("geojson_fc").mode("overwrite").save(path)
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    assert manifest["n_features"] == 5
+    # no stale parts from the first write survive the overwrite
+    parts = [f for f in os.listdir(path) if f.endswith(".ndjson")]
+    assert sorted(parts) == sorted(p["file"] for p in manifest["parts"])
+
+
+def test_writer_rejects_wrong_schema(registered, tmp_path):
+    df = registered.range(3).select("id", F.col("id").cast("string").alias("s"))
+    with pytest.raises(Exception, match="one string column"):
+        df.write.format("geojson_fc").mode("append").save(str(tmp_path / "bad"))
+
+
+def test_parts_are_valid_ndjson(registered, tmp_path):
+    path = str(tmp_path / "fc3")
+    _features(registered).write.format("geojson_fc").mode("append").option("assemble", "false").save(path)
+    assert not os.path.exists(os.path.join(path, "collection.geojson"))
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    n = 0
+    for p in manifest["parts"]:
+        for line in open(os.path.join(path, p["file"])):
+            json.loads(line)  # every line is one valid Feature document
+            n += 1
+    assert n == 7
