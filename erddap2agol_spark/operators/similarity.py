@@ -161,7 +161,12 @@ def brute_force_topk_matrix(
 
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    # empty query set degrades to an empty result, not an axis error
+    qm = (
+        np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        if qrows
+        else np.zeros((0, 1), dtype=np.float64)
+    )
     qnorm = np.linalg.norm(qm, axis=1)
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((qids, qm, qnorm))
@@ -171,7 +176,7 @@ def brute_force_topk_matrix(
 
         q_ids, q_mat, q_norm = bc.value
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not len(q_ids):
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
@@ -258,7 +263,14 @@ def ivf_topk(
         F.col(vec_col).alias("vec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(as_vec)
+    try:
+        model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(as_vec)
+    except Exception as e:  # unsupervised fit is eager by nature
+        raise ValueError(
+            "ivf_topk needs a non-empty corpus to train the KMeans "
+            "quantizer (use ivf_topk_deterministic for a fit-free cell "
+            "assignment)"
+        ) from e
     assigned = model.transform(as_vec).select(
         "id", "vec", F.col("prediction").alias("cell")
     )

@@ -210,6 +210,10 @@ class ErddapSimReader(DataSourceReader):
                 mn, mx = _ts_to_ns(st.min), _ts_to_ns(st.max)
                 lo = mn if lo is None else min(lo, mn)
                 hi = mx if hi is None else max(hi, mx)
+            # a zero-row file has no row groups and therefore no stats —
+            # skip it (nothing to scan) instead of erroring the planner
+            if lo is None:
+                continue
             # footer statistics surface ns timestamps truncated to us; pad
             # the exclusive upper bound by a full microsecond so the true
             # max row (sub-us digits > 0) stays inside the final slice
@@ -219,6 +223,8 @@ class ErddapSimReader(DataSourceReader):
     def _footer_stats(self) -> tuple[int, int, int]:
         """(row_count, min_ns, max_ns_exclusive) over the whole dataset."""
         stats = self._file_stats()
+        if not stats:  # every file is zero-row
+            return (0, 0, 0)
         return (
             sum(n for _, n, _, _ in stats),
             min(lo for _, _, lo, _ in stats),
@@ -229,6 +235,8 @@ class ErddapSimReader(DataSourceReader):
         import math
 
         files = self._file_stats()
+        if not files:  # dataset of only zero-row files: one no-op task
+            return [TimeSlicePartition(0, 0)]
         row_count = sum(n for _, n, _, _ in files)
         data_lo = min(lo for _, _, lo, _ in files)
         data_hi = max(hi for _, _, _, hi in files)
