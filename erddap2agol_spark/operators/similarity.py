@@ -159,6 +159,10 @@ def brute_force_topk_matrix(
     """
     import numpy as np
 
+    # null vectors are non-observations on either side (same contract as
+    # the zip_with form, where a null embedding nulls the cosine out)
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     # empty query set degrades to an empty result, not an axis error
