@@ -90,6 +90,12 @@ EVENT_QUERIES = [
     "rolling_weekly_active_users",
     "event_transition_matrix",
     "interval_overlap_counts",
+    # round-4 continuation additions
+    "interp_hourly_linear",
+    "time_weighted_avg",
+    "ohlc_daily_value",
+    "orderby_closest_6h",
+    "heavy_hitters_users",
 ]
 
 
