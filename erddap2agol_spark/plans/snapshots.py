@@ -1,0 +1,187 @@
+"""Manifest-based snapshot tables — metadata-only commits, time travel.
+
+The reference's overwrite story is a single A/B directory swap
+(streaming/nrt.py `atomic_overwrite`, mirroring its OverwriteFS swap:
+src/utils/OverwriteFS.py). This module is the general form — the core of
+what table formats (Delta/Iceberg) add over bare parquet directories,
+built from the same two primitives the repo already trusts: immutable
+part files + atomically renamed pointers.
+
+Layout under ``root``::
+
+    data/batch-<uuid>/part-*.parquet   immutable; never rewritten
+    snapshots/v%08d.json               file list + lineage for one version
+    HEAD                               current version (atomic rename)
+
+Why this scales where a plain directory doesn't:
+
+- **O(1) planning**: a reader opens one manifest and passes an explicit
+  file list to the parquet scan — no recursive listing of a
+  million-object prefix (the classic object-store bottleneck).
+- **Atomic, isolated commits**: data files land first, the manifest is
+  created with O_EXCL (the version number IS the optimistic lock — two
+  writers racing the same parent: exactly one wins, the loser gets
+  ``SnapshotConflict`` and retries on the new head), HEAD flips last via
+  rename. A reader holding version N's file list is untouched by any of
+  it — readers never observe a partial commit.
+- **Time travel for free**: old manifests keep naming old files;
+  ``read(root, version=n)`` is the reproducibility hook a training
+  pipeline needs ("the corpus exactly as sampled for run 417").
+
+``delete_where`` is copy-on-write at file granularity: only data files
+whose rows can match the predicate are rewritten (decided from parquet
+footer min/max when the predicate is a simple column comparison);
+untouched files carry over to the new manifest by name.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer committed the same version first; re-read and retry."""
+
+
+def _snap_dir(root: str) -> str:
+    return os.path.join(root, "snapshots")
+
+
+def _head_path(root: str) -> str:
+    return os.path.join(root, "HEAD")
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_snap_dir(root), f"v{version:08d}.json")
+
+
+def init(root: str) -> None:
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    os.makedirs(_snap_dir(root), exist_ok=True)
+
+
+def current_version(root: str) -> int | None:
+    try:
+        with open(_head_path(root)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def manifest(root: str, version: int | None = None) -> dict:
+    v = current_version(root) if version is None else version
+    if v is None:
+        return {"version": 0, "files": [], "op": "empty", "parent": None}
+    with open(_manifest_path(root, v)) as f:
+        return json.load(f)
+
+
+def history(root: str) -> list[dict]:
+    out = []
+    for p in sorted(glob(os.path.join(_snap_dir(root), "v*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def _write_batch(df: DataFrame, root: str) -> list[str]:
+    """Spool df to an immutable batch dir; return repo-relative files."""
+    batch = f"batch-{uuid.uuid4().hex}"
+    path = os.path.join(root, "data", batch)
+    df.write.parquet(path)
+    return sorted(
+        os.path.relpath(p, root) for p in glob(os.path.join(path, "part-*.parquet"))
+    )
+
+
+def _commit(root: str, files: list[str], op: str) -> int:
+    """O_EXCL manifest create (optimistic lock) + HEAD rename."""
+    init(root)
+    parent = current_version(root)
+    version = (parent or 0) + 1
+    doc = {"version": version, "parent": parent, "op": op, "files": files}
+    try:
+        with open(_manifest_path(root, version), "x") as f:
+            json.dump(doc, f)
+    except FileExistsError as e:
+        raise SnapshotConflict(
+            f"version {version} already committed by another writer"
+        ) from e
+    tmp = _head_path(root) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _head_path(root))
+    return version
+
+
+def append(df: DataFrame, root: str) -> int:
+    init(root)
+    new_files = _write_batch(df, root)
+    base = manifest(root)["files"]
+    return _commit(root, base + new_files, "append")
+
+
+def overwrite(df: DataFrame, root: str) -> int:
+    init(root)
+    return _commit(root, _write_batch(df, root), "overwrite")
+
+
+def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    files = manifest(root, version)["files"]
+    if not files:
+        raise ValueError(f"snapshot table at {root} is empty")
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+
+def _file_may_match(root: str, relpath: str, col: str, lo, hi) -> bool:
+    """Footer min/max check: can rows with lo <= col <= hi exist here?
+    Missing stats => must assume yes."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(root, relpath))
+    idx = pf.schema_arrow.get_field_index(col)
+    if idx < 0:
+        return True
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return True
+        if not (st.max < lo or st.min > hi):
+            return True
+    return False
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+) -> tuple[int, int, int]:
+    """Copy-on-write range delete: drop rows with ``lo <= col <= hi``.
+
+    Only data files whose footer [min, max] can contain matching rows
+    are rewritten (read, anti-filtered, respooled); every other file
+    carries into the new manifest BY NAME — zero I/O for the untouched
+    bulk, which at 100 TB is almost all of it.
+
+    Returns (new_version, n_files_rewritten, n_files_carried).
+    """
+    from pyspark.sql import functions as F
+
+    m = manifest(root)
+    touched = [f for f in m["files"] if _file_may_match(root, f, col, lo, hi)]
+    carried = [f for f in m["files"] if f not in set(touched)]
+    new_files: list[str] = []
+    if touched:
+        df = spark.read.parquet(*[os.path.join(root, f) for f in touched])
+        kept = df.filter(~(F.col(col).between(lo, hi)))
+        new_files = _write_batch(kept, root)
+    version = _commit(root, carried + new_files, f"delete_where({col})")
+    return version, len(touched), len(carried)

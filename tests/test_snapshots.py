@@ -1,0 +1,70 @@
+"""Manifest-based snapshot tables (plans/snapshots.py): metadata-only
+commits, time travel, optimistic concurrency, file-level copy-on-write."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from erddap2agol_spark.plans import snapshots as snap
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"r{i}") for i in ids], "id long, s string")
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = snap.append(_df(spark, [1, 2]), root)
+    v2 = snap.append(_df(spark, [3]), root)
+    assert (v1, v2) == (1, 2)
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == [1, 2, 3]
+    # time travel: v1 still reads exactly its own files
+    assert sorted(r.id for r in snap.read(spark, root, version=1).collect()) == [1, 2]
+    v3 = snap.overwrite(_df(spark, [9]), root)
+    assert [r.id for r in snap.read(spark, root).collect()] == [9]
+    # history carries lineage
+    ops = [h["op"] for h in snap.history(root)]
+    assert ops == ["append", "append", "overwrite"]
+    assert snap.manifest(root, v3)["parent"] == v2
+
+
+def test_reader_isolation_across_commits(spark, tmp_path):
+    root = str(tmp_path / "tbl2")
+    snap.append(_df(spark, [1, 2]), root)
+    old = snap.read(spark, root)  # plan pinned to v1's file list
+    snap.overwrite(_df(spark, [7]), root)
+    # the old plan still reads v1's immutable files
+    assert sorted(r.id for r in old.collect()) == [1, 2]
+
+
+def test_commit_conflict_is_explicit(spark, tmp_path):
+    root = str(tmp_path / "tbl3")
+    snap.append(_df(spark, [1]), root)
+    # another writer races version 2: pre-create its manifest
+    os.makedirs(snap._snap_dir(root), exist_ok=True)
+    open(snap._manifest_path(root, 2), "w").write("{}")
+    with pytest.raises(snap.SnapshotConflict):
+        snap.append(_df(spark, [2]), root)
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    root = str(tmp_path / "tbl4")
+    # two appends with DISJOINT id ranges -> distinct files with distinct
+    # footer ranges
+    snap.append(_df(spark, [1, 2, 3]).coalesce(1), root)
+    snap.append(_df(spark, [100, 101]).coalesce(1), root)
+    v, rewritten, carried = snap.delete_where(spark, root, "id", 100, 100)
+    assert rewritten == 1 and carried == 1  # footer stats pruned file 1
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == [1, 2, 3, 101]
+    # time travel still sees the deleted row
+    assert 100 in {r.id for r in snap.read(spark, root, version=2).collect()}
+
+
+def test_empty_table_read_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl5")
+    snap.init(root)
+    with pytest.raises(ValueError, match="empty"):
+        snap.read(spark, root)
