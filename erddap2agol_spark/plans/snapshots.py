@@ -39,7 +39,6 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from dataclasses import dataclass
 from glob import glob
 
 from pyspark.sql import DataFrame, SparkSession
@@ -185,3 +184,38 @@ def delete_where(
         new_files = _write_batch(kept, root)
     version = _commit(root, carried + new_files, f"delete_where({col})")
     return version, len(touched), len(carried)
+
+
+def read_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Rows ADDED after ``from_version`` up to ``to_version`` (default
+    head) — the change feed that makes downstream aggregates
+    incrementally maintainable (pair with the base+delta partial-agg
+    merge, queries/advanced_queries.incremental_agg_merge): a consumer
+    remembers the version it processed and reads ONLY the new files.
+
+    Defined for append-only ranges. A rewriting commit (overwrite,
+    delete_where) inside the range invalidates "new files == new rows",
+    so it raises instead of silently double-counting — the consumer then
+    falls back to a full re-read, exactly like table formats that gate
+    their change feeds on write patterns.
+    """
+    head = current_version(root)
+    to = head if to_version is None else to_version
+    if to is None or from_version > to:
+        raise ValueError(f"bad version range [{from_version}, {to}]")
+    base = set(manifest(root, from_version)["files"]) if from_version else set()
+    new_files: list[str] = []
+    for v in range(from_version + 1, to + 1):
+        m = manifest(root, v)
+        if m["op"] != "append":
+            raise ValueError(
+                f"version {v} is {m['op']!r}, not append-only: the change "
+                "feed would be wrong; re-read the snapshot instead"
+            )
+        new_files.extend(f for f in m["files"] if f not in base)
+        base.update(m["files"])
+    if not new_files:
+        raise ValueError(f"no appended files in [{from_version}, {to}]")
+    return spark.read.parquet(*[os.path.join(root, f) for f in new_files])

@@ -68,3 +68,18 @@ def test_empty_table_read_raises(spark, tmp_path):
     snap.init(root)
     with pytest.raises(ValueError, match="empty"):
         snap.read(spark, root)
+
+
+def test_read_changes_append_only_feed(spark, tmp_path):
+    root = str(tmp_path / "tbl6")
+    snap.append(_df(spark, [1, 2]), root)
+    snap.append(_df(spark, [3]), root)
+    snap.append(_df(spark, [4, 5]), root)
+    got = sorted(r.id for r in snap.read_changes(spark, root, 1).collect())
+    assert got == [3, 4, 5]
+    got = sorted(r.id for r in snap.read_changes(spark, root, 1, 2).collect())
+    assert got == [3]
+    # a rewriting commit in range poisons the feed -> explicit error
+    snap.delete_where(spark, root, "id", 3, 3)
+    with pytest.raises(ValueError, match="not append-only"):
+        snap.read_changes(spark, root, 1)
