@@ -474,3 +474,39 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bloom_contamination(
         load_table(spark, sf_dir, "documents"), bench_sources=("src0", "src1"), n=5
     )
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE {{cases}} ELSE 'und' END AS pred_lang
+      FROM documents
+    )
+    SELECT lang, pred_lang, count(*) AS n_docs,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 6)
+             AS share_of_lang
+    FROM pred GROUP BY lang, pred_lang
+    """.replace("{cases}", _LANG_CASES.replace("best", _BEST)),
+    doc="Classifier evaluation readout: confusion matrix of the stopword "
+    "language-ID heuristic against the labelled lang column, with each "
+    "cell's share of its true-language row. One hash aggregate over the "
+    "corpus; the share window runs over the tiny (langs x langs) "
+    "aggregate, never over documents.",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("lang", T.lang_id(F.col("text")).alias("pred_lang"))
+    agg = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "share_of_lang"
+        ),
+    )
