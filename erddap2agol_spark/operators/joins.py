@@ -189,3 +189,56 @@ def interval_overlap_join(
         .drop(l["__bin"])
         .drop(r["__bin"])
     )
+
+
+def asof_backward_cogrouped(
+    left: "DataFrame",
+    right: "DataFrame",
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    out_col: str,
+) -> "DataFrame":
+    """Backward as-of pairing via ``cogroup().applyInPandas`` — the
+    SURVEY §2.10 per-partition-imperative cell exercised on a real
+    operator: for each left row, the latest right ``ts_col`` at or
+    before it (order (ts, id), exactly the union-window form's
+    semantics — graded against the same SQL oracle).
+
+    Spark co-shuffles BOTH inputs on the key and hands each group's two
+    pandas frames to one Python call: the per-key scan is a linear
+    cummax, state never crosses keys, and the shuffle is the same one
+    the window form pays. Use the window form in production (JVM-only);
+    this exists to pin the cogroup API to an oracle so a custom pandas
+    pairing algorithm (DTW, optimal matching) has a verified template.
+    """
+    import pandas as pd
+
+    flavor = left.schema[ts_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} long, {ts_col} {flavor}, {key_col} long, {out_col} {flavor}"
+    )
+
+    def pair(key, lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if lf.empty:
+            return pd.DataFrame(
+                columns=[id_col, ts_col, key_col, out_col]
+            ).astype({id_col: "int64", key_col: "int64"})
+        lf = lf.assign(_is_r=0)
+        rf = rf.assign(_is_r=1)
+        allr = pd.concat([lf, rf], ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        marked = allr[ts_col].where(allr["_is_r"] == 1)
+        # rows are ts-ascending, so the carried-forward last marked value
+        # IS the running max (and pandas cummax does not skip NaT on
+        # datetime64[us] anyway)
+        allr[out_col] = marked.ffill()
+        out = allr[allr["_is_r"] == 0]
+        return out[[id_col, ts_col, key_col, out_col]]
+
+    return (
+        left.groupBy(key_col)
+        .cogroup(right.groupBy(key_col))
+        .applyInPandas(pair, schema=out_schema)
+    )

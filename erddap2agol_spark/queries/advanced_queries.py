@@ -2050,3 +2050,36 @@ def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_region"
         ),
     )
+
+
+@register(
+    "asof_cogrouped",
+    oracle="""
+    SELECT event_id, ts, user_id, last_purchase_ts FROM (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+             max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_purchase_ts
+      FROM events
+    ) WHERE event_type = 'error'
+    """,
+    doc="The as-of join AGAIN, through cogroup().applyInPandas — same "
+    "semantics and same oracle as asof_last_purchase's union-window "
+    "form, so the per-key pandas pairing template (the hook for DTW / "
+    "optimal-matching style algorithms SQL can't express) is "
+    "hash-verified against the declarative answer. Both inputs "
+    "co-shuffle once on user_id; per-key work is one linear cummax.",
+)
+def asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_backward_cogrouped
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    return asof_backward_cogrouped(
+        errors, purchases, "user_id", "ts", "event_id", "last_purchase_ts"
+    )
