@@ -219,3 +219,64 @@ def read_changes(
     if not new_files:
         raise ValueError(f"no appended files in [{from_version}, {to}]")
     return spark.read.parquet(*[os.path.join(root, f) for f in new_files])
+
+
+def _last_batch_id(root: str) -> int | None:
+    """Highest streaming batch id committed to this table, scanning
+    lineage from the head (append-time metadata, no extra files)."""
+    v = current_version(root)
+    while v:
+        m = manifest(root, v)
+        b = m.get("batch_id")
+        if b is not None:
+            return b
+        v = m.get("parent")
+    return None
+
+
+def streaming_append(root: str):
+    """``foreachBatch`` sink with exactly-once appends.
+
+    Structured Streaming replays a micro-batch after a crash with the
+    SAME batch id; the sink makes the commit idempotent by recording the
+    id in the manifest and skipping any batch at or below the last
+    committed one — the snapshot-table form of the engine's A/B-swap
+    exactly-once story (ST6), now with full version history:
+
+        q = (stream.writeStream.foreachBatch(snapshots.streaming_append(root))
+             .option("checkpointLocation", ckpt).start())
+
+    Replayed batches are skipped BEFORE any data is written; commit
+    order inside foreachBatch is single-writer by Spark's contract, so
+    the O_EXCL manifest lock never fires here (it guards OTHER writers).
+    """
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        last = _last_batch_id(root)
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch
+        init(root)
+        new_files = _write_batch(df, root)
+        base = manifest(root)["files"]
+        parent = current_version(root)
+        version = (parent or 0) + 1
+        doc = {
+            "version": version,
+            "parent": parent,
+            "op": "append",
+            "files": base + new_files,
+            "batch_id": batch_id,
+        }
+        try:
+            with open(_manifest_path(root, version), "x") as f:
+                json.dump(doc, f)
+        except FileExistsError as e:
+            raise SnapshotConflict(
+                f"version {version} already committed by another writer"
+            ) from e
+        tmp = _head_path(root) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, _head_path(root))
+
+    return sink

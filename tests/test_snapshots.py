@@ -83,3 +83,38 @@ def test_read_changes_append_only_feed(spark, tmp_path):
     snap.delete_where(spark, root, "id", 3, 3)
     with pytest.raises(ValueError, match="not append-only"):
         snap.read_changes(spark, root, 1)
+
+
+def test_streaming_append_exactly_once(spark, tmp_path):
+    """foreachBatch sink: batch ids recorded in manifests make replays
+    no-ops — restart from the same checkpoint appends nothing twice."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "tbl_stream")
+    _df(spark, [1, 2]).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("id long, s string").parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(snap.streaming_append(root))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == [1, 2]
+    v1 = snap.current_version(root)
+
+    # manual replay of batch 0 (the crash-replay shape): skipped entirely
+    snap.streaming_append(root)(_df(spark, [1, 2]), 0)
+    assert snap.current_version(root) == v1
+
+    # new data -> batch 1 appends; restart consumes only the new file
+    _df(spark, [3]).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == [1, 2, 3]
+    # the change feed sees exactly the streamed appends
+    got = sorted(r.id for r in snap.read_changes(spark, root, v1).collect())
+    assert got == [3]
