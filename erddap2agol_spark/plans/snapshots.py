@@ -280,3 +280,54 @@ def streaming_append(root: str):
         os.replace(tmp, _head_path(root))
 
     return sink
+
+
+def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """Small-files compaction: rewrite the CURRENT file set into
+    ``target_files`` larger files as a new version. Readers pinned to
+    old versions are untouched (their files stay on disk until
+    ``expire_versions``); the change feed correctly refuses to span a
+    compaction (op != append). At scale this is the maintenance job that
+    keeps per-file overhead amortized after many small streamed appends.
+    """
+    df = read(spark, root)
+    return _commit(root, _write_batch(df.coalesce(target_files), root), "compact")
+
+
+def expire_versions(root: str, keep_last: int = 1) -> tuple[int, int]:
+    """Retention: drop manifests older than the newest ``keep_last``
+    versions, then delete data files no retained manifest references.
+
+    Time travel shrinks to the retained window; everything else —
+    current reads, future commits — is unaffected because data files
+    are immutable and the retained manifests still name every live
+    file. Returns (n_manifests_dropped, n_files_deleted).
+    """
+    import shutil
+
+    head = current_version(root)
+    if head is None:
+        return (0, 0)
+    cutoff = max(1, head - keep_last + 1)
+    live: set[str] = set()
+    for v in range(cutoff, head + 1):
+        live.update(manifest(root, v)["files"])
+    dropped = 0
+    for v in range(1, cutoff):
+        try:
+            os.remove(_manifest_path(root, v))
+            dropped += 1
+        except FileNotFoundError:
+            pass
+    deleted = 0
+    data_dir = os.path.join(root, "data")
+    for batch in os.listdir(data_dir):
+        bdir = os.path.join(data_dir, batch)
+        rels = [
+            os.path.relpath(p, root)
+            for p in glob(os.path.join(bdir, "part-*.parquet"))
+        ]
+        if rels and not any(r in live for r in rels):
+            deleted += len(rels)
+            shutil.rmtree(bdir)
+    return (dropped, deleted)

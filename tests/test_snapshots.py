@@ -118,3 +118,22 @@ def test_streaming_append_exactly_once(spark, tmp_path):
     # the change feed sees exactly the streamed appends
     got = sorted(r.id for r in snap.read_changes(spark, root, v1).collect())
     assert got == [3]
+
+
+def test_compact_and_expire(spark, tmp_path):
+    root = str(tmp_path / "tbl7")
+    for ids in ([1], [2], [3, 4]):
+        snap.append(_df(spark, ids).coalesce(1), root)
+    assert len(snap.manifest(root)["files"]) == 3
+    v = snap.compact(spark, root, target_files=1)
+    assert len(snap.manifest(root, v)["files"]) == 1
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == [1, 2, 3, 4]
+    # old versions still readable pre-expiry (files are immutable)
+    assert sorted(r.id for r in snap.read(spark, root, version=2).collect()) == [1, 2]
+    dropped, deleted = snap.expire_versions(root, keep_last=1)
+    assert dropped == 3 and deleted == 3  # three 1-file pre-compaction batches
+    # head unaffected; expired version gone
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == [1, 2, 3, 4]
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        snap.manifest(root, 2)
