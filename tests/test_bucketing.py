@@ -170,3 +170,33 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_respected(spark):
+    """The engine's plans stay steerable: MERGE and SHUFFLE_HASH hints
+    select SortMergeJoin / ShuffledHashJoin on the same equi-join (the
+    lever for memory-vs-sort tradeoffs on cluster-sized joins, where a
+    hash side that fits executor memory skips both sorts)."""
+    from pyspark.sql import functions as F
+    from erddap2agol_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        orders = load_table(spark, sf, "orders").select("o_orderkey")
+
+        def plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        merged = li.hint("MERGE").join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        assert "SortMergeJoin" in plan(merged)
+        hashed = li.hint("SHUFFLE_HASH").join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        p = plan(hashed)
+        assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
