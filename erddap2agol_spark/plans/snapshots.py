@@ -99,10 +99,17 @@ def _write_batch(df: DataFrame, root: str) -> list[str]:
     )
 
 
-def _commit(root: str, files: list[str], op: str) -> int:
-    """O_EXCL manifest create (optimistic lock) + HEAD rename."""
+def _commit(root: str, files: list[str], op: str, parent: int | None = None) -> int:
+    """O_EXCL manifest create (optimistic lock) + HEAD rename.
+
+    ``parent`` MUST be the version of the manifest the caller derived
+    ``files`` from (None for a fresh table): the committed version is
+    strictly parent+1, so a writer whose base went stale collides with
+    the interloper's manifest and gets ``SnapshotConflict`` instead of
+    silently dropping the interloper's files (the lost-update race a
+    fresh ``current_version()`` read here would reintroduce).
+    """
     init(root)
-    parent = current_version(root)
     version = (parent or 0) + 1
     doc = {"version": version, "parent": parent, "op": op, "files": files}
     try:
@@ -122,13 +129,16 @@ def _commit(root: str, files: list[str], op: str) -> int:
 def append(df: DataFrame, root: str) -> int:
     init(root)
     new_files = _write_batch(df, root)
-    base = manifest(root)["files"]
-    return _commit(root, base + new_files, "append")
+    m = manifest(root)
+    return _commit(
+        root, m["files"] + new_files, "append", parent=m["version"] or None
+    )
 
 
 def overwrite(df: DataFrame, root: str) -> int:
     init(root)
-    return _commit(root, _write_batch(df, root), "overwrite")
+    files = _write_batch(df, root)
+    return _commit(root, files, "overwrite", parent=current_version(root))
 
 
 def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
@@ -182,7 +192,9 @@ def delete_where(
         df = spark.read.parquet(*[os.path.join(root, f) for f in touched])
         kept = df.filter(~(F.col(col).between(lo, hi)))
         new_files = _write_batch(kept, root)
-    version = _commit(root, carried + new_files, f"delete_where({col})")
+    version = _commit(
+        root, carried + new_files, f"delete_where({col})", parent=m["version"]
+    )
     return version, len(touched), len(carried)
 
 
@@ -257,14 +269,14 @@ def streaming_append(root: str):
             return  # replay of an already-committed batch
         init(root)
         new_files = _write_batch(df, root)
-        base = manifest(root)["files"]
-        parent = current_version(root)
+        m = manifest(root)
+        parent = m["version"] or None
         version = (parent or 0) + 1
         doc = {
             "version": version,
             "parent": parent,
             "op": "append",
-            "files": base + new_files,
+            "files": m["files"] + new_files,
             "batch_id": batch_id,
         }
         try:
@@ -290,8 +302,10 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     compaction (op != append). At scale this is the maintenance job that
     keeps per-file overhead amortized after many small streamed appends.
     """
-    df = read(spark, root)
-    return _commit(root, _write_batch(df.coalesce(target_files), root), "compact")
+    m = manifest(root)
+    df = read(spark, root, m["version"])
+    files = _write_batch(df.coalesce(target_files), root)
+    return _commit(root, files, "compact", parent=m["version"])
 
 
 def expire_versions(root: str, keep_last: int = 1) -> tuple[int, int]:
