@@ -37,7 +37,13 @@ def _spark():
 
     from .session import get_spark
 
-    borrowed = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-LOCAL; a host session created on another
+    # thread is only visible through the process-global instantiated
+    # session — which is exactly what getOrCreate would hand back and
+    # stop would kill (PySpark exposes no public default-session getter)
+    borrowed = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if borrowed is not None:
         yield borrowed
         return

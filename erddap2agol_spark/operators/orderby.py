@@ -56,6 +56,10 @@ def _arg_extreme(
     deterministically on the carried columns in their listed order.
     """
     carry = list(carry) if carry is not None else _carry_cols(df, group, [order_col])
+    # ERDDAP's orderByMin/Max ignore missing values; without this filter
+    # Spark's struct ordering ranks a NULL first field SMALLEST and a
+    # null-valued row would win every orderByMin
+    df = df.filter(F.col(order_col).isNotNull())
     packed = F.struct(F.col(order_col), *[F.col(c) for c in carry])
     agg = F.min(packed) if minimum else F.max(packed)
     out = df.groupBy(*group).agg(agg.alias("_row"))
@@ -101,6 +105,8 @@ def order_by_minmax(
     never two scans unioned.
     """
     carry = list(carry) if carry is not None else _carry_cols(df, group, [order_col])
+    # missing order values can never be an extreme (see _arg_extreme)
+    df = df.filter(F.col(order_col).isNotNull())
     packed = F.struct(F.col(order_col), *[F.col(c) for c in carry])
     both = df.groupBy(*group).agg(
         F.min(packed).alias("_lo"), F.max(packed).alias("_hi")

@@ -270,11 +270,15 @@ def ivf_topk(
     try:
         model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(as_vec)
     except Exception as e:  # unsupervised fit is eager by nature
-        raise ValueError(
-            "ivf_topk needs a non-empty corpus to train the KMeans "
-            "quantizer (use ivf_topk_deterministic for a fit-free cell "
-            "assignment)"
-        ) from e
+        # only translate the documented empty-corpus contract; any other
+        # fit failure (ragged vectors, executor death) must surface as-is
+        if as_vec.isEmpty():
+            raise ValueError(
+                "ivf_topk needs a non-empty corpus to train the KMeans "
+                "quantizer (use ivf_topk_deterministic for a fit-free cell "
+                "assignment)"
+            ) from e
+        raise
     assigned = model.transform(as_vec).select(
         "id", "vec", F.col("prediction").alias("cell")
     )

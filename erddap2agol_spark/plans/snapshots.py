@@ -99,7 +99,13 @@ def _write_batch(df: DataFrame, root: str) -> list[str]:
     )
 
 
-def _commit(root: str, files: list[str], op: str, parent: int | None = None) -> int:
+def _commit(
+    root: str,
+    files: list[str],
+    op: str,
+    parent: int | None = None,
+    extra: dict | None = None,
+) -> int:
     """O_EXCL manifest create (optimistic lock) + HEAD rename.
 
     ``parent`` MUST be the version of the manifest the caller derived
@@ -112,6 +118,8 @@ def _commit(root: str, files: list[str], op: str, parent: int | None = None) -> 
     init(root)
     version = (parent or 0) + 1
     doc = {"version": version, "parent": parent, "op": op, "files": files}
+    if extra:
+        doc.update(extra)
     try:
         with open(_manifest_path(root, version), "x") as f:
             json.dump(doc, f)
@@ -186,7 +194,8 @@ def delete_where(
 
     m = manifest(root)
     touched = [f for f in m["files"] if _file_may_match(root, f, col, lo, hi)]
-    carried = [f for f in m["files"] if f not in set(touched)]
+    touched_set = set(touched)
+    carried = [f for f in m["files"] if f not in touched_set]
     new_files: list[str] = []
     if touched:
         df = spark.read.parquet(*[os.path.join(root, f) for f in touched])
@@ -238,7 +247,12 @@ def _last_batch_id(root: str) -> int | None:
     lineage from the head (append-time metadata, no extra files)."""
     v = current_version(root)
     while v:
-        m = manifest(root, v)
+        try:
+            m = manifest(root, v)
+        except FileNotFoundError:
+            # lineage expired past this point (expire_versions); no
+            # earlier batch id is recoverable
+            return None
         b = m.get("batch_id")
         if b is not None:
             return b
@@ -270,26 +284,13 @@ def streaming_append(root: str):
         init(root)
         new_files = _write_batch(df, root)
         m = manifest(root)
-        parent = m["version"] or None
-        version = (parent or 0) + 1
-        doc = {
-            "version": version,
-            "parent": parent,
-            "op": "append",
-            "files": m["files"] + new_files,
-            "batch_id": batch_id,
-        }
-        try:
-            with open(_manifest_path(root, version), "x") as f:
-                json.dump(doc, f)
-        except FileExistsError as e:
-            raise SnapshotConflict(
-                f"version {version} already committed by another writer"
-            ) from e
-        tmp = _head_path(root) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, _head_path(root))
+        _commit(
+            root,
+            m["files"] + new_files,
+            "append",
+            parent=m["version"] or None,
+            extra={"batch_id": batch_id},
+        )
 
     return sink
 
@@ -305,10 +306,16 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     m = manifest(root)
     df = read(spark, root, m["version"])
     files = _write_batch(df.coalesce(target_files), root)
-    return _commit(root, files, "compact", parent=m["version"])
+    # carry the newest streamed batch id into the compacted manifest so
+    # replay detection survives expire_versions dropping the lineage
+    last_b = _last_batch_id(root)
+    extra = {"batch_id": last_b} if last_b is not None else None
+    return _commit(root, files, "compact", parent=m["version"], extra=extra)
 
 
-def expire_versions(root: str, keep_last: int = 1) -> tuple[int, int]:
+def expire_versions(
+    root: str, keep_last: int = 1, min_age_s: float = 600.0
+) -> tuple[int, int]:
     """Retention: drop manifests older than the newest ``keep_last``
     versions, then delete data files no retained manifest references.
 
@@ -316,8 +323,15 @@ def expire_versions(root: str, keep_last: int = 1) -> tuple[int, int]:
     current reads, future commits — is unaffected because data files
     are immutable and the retained manifests still name every live
     file. Returns (n_manifests_dropped, n_files_deleted).
+
+    ``min_age_s`` is the vacuum grace window: a batch directory younger
+    than it is NEVER deleted even if unreferenced, because a concurrent
+    writer spools its data files BEFORE its manifest exists — deleting
+    them mid-commit would corrupt the head it is about to publish (the
+    same reason Delta/Iceberg vacuum has a retention floor).
     """
     import shutil
+    import time
 
     head = current_version(root)
     if head is None:
@@ -342,6 +356,8 @@ def expire_versions(root: str, keep_last: int = 1) -> tuple[int, int]:
             for p in glob(os.path.join(bdir, "part-*.parquet"))
         ]
         if rels and not any(r in live for r in rels):
+            if time.time() - os.path.getmtime(bdir) < min_age_s:
+                continue  # possibly an in-flight commit's spool
             deleted += len(rels)
             shutil.rmtree(bdir)
     return (dropped, deleted)

@@ -24,12 +24,14 @@ modes; this sink treats "append" into a non-empty target as a collision
 (it owns the directory layout), so the effective contract is
 create-or-overwrite.
 
-The part files ARE the scalable output (a reader maps them as NDJSON);
-the single .geojson is the export convenience the reference's consumers
-expect (Converters/Json2GeoJSON.py writes one document). Task attempts
-that fail leave stray uuid-named files which abort() removes; commit is
-atomic via the manifest (readers treat a directory without
-``_manifest.json`` as unfinished).
+The part files ARE the scalable output — and the MANIFEST, not a
+directory listing, is the reader's source of truth: retried or
+speculative task attempts can leave extra uuid-named part files, and a
+zombie attempt can even land one after commit. The committer
+best-effort-sweeps unreferenced ``*.ndjson`` / ``.inprogress`` files at
+commit time, and abort() removes the files of messages it received, but
+a correct reader ALWAYS takes the file list from ``_manifest.json``
+(readers treat a directory without it as unfinished).
 """
 
 from __future__ import annotations
@@ -123,6 +125,18 @@ class GeoJSONWriter(DataSourceWriter):
             ],
             "n_features": sum(m.n_features for m in parts),
         }
+        # best-effort sweep of retry/speculation strays (a zombie attempt
+        # finishing after this sweep is why readers must use the manifest)
+        referenced = {m.filename for m in parts}
+        for f in os.listdir(self.path):
+            full = os.path.join(self.path, f)
+            if f.endswith(".inprogress") or (
+                f.endswith(".ndjson") and f not in referenced
+            ):
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
         if self.assemble:
             out = os.path.join(self.path, "collection.geojson")
             with open(out, "w") as dst:

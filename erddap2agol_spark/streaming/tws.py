@@ -126,10 +126,17 @@ def _stuck_run_apws(
     ) -> Iterator[pd.DataFrame]:
         st: RunState = tuple(state.get) if state.exists else _EMPTY
         fired: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
+        # a large group arrives as MULTIPLE Arrow chunks in partition
+        # order; sorting per chunk would scan out of order across the
+        # chunk boundary, so collect the batch's rows and sort ONCE
+        # (state is per (key, batch): bounded by the micro-batch)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            ).sort_values(order_col)
             st, alerts = advance_run_state(
-                st, pdf[value_col].astype(float), min_run
+                st, whole[value_col].astype(float), min_run
             )
             fired.extend((key[0], v, n) for v, n in alerts)
         state.update(st)
@@ -175,10 +182,13 @@ def _stuck_run_tws(
             st_raw = self._run.get() if self._run.exists() else None
             st: RunState = tuple(st_raw) if st_raw is not None else _EMPTY
             fired: list[tuple] = []
-            for pdf in rows:
-                pdf = pdf.sort_values(order_col)
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                whole = (
+                    chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+                ).sort_values(order_col)
                 st, alerts = advance_run_state(
-                    st, pdf[value_col].astype(float), min_run
+                    st, whole[value_col].astype(float), min_run
                 )
                 fired.extend((key[0], v, n) for v, n in alerts)
             self._run.update(st)
@@ -188,7 +198,8 @@ def _stuck_run_tws(
         def close(self) -> None:
             pass
 
-    out_schema = "k bigint, stuck_value double, run_len bigint"
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = f"k {key_type}, stuck_value double, run_len bigint"
     return stream.groupBy(key_col).transformWithStateInPandas(
         _Processor(),
         outputStructType=out_schema,

@@ -79,3 +79,23 @@ def test_parts_are_valid_ndjson(registered, tmp_path):
             json.loads(line)  # every line is one valid Feature document
             n += 1
     assert n == 7
+
+
+def test_commit_sweeps_stray_attempt_files(registered, tmp_path):
+    """Retried/speculative attempts leave extra part files; the committer
+    sweeps anything the manifest doesn't reference (and readers use the
+    manifest regardless)."""
+    from erddap2agol_spark.sinks.geojson_sink import GeoJSONWriter, _PartMessage
+
+    path = str(tmp_path / "fc_sweep")
+    w = GeoJSONWriter(path, "feature", overwrite=False, assemble=True)
+    # a committed part, a stray duplicate attempt, and a crashed temp
+    open(os.path.join(path, "part-00000-aaaa.ndjson"), "w").write('{"a":1}\n')
+    open(os.path.join(path, "part-00000-bbbb.ndjson"), "w").write('{"a":1}\n')
+    open(os.path.join(path, ".part-00001-cccc.ndjson.inprogress"), "w").write("x")
+    w.commit([_PartMessage(0, "part-00000-aaaa.ndjson", 1)])
+    files = sorted(os.listdir(path))
+    assert "part-00000-bbbb.ndjson" not in files
+    assert not any(f.endswith(".inprogress") for f in files)
+    doc = json.load(open(os.path.join(path, "collection.geojson")))
+    assert len(doc["features"]) == 1

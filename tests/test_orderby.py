@@ -133,3 +133,14 @@ def test_order_by_mean_and_sum(spark):
     out_s = orderby.order_by_sum(_frame(spark), ["station"], ["val", "id"]).collect()
     got_s = {r["station"]: (r["val_sum"], r["id_sum"]) for r in out_s}
     assert got_s == {"A": (23.0, 6), "B": (1.0, 9)}
+
+
+def test_order_by_min_ignores_null_order_values(spark):
+    # ERDDAP orderByMin ignores missing values; struct ordering alone
+    # would rank the NULL row smallest and return it (review finding)
+    out = orderby.order_by_min(_frame(spark), ["station"], "val", carry=["id"])
+    got = {r["station"]: (r["val"], r["id"]) for r in out.collect()}
+    assert got["B"] == (1.0, 4)  # not the null row (id=5)
+    mm = orderby.order_by_minmax(_frame(spark), ["station"], "val", carry=["id"])
+    rows = {(r["station"], r["extreme"]): r["id"] for r in mm.collect()}
+    assert rows[("B", "min")] == 4 and rows[("B", "max")] == 4

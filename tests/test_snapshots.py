@@ -130,8 +130,12 @@ def test_compact_and_expire(spark, tmp_path):
     assert sorted(r.id for r in snap.read(spark, root).collect()) == [1, 2, 3, 4]
     # old versions still readable pre-expiry (files are immutable)
     assert sorted(r.id for r in snap.read(spark, root, version=2).collect()) == [1, 2]
+    # default grace window protects freshly spooled batch dirs (a racing
+    # writer's uncommitted spool looks exactly like this)
     dropped, deleted = snap.expire_versions(root, keep_last=1)
-    assert dropped == 3 and deleted == 3  # three 1-file pre-compaction batches
+    assert deleted == 0
+    dropped2, deleted = snap.expire_versions(root, keep_last=1, min_age_s=0.0)
+    assert dropped + dropped2 == 3 and deleted == 3  # three pre-compaction batches
     # head unaffected; expired version gone
     assert sorted(r.id for r in snap.read(spark, root).collect()) == [1, 2, 3, 4]
     import pytest as _pt
