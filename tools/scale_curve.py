@@ -80,6 +80,9 @@ LINEAR_QUERIES = [
     "dedup_exact",
     "lm_perplexity",
     "corpus_manifest",
+    # round-4 continuation additions
+    "doc_chunks_overlap",
+    "langid_confusion",
 ]
 PAIR_QUERIES = ["dedup_minhash_lsh", "simhash_hamming_pairs"]
 ANN_QUERIES = ["ann_bruteforce_topk"]
