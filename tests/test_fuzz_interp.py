@@ -65,3 +65,60 @@ def test_interp_matches_numpy(spark, obs):
     assert got.keys() == want.keys()
     for g, v in want.items():
         assert abs(got[g] - v) <= 1e-5, (g, got[g], v)
+
+
+# ---------------------------------------------------------------------------
+# cogrouped as-of == union-window as-of on random event shapes
+# ---------------------------------------------------------------------------
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user
+        st.integers(min_value=0, max_value=50),     # ts offset (collisions likely)
+        st.booleans(),                              # True = right (purchase)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_EVENTS)
+@settings(max_examples=10, deadline=None)
+def test_cogrouped_asof_matches_window_form(spark, events):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.joins import asof_backward_cogrouped
+
+    rows = [
+        (i, int(u), _BASE_US + t * 1_000_000, bool(r))
+        for i, (u, t, r) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, is_r boolean"
+    ).selectExpr("event_id", "user_id", "timestamp_micros(us) AS ts", "is_r")
+    left = df.filter(~F.col("is_r")).select("event_id", "ts", "user_id")
+    right = df.filter(F.col("is_r")).select("event_id", "ts", "user_id")
+
+    got = {
+        r["event_id"]: r["last_purchase_ts"]
+        for r in asof_backward_cogrouped(
+            left, right, "user_id", "ts", "event_id", "last_purchase_ts"
+        ).collect()
+    }
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want_df = (
+        df.withColumn(
+            "last_purchase_ts",
+            F.max(F.when(F.col("is_r"), F.col("ts"))).over(w),
+        )
+        .filter(~F.col("is_r"))
+        .select("event_id", "last_purchase_ts")
+    )
+    want = {r["event_id"]: r["last_purchase_ts"] for r in want_df.collect()}
+    assert got == want
