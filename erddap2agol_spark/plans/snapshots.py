@@ -149,11 +149,24 @@ def overwrite(df: DataFrame, root: str) -> int:
     return _commit(root, files, "overwrite", parent=current_version(root))
 
 
-def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+def read(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Plan a read of one version's file list. ``merge_schema=True``
+    unions the parquet schemas across batches (schema EVOLUTION: an
+    append may carry new columns; older files surface them as NULL —
+    same contract as the partitioned-epoch reads in
+    queries/grid_queries.schema_drift_union)."""
     files = manifest(root, version)["files"]
     if not files:
         raise ValueError(f"snapshot table at {root} is empty")
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
 def _file_may_match(root: str, relpath: str, col: str, lo, hi) -> bool:

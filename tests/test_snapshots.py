@@ -233,3 +233,17 @@ def test_stale_base_commit_conflicts_not_lost_update(spark, tmp_path):
     snap._commit(root, m2["files"] + new_files, "append", parent=m2["version"])
     got = sorted(r.id for r in snap.read(spark, root).collect())
     assert got == [1, 2, 3]
+
+
+def test_schema_evolution_across_appends(spark, tmp_path):
+    root = str(tmp_path / "tbl_evo")
+    snap.append(_df(spark, [1, 2]), root)
+    widened = spark.createDataFrame(
+        [(3, "r3", 9.5)], "id long, s string, score double"
+    )
+    snap.append(widened, root)
+    got = snap.read(spark, root, merge_schema=True)
+    assert set(got.columns) == {"id", "s", "score"}
+    by_id = {r.id: r.score for r in got.collect()}
+    # pre-evolution rows surface the new column as NULL
+    assert by_id[1] is None and by_id[3] == 9.5
