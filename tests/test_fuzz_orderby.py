@@ -56,3 +56,42 @@ def test_orderby_extremes_match_mirror(spark, rows):
     lo = {r["g"]: (r["v"], r["id"]) for r in mm if r["extreme"] == "min"}
     hi = {r["g"]: (r["v"], r["id"]) for r in mm if r["extreme"] == "max"}
     assert lo == _mirror(rows, True) and hi == _mirror(rows, False)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries exact heavy hitters == brute force, any skew, any k
+# ---------------------------------------------------------------------------
+
+_KEYS = st.lists(
+    st.integers(min_value=0, max_value=6).flatmap(
+        # draw a key id and a burst length so skew varies wildly
+        lambda key: st.integers(min_value=1, max_value=15).map(
+            lambda n: (key, n)
+        )
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_KEYS, st.integers(min_value=1, max_value=5))
+@settings(max_examples=10, deadline=None)
+def test_heavy_hitters_exact_matches_bruteforce_fuzz(spark, bursts, k):
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.sketch import heavy_hitters_exact
+
+    rows = [(f"k{key}",) for key, n in bursts for _ in range(n)]
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    got = {
+        (r["key"], r["n_rows"])
+        for r in heavy_hitters_exact(df, "key", k).collect()
+    }
+    n_total = len(rows)
+    counts: dict[str, int] = {}
+    for (key,) in rows:
+        counts[key] = counts.get(key, 0) + 1
+    want = {
+        (key, n) for key, n in counts.items() if n * (k + 1) > n_total
+    }
+    assert got == want, (k, n_total, got, want)
