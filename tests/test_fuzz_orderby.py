@@ -95,3 +95,55 @@ def test_heavy_hitters_exact_matches_bruteforce_fuzz(spark, bursts, k):
         (key, n) for key, n in counts.items() if n * (k + 1) > n_total
     }
     assert got == want, (k, n_total, got, want)
+
+
+# ---------------------------------------------------------------------------
+# bilinear_regrid == numpy stencil on random regular grids
+# ---------------------------------------------------------------------------
+
+_GRID = st.tuples(
+    st.integers(min_value=2, max_value=5),   # n_lat
+    st.integers(min_value=2, max_value=5),   # n_lon
+    st.floats(min_value=0.1, max_value=0.9, allow_nan=False),  # fy
+    st.floats(min_value=0.1, max_value=0.9, allow_nan=False),  # fx
+    st.integers(min_value=0, max_value=2**31 - 1),             # value seed
+)
+
+
+@given(_GRID)
+@settings(max_examples=10, deadline=None)
+def test_bilinear_regrid_matches_numpy_fuzz(spark, grid):
+    import numpy as np
+
+    from erddap2agol_spark.operators.grid import bilinear_regrid
+
+    n_lat, n_lon, fy, fx, seed = grid
+    rng = np.random.RandomState(seed)
+    vals = np.round(rng.uniform(-50, 50, size=(n_lat, n_lon)), 3)
+    rows = [
+        ("v", float(i), float(j), float(vals[i, j]))
+        for i in range(n_lat)
+        for j in range(n_lon)
+    ]
+    df = spark.createDataFrame(
+        rows, "var string, lat double, lon double, value double"
+    )
+    out = bilinear_regrid(
+        df, ["var"], "lat", "lon", "value",
+        lat0=0.0, lon0=0.0, step=1.0, fy=fy, fx=fx,
+    ).collect()
+    got = {(round(r["lat"], 6), round(r["lon"], 6)): r["value"] for r in out}
+    # numpy mirror: every interior stencil
+    want = {}
+    for i in range(n_lat - 1):
+        for j in range(n_lon - 1):
+            v = (
+                (1 - fy) * (1 - fx) * vals[i, j]
+                + fy * (1 - fx) * vals[i + 1, j]
+                + (1 - fy) * fx * vals[i, j + 1]
+                + fy * fx * vals[i + 1, j + 1]
+            )
+            want[(round(i + fy, 6), round(j + fx, 6))] = v
+    assert got.keys() == want.keys()
+    for kxy, v in want.items():
+        assert abs(got[kxy] - v) <= 2e-6, (kxy, got[kxy], v)
