@@ -147,3 +147,50 @@ def test_bilinear_regrid_matches_numpy_fuzz(spark, grid):
     assert got.keys() == want.keys()
     for kxy, v in want.items():
         assert abs(got[kxy] - v) <= 2e-6, (kxy, got[kxy], v)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg == numpy trapezoid on random irregular series
+# ---------------------------------------------------------------------------
+
+_SERIES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5000),  # ts offset seconds (unique)
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=2,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(_SERIES)
+@settings(max_examples=10, deadline=None)
+def test_time_weighted_avg_matches_numpy_trapezoid(spark, series):
+    import numpy as np
+
+    from erddap2agol_spark.queries import REGISTRY, _load_all
+
+    # drive the registered query's exact plan over a synthetic events dir
+    _load_all()
+    import os, tempfile
+    d = tempfile.mkdtemp(prefix="twa_fuzz")
+    base = 1_700_000_000_000_000
+    rows = [
+        (i, base + t * 1_000_000, 1, "x", float(v), "{}")
+        for i, (t, v) in enumerate(series)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts) AS ts", "user_id", "event_type",
+        "value", "props"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = REGISTRY["time_weighted_avg"].spark(spark, d).collect()
+    pts = sorted(series)
+    xs = np.array([t for t, _ in pts], dtype=np.float64)
+    ys = np.array([v for _, v in pts], dtype=np.float64)
+    want = float(np.trapz(ys, xs)) / float(xs[-1] - xs[0])
+    [r] = out
+    assert abs(r["twa"] - want) <= 1e-5, (r["twa"], want)
+    assert r["n_obs"] == len(series)
