@@ -1,6 +1,7 @@
-"""Fuzz the orderBy* argmax family against a pure-Python mirror:
-random groups / duplicate order values / NULLs must reproduce the
-struct-lexicographic tie-break chain and the ignore-missing contract."""
+"""Independent-mirror fuzz for the round-4 continuation operators:
+orderBy* extremes vs tuple comparison, exact heavy hitters vs brute
+force, bilinear regrid vs a numpy stencil, time-weighted average vs
+numpy trapezoidal integration."""
 
 from __future__ import annotations
 
