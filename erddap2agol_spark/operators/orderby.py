@@ -203,10 +203,13 @@ def order_by_closest(
     epoch = epoch_us(ts_col)
     half = interval_us // 2
     # integer-exact snap (no double division anywhere near tick
-    # boundaries): tick = shifted - shifted % interval, valid for the
-    # non-negative epochs this engine's data carries
+    # boundaries): tick = shifted - pmod(shifted, interval). pmod (floor
+    # mod) rather than `%` (sign-following) so pre-1970 timestamps —
+    # negative epochs, which historical ocean datasets carry and the
+    # reference decodes (das_client.py:195-204) — snap to the correct
+    # tick instead of one interval late.
     shifted = epoch + F.lit(half)
-    tick_us = shifted - (shifted % F.lit(interval_us))
+    tick_us = shifted - F.pmod(shifted, F.lit(interval_us))
     dist = F.abs(epoch - tick_us)
     # keep the input column's flavor on the tick (NTZ source -> NTZ tick)
     tick_ts = F.timestamp_micros(tick_us).cast(

@@ -139,8 +139,8 @@ _SIX_H_US = 6 * 3600 * 1_000_000
     WITH snapped AS (
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
              (epoch_us(CAST(ts AS TIMESTAMP)) + {_SIX_H_US // 2})
-               - ((epoch_us(CAST(ts AS TIMESTAMP)) + {_SIX_H_US // 2})
-                  % {_SIX_H_US}) AS tick_us
+               - ((((epoch_us(CAST(ts AS TIMESTAMP)) + {_SIX_H_US // 2})
+                  % {_SIX_H_US}) + {_SIX_H_US}) % {_SIX_H_US}) AS tick_us
       FROM events
     )
     SELECT event_type, make_timestamp(tick_us) AS tick, ts, event_id FROM (

@@ -125,6 +125,31 @@ def test_order_by_closest_snaps_to_nearest_tick(spark):
     assert got[("B", dt.datetime(2024, 1, 1, 6, 0))] == 5
 
 
+def test_order_by_closest_negative_epochs(spark):
+    # pre-1970 timestamps carry negative epoch-µs; a sign-following `%`
+    # would snap them one tick late (the reference decodes negative
+    # epochs — das_client.py:195-204). pmod keeps the floor-mod snap.
+    six_h = 6 * 3600 * 1_000_000
+    df = spark.createDataFrame(
+        [
+            # 1960-01-01 00:10 -> tick 00:00 (same-day floor, not -1 tick)
+            ("A", dt.datetime(1960, 1, 1, 0, 10), 1),
+            # 1960-01-01 05:00 -> tick 06:00 (1h vs 5h)
+            ("A", dt.datetime(1960, 1, 1, 5, 0), 2),
+            # 1960-01-01 03:00 equidistant -> rounds half UP to 06:00
+            ("B", dt.datetime(1960, 1, 1, 3, 0), 3),
+        ],
+        "station string, ts timestamp, id int",
+    )
+    out = orderby.order_by_closest(df, ["station"], "ts", six_h, carry=["id"])
+    got = {(r["station"], r["tick"]): r["id"] for r in out.collect()}
+    assert got == {
+        ("A", dt.datetime(1960, 1, 1, 0, 0)): 1,
+        ("A", dt.datetime(1960, 1, 1, 6, 0)): 2,
+        ("B", dt.datetime(1960, 1, 1, 6, 0)): 3,
+    }
+
+
 def test_order_by_mean_and_sum(spark):
     out_m = orderby.order_by_mean(_frame(spark), ["station"], ["val"]).collect()
     got_m = {r["station"]: r["val_mean"] for r in out_m}
