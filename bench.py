@@ -83,18 +83,22 @@ def main() -> None:
     # sees.  Up to 3 runs, stopping once a run stops improving the best
     # by >5% (VERDICT r3: one-shot driver numbers read as a phantom
     # regression on overhead-bound sub-second queries).
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
         best = float("inf")
+        runs = 0
         try:
             for _ in range(3):
                 t0 = time.time()
                 spec.spark(spark, sf_dir).count()
                 run = time.time() - t0
+                runs += 1
                 improved = run < best * 0.95
                 best = min(best, run)
                 if not improved and best < float("inf"):
@@ -103,6 +107,7 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             continue
         timings[name] = round(best, 3)
+        n_runs[name] = runs
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -112,6 +117,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # co-tenant load telemetry (VERDICT r4 #3): a loaded sweep is
+        # distinguishable from a regression without a re-run
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "n_runs": n_runs,
     }
     if errors:
         out["errors"] = errors

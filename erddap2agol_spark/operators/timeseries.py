@@ -124,8 +124,16 @@ def interpolate_linear(
     tie-breaks. Each grid point takes
     ``prev_v + ((next_v - prev_v) * (t - prev_t)) / (next_t - prev_t)``
     from the nearest observations on either side; a grid point landing ON
-    an observation copies it exactly. Because the grid is clamped inside
-    the observation span, both neighbours always exist.
+    an observation copies it exactly.
+
+    Boundary contract: the grid span is clamped to the key's first/last
+    observation ROW — including null-valued observations (a null reading
+    is still a timestamped sample, so it anchors the instrument's active
+    span). A grid point inside the span with a non-null neighbour on only
+    ONE side (leading/trailing null readings) takes that neighbour's
+    value — one-sided nearest-neighbour fallback, mirrored in the oracle.
+    Both neighbours are guaranteed only when the boundary observations
+    are non-null.
 
     Physical shape: one union, ONE partitioned-window pass in each
     direction (prev / next carried with ``last ... ignore nulls``) — no

@@ -120,6 +120,13 @@ def _commit(
     doc = {"version": version, "parent": parent, "op": op, "files": files}
     if extra:
         doc.update(extra)
+    # every manifest carries the last streamed batch_id forward (ADVICE
+    # r4: only compact did, so expire_versions dropping the lineage past
+    # an overwrite/delete_where lost replay detection and a crash-replayed
+    # micro-batch re-appended). Stamping the key even when None makes new
+    # manifests self-describing — the lineage walk is O(1) from here on.
+    if "batch_id" not in doc:
+        doc["batch_id"] = _last_batch_id(root, parent)
     try:
         with open(_manifest_path(root, version), "x") as f:
             json.dump(doc, f)
@@ -171,15 +178,31 @@ def read(
 
 def _file_may_match(root: str, relpath: str, col: str, lo, hi) -> bool:
     """Footer min/max check: can rows with lo <= col <= hi exist here?
-    Missing stats => must assume yes."""
+    Missing stats => must assume yes.
+
+    Row-group column chunks are indexed over FLATTENED parquet leaf
+    columns, not Arrow top-level fields — with any nested (struct/list/
+    map) column ahead of ``col``, the Arrow field index would read stats
+    off the wrong chunk and prune a file that contains matching rows
+    (ADVICE r4). Resolve the leaf by ``path_in_schema`` instead; a flat
+    top-level column's leaf path is exactly its name.
+    """
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(os.path.join(root, relpath))
-    idx = pf.schema_arrow.get_field_index(col)
-    if idx < 0:
+    md = pf.metadata
+    if md.num_row_groups == 0:
         return True
-    for rg in range(pf.metadata.num_row_groups):
-        st = pf.metadata.row_group(rg).column(idx).statistics
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        st = None
+        for i in range(rgm.num_columns):
+            chunk = rgm.column(i)
+            if chunk.path_in_schema == col:
+                st = chunk.statistics
+                break
+        else:
+            return True  # column absent in this file (schema drift)
         if st is None or not st.has_min_max:
             return True
         if not (st.max < lo or st.min > hi):
@@ -255,10 +278,14 @@ def read_changes(
     return spark.read.parquet(*[os.path.join(root, f) for f in new_files])
 
 
-def _last_batch_id(root: str) -> int | None:
+def _last_batch_id(root: str, from_version: int | None = None) -> int | None:
     """Highest streaming batch id committed to this table, scanning
-    lineage from the head (append-time metadata, no extra files)."""
-    v = current_version(root)
+    lineage from ``from_version`` (default: head). Since every commit now
+    stamps the carried ``batch_id`` key (even as null), the walk stops at
+    the first manifest that HAS the key — one read on any table written
+    by this version of the code; the loop only continues across
+    pre-carry-forward manifests."""
+    v = current_version(root) if from_version is None else from_version
     while v:
         try:
             m = manifest(root, v)
@@ -266,9 +293,8 @@ def _last_batch_id(root: str) -> int | None:
             # lineage expired past this point (expire_versions); no
             # earlier batch id is recoverable
             return None
-        b = m.get("batch_id")
-        if b is not None:
-            return b
+        if "batch_id" in m:
+            return m["batch_id"]
         v = m.get("parent")
     return None
 
@@ -319,11 +345,8 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     m = manifest(root)
     df = read(spark, root, m["version"])
     files = _write_batch(df.coalesce(target_files), root)
-    # carry the newest streamed batch id into the compacted manifest so
-    # replay detection survives expire_versions dropping the lineage
-    last_b = _last_batch_id(root)
-    extra = {"batch_id": last_b} if last_b is not None else None
-    return _commit(root, files, "compact", parent=m["version"], extra=extra)
+    # batch_id carry-forward happens centrally in _commit
+    return _commit(root, files, "compact", parent=m["version"])
 
 
 def expire_versions(

@@ -81,6 +81,60 @@ def glider_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geojson_sink_roundtrip",
+    oracle="""
+    SELECT o_custkey AS track_id,
+           CAST(count(*) AS BIGINT) AS n_features,
+           round(sum(o_totalprice), 2) AS sum_x
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="K2 committer path, driver-graded end to end: point features are "
+    "rendered per order, written through the geojson_fc Python DataSource "
+    "WRITER (executor part spool -> manifest -> committer assembly of "
+    "collection.geojson), then the ASSEMBLED document is parsed back and "
+    "re-aggregated — any byte the sink drops, duplicates, or mangles "
+    "breaks the hash against the direct-SQL oracle. The single-document "
+    "parse is inherently one task (a FeatureCollection is one JSON value); "
+    "the scale output is the NDJSON part files, which the write step "
+    "produces executor-parallel.",
+)
+def geojson_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sinks import geojson_sink
+
+    o = load_table(spark, sf_dir, "orders")
+    geom = geometry.point_from_xy(F.col("o_totalprice"), F.col("o_custkey") * 1.0)
+    props = F.struct(
+        F.col("o_custkey").alias("track_id"), F.col("o_orderkey").alias("key")
+    )
+    feats = o.select(feature_json(props, geom).alias("feature"))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"erddap2agol_geojson_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    geojson_sink.register(spark)
+    (
+        feats.write.format("geojson_fc")
+        .mode("overwrite")
+        .option("assemble", "true")
+        .save(out)
+    )
+    doc = spark.read.option("multiLine", "true").json(
+        os.path.join(out, "collection.geojson")
+    )
+    f = doc.select(F.explode("features").alias("f"))
+    return f.groupBy(
+        F.col("f.properties.track_id").cast("long").alias("track_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.round(F.sum(F.col("f.geometry.coordinates")[0]), 2).alias("sum_x"),
+    )
+
+
+@register(
     "multimodal_inventory",
     oracle="""
     WITH b AS (

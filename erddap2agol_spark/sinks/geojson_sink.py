@@ -24,6 +24,15 @@ modes; this sink treats "append" into a non-empty target as a collision
 (it owns the directory layout), so the effective contract is
 create-or-overwrite.
 
+Filesystem requirement (ADVICE r4): tasks spool parts with plain
+``open``/``os.rename`` against ``path`` and the driver's commit step
+reads those same paths — so driver and executors MUST share the target
+filesystem (local mode, or a shared mount such as NFS/FUSE-mounted
+object storage). On a multi-node cluster with executor-local disks,
+point ``path`` at a shared mount; the sink raises at commit when a
+manifest-listed part is missing rather than silently emitting a partial
+collection.
+
 The part files ARE the scalable output — and the MANIFEST, not a
 directory listing, is the reader's source of truth: retried or
 speculative task attempts can leave extra uuid-named part files, and a
@@ -119,6 +128,21 @@ class GeoJSONWriter(DataSourceWriter):
         parts = sorted(
             (m for m in messages if m is not None), key=lambda m: m.index
         )
+        # shared-filesystem guard (module docstring): a part an executor
+        # reported but the driver cannot see means the target is NOT a
+        # shared mount — fail loudly instead of committing a partial
+        # manifest/collection
+        missing = [
+            m.filename
+            for m in parts
+            if not os.path.exists(os.path.join(self.path, m.filename))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"{len(missing)} committed part(s) not visible from the "
+                f"driver (e.g. {missing[0]}): geojson_fc requires driver "
+                "and executors to share the target filesystem"
+            )
         manifest = {
             "parts": [
                 {"file": m.filename, "n_features": m.n_features} for m in parts

@@ -63,6 +63,47 @@ def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
     assert 100 in {r.id for r in snap.read(spark, root, version=2).collect()}
 
 
+def test_delete_where_stats_with_nested_column_ahead(spark, tmp_path):
+    """Row-group stats are indexed over flattened parquet LEAVES: with a
+    struct column ahead of the predicate column, the Arrow top-level
+    field index reads the wrong chunk's stats and can prune a file that
+    contains matching rows (ADVICE r4). The leaf is resolved by
+    path_in_schema now."""
+    root = str(tmp_path / "tbl_nested")
+
+    def nested(ids):
+        return spark.createDataFrame(
+            [((f"a{i}", i * 10), i) for i in ids],
+            "meta struct<tag string, w long>, id long",
+        )
+
+    snap.append(nested([1, 2, 3]).coalesce(1), root)
+    snap.append(nested([100, 101]).coalesce(1), root)
+    v, rewritten, carried = snap.delete_where(spark, root, "id", 100, 100)
+    # must rewrite the file that actually holds id=100 and carry the other
+    assert rewritten == 1 and carried == 1
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == [1, 2, 3, 101]
+
+
+def test_batch_id_survives_retention_after_rewrites(spark, tmp_path):
+    """Exactly-once must hold across retention: overwrite/delete_where
+    manifests now carry the last streamed batch_id forward, so
+    expire_versions dropping the append's manifest cannot resurrect a
+    crash-replayed micro-batch (ADVICE r4)."""
+    root = str(tmp_path / "tbl_bid")
+    sink = snap.streaming_append(root)
+    sink(_df(spark, [1, 2]), 0)  # streamed batch 0
+    snap.overwrite(_df(spark, [7]).coalesce(1), root)  # rewriting commit
+    snap.delete_where(spark, root, "id", 99, 99)  # another, no-op rewrite
+    # retention drops the manifest that originally held batch_id=0
+    snap.expire_versions(root, keep_last=1, min_age_s=0.0)
+    assert snap._last_batch_id(root) == 0
+    v = snap.current_version(root)
+    sink(_df(spark, [1, 2]), 0)  # crash replay of batch 0
+    assert snap.current_version(root) == v  # skipped, not re-appended
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == [7]
+
+
 def test_empty_table_read_raises(spark, tmp_path):
     root = str(tmp_path / "tbl5")
     snap.init(root)
