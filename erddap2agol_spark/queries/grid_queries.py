@@ -67,6 +67,63 @@ def griddap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CSVP = "/root/repo/fixtures/csvp/glider_track.csvp"
 
+_GLIDER_SEG_ORACLE = f"""
+    WITH raw AS (
+      SELECT "time (UTC)" AS t,
+             "latitude (degrees_north)" AS lat,
+             "longitude (degrees_east)" AS lon,
+             "depth (m)" AS depth,
+             "sea_water_temperature (degree_C)" AS temp
+      FROM read_csv('{_CSVP}', header=true, nullstr='NaN')
+    ),
+    pts AS (
+      SELECT t, lat, lon, depth, temp,
+             row_number() OVER (ORDER BY t) AS rn
+      FROM raw WHERE lat IS NOT NULL AND lon IS NOT NULL
+    )
+    SELECT a.rn AS seg_id,
+           a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2,
+           b.depth AS depth_end, b.temp AS temp_end
+    FROM pts a JOIN pts b ON b.rn = a.rn + 1
+    ORDER BY seg_id
+    """
+
+
+def _glider_segments(pts_src: DataFrame) -> DataFrame:
+    """Shared consecutive-point segment build for both physical paths
+    (file scan / HTTP scan): invalid-coordinate rows dropped BEFORE
+    pairing, properties from each segment's END point, scalable row
+    numbering + hash equi-join on rn+1 (no single-partition window)."""
+    from ..operators.windows import with_row_number
+
+    pts = with_row_number(
+        pts_src.filter(
+            F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+        ),
+        ["time"],
+        name="rn",
+        scalable=True,
+    )
+    a = pts.select(
+        F.col("rn").alias("seg_id"),
+        F.col("longitude").alias("x1"),
+        F.col("latitude").alias("y1"),
+        (F.col("rn") + 1).alias("__next"),
+    )
+    b = pts.select(
+        F.col("rn").alias("__next"),
+        F.col("longitude").alias("x2"),
+        F.col("latitude").alias("y2"),
+        F.col("depth").alias("depth_end"),
+        F.col("sea_water_temperature").alias("temp_end"),
+    )
+    return (
+        a.join(b, "__next")
+        .drop("__next")
+        .select("seg_id", "x1", "y1", "x2", "y2", "depth_end", "temp_end")
+        .orderBy("seg_id")
+    )
+
 
 @register(
     "csvp_glider_segments",
@@ -103,36 +160,71 @@ _CSVP = "/root/repo/fixtures/csvp/glider_track.csvp"
     "same numbering idiom the oracle's rn-join uses in DuckDB.",
 )
 def csvp_glider_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.windows import with_row_number
     from ..sources.csvp import read_csvp
 
     df, units = read_csvp(spark, _CSVP)
     assert units["latitude"] == "degrees_north"  # header units survived
-    pts = with_row_number(
-        df.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull()),
-        ["time"],
-        name="rn",
-        scalable=True,
+    return _glider_segments(df)
+
+
+_FIXTURE_SERVER = None
+
+
+def _fixture_base_url() -> str:
+    """Process-lifetime loopback ERDDAP simulator serving the committed
+    fixtures (sources/erddap_httpd.py). A singleton because the returned
+    DataFrames are lazy — the HTTP fetches run whenever the caller
+    collects, so the server must outlive the query function."""
+    global _FIXTURE_SERVER
+    if _FIXTURE_SERVER is None:
+        from ..sources.erddap_httpd import ErddapFixtureServer
+
+        srv = ErddapFixtureServer(csvp_fixtures={"glider_track": _CSVP})
+        base = srv.start()
+        _FIXTURE_SERVER = (srv, base)
+    return _FIXTURE_SERVER[1]
+
+
+@register(
+    "csvp_glider_segments_http",
+    oracle=_GLIDER_SEG_ORACLE,
+    doc="S6's LIVE-HTTP physical path (VERDICT r4 #1), driver-graded end "
+    "to end: tabledap_chunk_urls compiles three time-slice chunk URLs, "
+    "the erddap_csvp_http Python DataSource fetches each as one SCAN "
+    "TASK (per-URL timeout/retry per data_wrangler.py:556-723, csvp "
+    "parsed task-side to Arrow — no row crosses the driver), against a "
+    "loopback ERDDAP simulator serving the committed fixture. Downstream "
+    "is the identical segment build as csvp_glider_segments, so the "
+    "shared oracle proves wire-path == file-path.",
+)
+def csvp_glider_segments_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from ..sources import erddap_http
+    from ..sources.erddap_url import TimeRange, tabledap_chunk_urls
+
+    base = _fixture_base_url()
+    erddap_http.register(spark)
+    d = dt.datetime
+    chunks = [
+        TimeRange(d(2024, 3, 1, 0, 0), d(2024, 3, 1, 13, 0)),
+        TimeRange(d(2024, 3, 1, 13, 0), d(2024, 3, 2, 5, 0)),
+        TimeRange(d(2024, 3, 2, 5, 0), d(2024, 3, 2, 20, 0)),
+    ]
+    cols = ["time", "latitude", "longitude", "depth", "sea_water_temperature"]
+    urls = tabledap_chunk_urls(base, "glider_track", cols, chunks)
+    df = (
+        spark.read.format("erddap_csvp_http")
+        .option("urls", "\n".join(urls))
+        .option(
+            "schema_ddl",
+            "time timestamp_ntz, latitude double, longitude double, "
+            "depth double, sea_water_temperature double",
+        )
+        .option("timeout_s", "30")
+        .load()
     )
-    a = pts.select(
-        F.col("rn").alias("seg_id"),
-        F.col("longitude").alias("x1"),
-        F.col("latitude").alias("y1"),
-        (F.col("rn") + 1).alias("__next"),
-    )
-    b = pts.select(
-        F.col("rn").alias("__next"),
-        F.col("longitude").alias("x2"),
-        F.col("latitude").alias("y2"),
-        F.col("depth").alias("depth_end"),
-        F.col("sea_water_temperature").alias("temp_end"),
-    )
-    return (
-        a.join(b, "__next")
-        .drop("__next")
-        .select("seg_id", "x1", "y1", "x2", "y2", "depth_end", "temp_end")
-        .orderBy("seg_id")
-    )
+    return _glider_segments(df)
 
 
 _DRIFT = "/root/repo/fixtures/schema_drift"

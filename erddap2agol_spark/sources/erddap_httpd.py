@@ -1,0 +1,175 @@
+"""Loopback ERDDAP fixture server — the test/dev stand-in for a real
+ERDDAP endpoint, so the live-HTTP physical path (``http_fetch`` +
+``erddap_http``) is exercisable end to end in a sandbox with no external
+network.
+
+Serves the committed fixtures over ``http.server`` on an ephemeral
+loopback port with just enough tabledap semantics for the connector:
+
+- ``GET /tabledap/<dataset_id>.csvp?<proj>&time>=A&time<=B`` — the
+  registered csvp fixture, column-projected and row-filtered by the
+  time constraints, in the same wire format (one ``name (units)``
+  header row, literal ``NaN`` missing values). This is what makes the
+  chunked scan REAL: two different chunk URLs return two different row
+  sets, so union-of-partitions == whole-dataset is a meaningful check.
+- ``GET <path>`` for registered raw fixtures (griddap NetCDF bytes).
+- failure injection (``fail_next``: the next N matching requests return
+  an HTTP error; ``delay``: matching requests sleep first) to drive the
+  timeout/retry/requeue paths the reference implements against real
+  flaky servers (data_wrangler.py:556-723).
+
+NOT a production component: real deployments point the connector at an
+actual ERDDAP server; this class only reproduces the protocol surface
+the engine consumes.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _parse_tabledap_query(raw_query: str) -> tuple[list[str], list[tuple[str, str, str]]]:
+    """'time%2Clat...&time%3E%3D2024-...' -> (projection, constraints);
+    constraints are (col, op, literal) with op in {>=, <=, >, <, =}."""
+    if not raw_query:
+        return [], []
+    parts = [urllib.parse.unquote(p) for p in raw_query.split("&")]
+    proj = [c for c in parts[0].split(",") if c] if parts else []
+    cons: list[tuple[str, str, str]] = []
+    for p in parts[1:]:
+        for op in (">=", "<=", ">", "<", "="):
+            if op in p:
+                col, lit = p.split(op, 1)
+                cons.append((col, op, lit))
+                break
+    return proj, cons
+
+
+def _cmp(op: str, a: str, b: str) -> bool:
+    # ISO-8601 Z strings of equal layout compare correctly as text
+    return {
+        ">=": a >= b,
+        "<=": a <= b,
+        ">": a > b,
+        "<": a < b,
+        "=": a == b,
+    }[op]
+
+
+class ErddapFixtureServer:
+    def __init__(
+        self,
+        csvp_fixtures: dict[str, str] | None = None,
+        raw_fixtures: dict[str, str] | None = None,
+    ):
+        self.csvp_fixtures = dict(csvp_fixtures or {})
+        self.raw_fixtures = dict(raw_fixtures or {})
+        self._fail: list[dict] = []  # {"match": str, "left": int, "status": int}
+        self._delay: list[dict] = []  # {"match": str, "seconds": float}
+        self.request_log: list[str] = []
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> str:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence per-request stderr noise
+                pass
+
+            def do_GET(self):
+                server._handle(self)
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        host, port = self._httpd.server_address
+        return f"http://{host}:{port}"
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    # -- failure injection ---------------------------------------------------
+    def fail_next(self, match: str, n: int, status: int = 503) -> None:
+        """The next ``n`` requests whose decoded path+query contains
+        ``match`` return ``status`` instead of data."""
+        self._fail.append({"match": match, "left": n, "status": status})
+
+    def delay(self, match: str, seconds: float) -> None:
+        """Matching requests sleep first (drives client-side timeouts)."""
+        self._delay.append({"match": match, "seconds": seconds})
+
+    # -- request handling ----------------------------------------------------
+    def _handle(self, h: BaseHTTPRequestHandler) -> None:
+        decoded = urllib.parse.unquote(h.path)
+        self.request_log.append(decoded)
+        for d in self._delay:
+            if d["match"] in decoded:
+                time.sleep(d["seconds"])
+        for f in self._fail:
+            if f["left"] > 0 and f["match"] in decoded:
+                f["left"] -= 1
+                h.send_response(f["status"])
+                h.end_headers()
+                return
+        path, _, query = h.path.partition("?")
+        if path.startswith("/tabledap/") and path.endswith(".csvp"):
+            dataset_id = path[len("/tabledap/") : -len(".csvp")]
+            src = self.csvp_fixtures.get(dataset_id)
+            if src is None:
+                h.send_response(404)
+                h.end_headers()
+                return
+            body = self._csvp_response(src, query)
+            h.send_response(200)
+            h.send_header("Content-Type", "text/csv")
+            h.send_header("Content-Length", str(len(body)))
+            h.end_headers()
+            h.wfile.write(body)
+            return
+        raw = self.raw_fixtures.get(path)
+        if raw is not None:
+            with open(raw, "rb") as f:
+                body = f.read()
+            h.send_response(200)
+            h.send_header("Content-Type", "application/octet-stream")
+            h.send_header("Content-Length", str(len(body)))
+            h.end_headers()
+            h.wfile.write(body)
+            return
+        h.send_response(404)
+        h.end_headers()
+
+    def _csvp_response(self, src: str, raw_query: str) -> bytes:
+        from .csvp import split_csvp_name
+
+        proj, cons = _parse_tabledap_query(raw_query)
+        with open(src) as f:
+            lines = f.read().splitlines()
+        headers = lines[0].split(",")
+        clean = [split_csvp_name(c)[0] for c in headers]
+        idx = {name: i for i, name in enumerate(clean)}
+        keep = [idx[c] for c in proj if c in idx] or list(range(len(headers)))
+        out = [",".join(headers[i] for i in keep)]
+        for line in lines[1:]:
+            if not line:
+                continue
+            cells = line.split(",")
+            ok = True
+            for col, op, lit in cons:
+                i = idx.get(col)
+                if i is not None and not _cmp(op, cells[i], lit):
+                    ok = False
+                    break
+            if ok:
+                out.append(",".join(cells[i] for i in keep))
+        return ("\n".join(out) + "\n").encode()

@@ -1,0 +1,125 @@
+"""HTTP fetch engine for the live ERDDAP physical path (S6/S7).
+
+The reference downloads every chunk URL through a driver-side loop:
+``requests.get`` with a timeout, per-URL attempt counting, and a deque
+that re-appends a failed URL to the END of the queue until its attempts
+run out (``/root/reference/erddap2agol/src/data_wrangler.py:556-723``;
+HTTP 413 — payload too large — gives up immediately because a retry of
+the same over-large request can never succeed).
+
+This module is the engine's executable counterpart, stdlib-only
+(``urllib``; the container has no ``requests``), split in two layers:
+
+- :func:`fetch_with_retry` — ONE URL, N attempts, per-attempt timeout.
+  This is the unit each Spark SCAN TASK runs: in the connector
+  (``erddap_http.py``) a chunk URL is an ``InputPartition``, so the
+  fleet-level parallelism and re-scheduling the reference hand-rolls
+  with its deque comes from Spark's scheduler, and only the bounded
+  per-URL retry stays in Python.
+- :func:`fetch_all` — MANY URLs through the reference's exact
+  deque-requeue discipline, for driver-side spool flows (and as the
+  behavioral spec the connector's per-task policy is tested against).
+  A failed URL goes to the BACK of the queue, so one flaky endpoint
+  never head-of-line-blocks the remaining chunks.
+"""
+
+from __future__ import annotations
+
+import time
+import urllib.error
+import urllib.request
+from collections import deque
+
+DEFAULT_TIMEOUT_S = 120.0
+DEFAULT_ATTEMPTS = 3
+
+
+class FetchError(RuntimeError):
+    """A URL failed all its attempts (or fatally on the first)."""
+
+    def __init__(self, url: str, attempts: int, last_error: str):
+        self.url = url
+        self.attempts = attempts
+        self.last_error = last_error
+        super().__init__(
+            f"fetch failed after {attempts} attempt(s): {url} ({last_error})"
+        )
+
+
+class PayloadTooLarge(FetchError):
+    """HTTP 413: the request itself is over-large — retrying is useless;
+    the caller must re-chunk with a smaller slice (the reference's
+    griddap divider reacts the same way)."""
+
+
+def fetch_bytes(url: str, timeout_s: float = DEFAULT_TIMEOUT_S) -> bytes:
+    """One GET, raising on HTTP errors (urllib raises HTTPError for
+    4xx/5xx on its own — the ``raise_for_status`` analog)."""
+    with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+        return resp.read()
+
+
+def fetch_with_retry(
+    url: str,
+    attempts: int = DEFAULT_ATTEMPTS,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    backoff_s: float = 0.5,
+) -> bytes:
+    """Fetch one URL with up to ``attempts`` tries and a per-attempt
+    timeout. Timeouts, connection errors, and 5xx responses retry (with
+    linear backoff); HTTP 413 raises :class:`PayloadTooLarge`
+    immediately; other 4xx are caller bugs and also never retry."""
+    last = "no attempt made"
+    for attempt in range(1, max(1, attempts) + 1):
+        try:
+            return fetch_bytes(url, timeout_s=timeout_s)
+        except urllib.error.HTTPError as e:
+            last = f"HTTP {e.code}"
+            if e.code == 413:
+                raise PayloadTooLarge(url, attempt, last) from e
+            if 400 <= e.code < 500:
+                raise FetchError(url, attempt, last) from e
+            # 5xx: transient server side, retry
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            last = f"{type(e).__name__}: {e}"
+        if attempt < attempts and backoff_s > 0:
+            time.sleep(backoff_s * attempt)
+    raise FetchError(url, max(1, attempts), last)
+
+
+def fetch_all(
+    urls: list[str],
+    attempts: int = DEFAULT_ATTEMPTS,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+) -> tuple[dict[str, bytes], dict[str, str]]:
+    """Fetch many URLs with the reference's deque-requeue discipline:
+    pop from the front, and on a retryable failure re-append to the BACK
+    (other URLs proceed before the flaky one is retried) until the URL's
+    attempt count reaches ``attempts``. Returns ``(results, failures)``
+    — ``results[url] = bytes`` for every success, ``failures[url] =
+    reason`` for every URL that exhausted its attempts (a fatal 4xx/413
+    fails immediately without requeueing).
+    """
+    queue: deque[str] = deque(urls)
+    tried: dict[str, int] = {u: 0 for u in urls}
+    results: dict[str, bytes] = {}
+    failures: dict[str, str] = {}
+    while queue:
+        url = queue.popleft()
+        tried[url] += 1
+        try:
+            results[url] = fetch_bytes(url, timeout_s=timeout_s)
+        except urllib.error.HTTPError as e:
+            if 400 <= e.code < 500:  # incl. 413: retrying cannot succeed
+                failures[url] = f"HTTP {e.code}"
+                continue
+            if tried[url] < attempts:
+                queue.append(url)
+            else:
+                failures[url] = f"HTTP {e.code}"
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            if tried[url] < attempts:
+                queue.append(url)
+            else:
+                failures[url] = f"{type(e).__name__}: {e}"
+    return results, failures
