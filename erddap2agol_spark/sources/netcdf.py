@@ -238,13 +238,10 @@ class _Reader:
         return out
 
 
-def parse_netcdf_classic(buf: bytes) -> dict:
-    """Decode a CDF-1/CDF-2 byte string.
-
-    Returns ``{"dims": [(name, size)], "attrs": {...}, "vars": {name:
-    {"dims": [...], "attrs": {...}, "data": np.ndarray}}}`` with record
-    variables already stacked to ``numrecs`` along axis 0.
-    """
+def _parse_header(buf: bytes):
+    """Header-only parse (a few hundred bytes of reading, no data):
+    ``(numrecs, dims, gattrs, raw_vars, recsize)`` where ``raw_vars``
+    entries are ``(name, dim_ids, attrs, nc_type, vsize, begin)``."""
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a NetCDF classic (CDF-1/CDF-2) file")
     wide = buf[3] == 2
@@ -282,6 +279,73 @@ def parse_netcdf_classic(buf: bytes) -> dict:
             np.prod([dims[d][1] for d in vdims[1:]], dtype=np.int64)
         ) * dt.itemsize
         recsize += slab if len(rec_vars) == 1 else _pad4(slab)
+    return numrecs, dims, gattrs, raw_vars, recsize
+
+
+def time_rec_range(buf: bytes, t_lo, t_hi) -> tuple[int, int]:
+    """Map a CLOSED time interval ``[t_lo, t_hi]`` to the half-open
+    RECORD range ``[lo, hi)`` it occupies, reading only the header and
+    the time coordinate's values (strided gather at the closed-form
+    offsets ``begin + r * recsize`` — never a data slab).
+
+    This is P5's time hyperslab pushed into the record dimension
+    (VERDICT r4 #5): pass the result as ``parse_netcdf_classic``'s
+    ``rec_range`` and a task decodes only its slice's records. Falls
+    back to the full range when time is not the record coordinate or is
+    not monotonically non-decreasing (correctness before pruning).
+    """
+    numrecs, dims, _, raw_vars, recsize = _parse_header(buf)
+    coord = None
+    for vname, vdims, vattrs, nc_type, _, begin in raw_vars:
+        if (
+            len(vdims) == 1
+            and dims[vdims[0]][1] == 0  # the record dimension
+            and dims[vdims[0]][0] == vname  # coordinate convention
+            and _dim_role(vname) == "time"
+        ):
+            coord = (vname, vattrs, nc_type, begin)
+            break
+    if coord is None or numrecs == 0 or recsize == 0:
+        return (0, numrecs)
+    _, vattrs, nc_type, begin = coord
+    dt = _TYPE_TO_DTYPE[nc_type]
+    raw = np.ndarray(
+        shape=(numrecs,), dtype=dt, buffer=buf, offset=begin,
+        strides=(recsize,),
+    )
+    times = cf_decode_time({"attrs": vattrs, "data": raw})
+    if numrecs > 1 and (np.diff(times) < np.timedelta64(0, "us")).any():
+        return (0, numrecs)  # non-monotonic: no order to binary-search
+    lo64 = np.datetime64(t_lo, "us")
+    hi64 = np.datetime64(t_hi, "us")
+    lo = int(np.searchsorted(times, lo64, side="left"))
+    hi = int(np.searchsorted(times, hi64, side="right"))
+    return (lo, hi)
+
+
+def parse_netcdf_classic(buf: bytes, rec_range: tuple[int, int] | None = None) -> dict:
+    """Decode a CDF-1/CDF-2 byte string.
+
+    Returns ``{"dims": [(name, size)], "attrs": {...}, "vars": {name:
+    {"dims": [...], "attrs": {...}, "data": np.ndarray}}}`` with record
+    variables already stacked along axis 0.
+
+    ``rec_range=(lo, hi)`` decodes only records ``lo <= r < hi`` (clamped
+    to ``[0, numrecs)``) — record-dimension PRUNING (VERDICT r4 #5): the
+    classic format stores record data interleaved at the closed-form
+    offset ``begin + r * recsize``, so a time-sliced scan task can skip
+    straight to its records instead of decoding the whole file. Every
+    record variable (data AND the record coordinate) is sliced
+    identically, so downstream meshgrids stay consistent; non-record
+    variables are untouched. ``parsed["records_decoded"]`` /
+    ``parsed["records_total"]`` report the drop.
+    """
+    numrecs, dims, gattrs, raw_vars, recsize = _parse_header(buf)
+
+    rec_lo, rec_hi = 0, numrecs
+    if rec_range is not None:
+        rec_lo = min(max(0, rec_range[0]), numrecs)
+        rec_hi = min(max(rec_lo, rec_range[1]), numrecs)
 
     out_vars = {}
     for vname, vdims, vattrs, nc_type, _, begin in raw_vars:
@@ -291,7 +355,7 @@ def parse_netcdf_classic(buf: bytes) -> dict:
             slab_shape = tuple(dims[d][1] for d in vdims[1:])
             slab = int(np.prod(slab_shape, dtype=np.int64)) * dt.itemsize
             recs = []
-            for rec in range(numrecs):
+            for rec in range(rec_lo, rec_hi):
                 start = begin + rec * recsize
                 recs.append(
                     np.frombuffer(buf, dtype=dt, count=slab // dt.itemsize,
@@ -305,7 +369,13 @@ def parse_netcdf_classic(buf: bytes) -> dict:
             data = np.frombuffer(buf, dtype=dt, count=count,
                                  offset=begin).reshape(shape)
         out_vars[vname] = {"dims": dnames, "attrs": vattrs, "data": data}
-    return {"dims": dims, "attrs": gattrs, "vars": out_vars}
+    return {
+        "dims": dims,
+        "attrs": gattrs,
+        "vars": out_vars,
+        "records_total": numrecs,
+        "records_decoded": rec_hi - rec_lo,
+    }
 
 
 # ------------------------------------------------------------- CF decode
@@ -438,7 +508,7 @@ GRID_LONG_SCHEMA = (
 )
 
 
-def read_griddap_netcdf(spark, path: str):
+def read_griddap_netcdf(spark, path: str, time_range: tuple | None = None):
     """S7 physical path: ``binaryFile`` scan over ``.nc`` spool files +
     ``mapInPandas`` decode to the long grid form.
 
@@ -448,6 +518,17 @@ def read_griddap_netcdf(spark, path: str):
     want).  The decode itself is numpy slicing, no Python-per-row work,
     and the output flows straight into ``operators/grid.py``
     (hyperslab, melt is already long, N->S export ordering).
+
+    ``time_range=(t_lo, t_hi)`` (closed interval, datetime/datetime64)
+    pushes P5's time hyperslab into the RECORD dimension: each task maps
+    the interval to record offsets from the header alone
+    (:func:`time_rec_range`) and decodes only those records — a
+    one-day slice of a year-long file decodes ~1/365th of the slabs.
+    Pruning is a best-effort SKIP, not a filter: it is exact when time
+    is the record coordinate, and falls back to full decode otherwise —
+    callers wanting exact bounds still compose the hyperslab time filter
+    (operators/grid.py) downstream, which then drops nothing extra in
+    the pruned case.
     """
     from pyspark.sql import functions as F
 
@@ -468,7 +549,15 @@ def read_griddap_netcdf(spark, path: str):
     def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for dataset_id, content in zip(pdf["dataset_id"], pdf["content"]):
-                out = grid_long_pandas(parse_netcdf_classic(bytes(content)), dataset_id)
+                buf = bytes(content)
+                rng = (
+                    time_rec_range(buf, time_range[0], time_range[1])
+                    if time_range is not None
+                    else None
+                )
+                out = grid_long_pandas(
+                    parse_netcdf_classic(buf, rec_range=rng), dataset_id
+                )
                 if len(out):
                     yield out
 

@@ -87,6 +87,106 @@ def test_roundtrip_single_record_var_no_padding(tmp_path):
     assert buf[begin: begin + 24] == data.astype(">i2").tobytes()
 
 
+def _pruning_file(tmp_path):
+    """12 hourly records starting 2024-01-01T00, one record data var."""
+    p = str(tmp_path / "prune.nc")
+    t = np.arange(12, dtype=np.float64)  # hours since epoch below
+    grid = np.arange(12 * 2 * 3, dtype=np.float32).reshape(12, 2, 3)
+    nc.write_netcdf_classic(
+        p,
+        [("time", None), ("latitude", 2), ("longitude", 3)],
+        {
+            "time": (["time"], t, {"units": "hours since 2024-01-01T00:00:00Z"}),
+            "grid": (["time", "latitude", "longitude"], grid, {}),
+        },
+        {},
+    )
+    return p, t, grid
+
+
+def test_rec_range_decodes_only_the_slice(tmp_path):
+    """Record pruning (VERDICT r4 #5): rec_range decodes records [3, 5)
+    only — every record variable sliced identically, fixed vars intact,
+    and the records_decoded telemetry shows the drop."""
+    p, t, grid = _pruning_file(tmp_path)
+    buf = open(p, "rb").read()
+    parsed = nc.parse_netcdf_classic(buf, rec_range=(3, 5))
+    assert parsed["records_total"] == 12 and parsed["records_decoded"] == 2
+    np.testing.assert_array_equal(parsed["vars"]["time"]["data"], t[3:5])
+    np.testing.assert_array_equal(parsed["vars"]["grid"]["data"], grid[3:5])
+    # clamped edges; empty slice yields 0-record arrays, not an error
+    assert nc.parse_netcdf_classic(buf, rec_range=(10, 99))["vars"]["grid"][
+        "data"
+    ].shape == (2, 2, 3)
+    assert nc.parse_netcdf_classic(buf, rec_range=(5, 5))["vars"]["grid"][
+        "data"
+    ].shape == (0, 2, 3)
+
+
+def test_time_rec_range_closed_form(tmp_path):
+    """Header-only probe: a closed time interval maps to exactly the
+    records inside it via the strided time-coordinate gather."""
+    p, _, _ = _pruning_file(tmp_path)
+    buf = open(p, "rb").read()
+    d = np.datetime64
+    # hours 3..5 inclusive -> records [3, 6)
+    assert nc.time_rec_range(
+        buf, d("2024-01-01T03:00:00"), d("2024-01-01T05:00:00")
+    ) == (3, 6)
+    # off-grid bounds still bracket correctly
+    assert nc.time_rec_range(
+        buf, d("2024-01-01T02:30:00"), d("2024-01-01T04:30:00")
+    ) == (3, 5)
+    # interval fully outside -> empty range (lo == hi)
+    lo, hi = nc.time_rec_range(
+        buf, d("2025-01-01T00:00:00"), d("2025-06-01T00:00:00")
+    )
+    assert lo == hi
+    # a fixed-time-dim file can't prune records: full range fallback
+    p2 = str(tmp_path / "fixed.nc")
+    nc.write_netcdf_classic(
+        p2,
+        [("time", 4), ("x", 2)],
+        {
+            "time": (["time"], np.arange(4.0), {"units": "hours since 2024-01-01"}),
+            "v": (["time", "x"], np.zeros((4, 2), np.float32), {}),
+        },
+        {},
+    )
+    buf2 = open(p2, "rb").read()
+    assert nc.time_rec_range(
+        buf2, d("2024-01-01T01:00:00"), d("2024-01-01T02:00:00")
+    ) == (0, 0)  # numrecs is 0 for a no-record-dim file: nothing to prune
+
+
+def test_spark_reader_time_range_pruned_equals_filtered_full(spark, tmp_path):
+    """End to end: the record-pruned scan equals the full scan filtered
+    to the same closed interval (the record file prunes; the fixed-dim
+    subset file falls back to full decode and the comparison still
+    holds because the filter drops nothing extra in the pruned case)."""
+    nc_dir, _ = ensure_griddap_fixture(FIXTURE_ROOT)
+    t0 = np.datetime64("2024-03-01T06:00:00")
+    t1 = np.datetime64("2024-03-01T12:00:00")
+    pruned = nc.read_griddap_netcdf(spark, nc_dir, time_range=(t0, t1))
+    full = nc.read_griddap_netcdf(spark, nc_dir)
+    lohi = (F.col("time") >= F.lit(pd.Timestamp(t0))) & (
+        F.col("time") <= F.lit(pd.Timestamp(t1))
+    )
+    from collections import Counter
+
+    def norm(rows):  # NaN normalized: float('nan') instances hash by id
+        return Counter(
+            tuple(
+                None if isinstance(x, float) and x != x else x for x in r
+            )
+            for r in map(tuple, rows)
+        )
+
+    got = norm(pruned.filter(lohi).collect())
+    want = norm(full.filter(lohi).collect())
+    assert got == want and sum(want.values()) > 0
+
+
 def test_cf_decode_fill_scale_offset():
     var = {
         "attrs": {"_FillValue": np.int16(-9), "scale_factor": 0.5, "add_offset": 100.0},
