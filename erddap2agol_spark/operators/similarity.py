@@ -35,6 +35,36 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _stack_rows(series: "pd.Series"):
+    """(n, d) matrix from a Series of array rows — ZERO-COPY when the
+    rows are evenly spaced views into one shared flat buffer (exactly
+    what Spark's arrow->pandas conversion delivers; verified by an O(1)
+    pointer-stride check plus an O(n) length check), ``np.vstack``
+    fallback otherwise. Measured 0.037 s vs 0.31 s per 200k x 64 batch
+    (BENCH_NOTES r5)."""
+    import numpy as np
+
+    arr = series.to_numpy()
+    n = len(arr)
+    e0 = arr[0]
+    base = getattr(e0, "base", None)
+    if isinstance(e0, np.ndarray) and base is not None and e0.ndim == 1:
+        d = e0.shape[0]
+        it = e0.itemsize
+        p0 = e0.__array_interface__["data"][0]
+        pl = arr[-1].__array_interface__["data"][0]
+        if pl - p0 == (n - 1) * d * it:
+            lens = np.fromiter((x.shape[0] for x in arr), count=n, dtype=np.int64)
+            if (lens == d).all():
+                flat = base.reshape(-1)
+                pb = flat.__array_interface__["data"][0]
+                if (p0 - pb) % it == 0:
+                    off = (p0 - pb) // it
+                    if off >= 0 and off + n * d <= flat.size:
+                        return flat[off : off + n * d].reshape(n, d)
+    return np.vstack(arr)
+
+
 def dot_arrow(a: Column, b: Column) -> Column:
     """Arrow-batched dot product, bit-identical to :func:`dot`.
 
@@ -51,6 +81,19 @@ def dot_arrow(a: Column, b: Column) -> Column:
     whole-stage-codegen span beats an Arrow round-trip it can't amortize.
 
     Contract: both inputs are non-null fixed-width float arrays.
+
+    r5 GEMM measurement (VERDICT r4 #6, numbers in BENCH_NOTES): a true
+    GEMM (``einsum``/batched ``matmul``) is another ~13x on the
+    arithmetic but uses pairwise summation — NOT bit-identical to the
+    fold (max |diff| ~2e-14), which would void the oracle-determinism
+    contract, so it was measured and REJECTED. What was adopted instead,
+    both bit-exact: (1) zero-copy batch reconstruction — Spark's
+    arrow->pandas conversion hands each row as a VIEW into one shared
+    flat buffer, so the (n, d) matrix is a reshape, not a 200k-row
+    vstack (~8x on conversion); (2) per-column f64 casts inside the dim
+    loop — small cache-resident temporaries instead of materializing
+    both full float64 matrices (~2.7x on the loop). Net: the scoring
+    UDF's Python time fell ~3.4x with byte-identical output.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -59,11 +102,13 @@ def dot_arrow(a: Column, b: Column) -> Column:
     def _dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
         if len(xs) == 0:
             return pd.Series([], dtype="float64")
-        xm = np.vstack(xs.to_numpy()).astype(np.float64)
-        ym = np.vstack(ys.to_numpy()).astype(np.float64)
+        xm = _stack_rows(xs)
+        ym = _stack_rows(ys)
         acc = np.zeros(len(xm), dtype=np.float64)
         for i in range(xm.shape[1]):
-            acc += xm[:, i] * ym[:, i]
+            # column-wise cast: exact (f32->f64 is lossless) and cache
+            # resident; the fold order over dimensions is unchanged
+            acc += xm[:, i].astype(np.float64) * ym[:, i].astype(np.float64)
         return pd.Series(acc)
 
     return _dot(a, b)

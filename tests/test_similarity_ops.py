@@ -390,3 +390,41 @@ def test_weighted_topk_edge_cases(spark):
     assert {(r["id"], r["wkey"]) for r in capped.collect()} == {
         (r["id"], r["wkey"]) for r in uncapped_at_3.collect()
     }
+
+
+def test_stack_rows_zero_copy_and_fallback():
+    """_stack_rows (the dot_arrow seam): shared-buffer views reconstruct
+    zero-copy; ragged or detached rows fall back to vstack with the same
+    values."""
+    import numpy as np
+    import pandas as pd
+
+    from erddap2agol_spark.operators.similarity import _stack_rows
+
+    n, d = 1000, 16
+    flat = np.arange(n * d, dtype=np.float32)
+    views = pd.Series([flat[i * d : (i + 1) * d] for i in range(n)])
+    m = _stack_rows(views)
+    assert m.shape == (n, d) and np.shares_memory(m, flat)  # zero-copy path
+    np.testing.assert_array_equal(m, flat.reshape(n, d))
+    # detached copies (no shared base): exact same matrix via vstack
+    detached = pd.Series([np.array(v) for v in views])
+    m2 = _stack_rows(detached)
+    assert not np.shares_memory(m2, flat)
+    np.testing.assert_array_equal(m2, m)
+
+
+def test_dot_arrow_bit_identical_to_fold(spark):
+    """dot_arrow must equal the interpreted fold BIT-for-bit (no
+    rounding slack): same values through both the zero-copy batch path
+    and the JVM higher-order-function path."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select((F.col("vec_id")).alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(5000)
+    both = pairs.select(
+        similarity.dot(F.col("va"), F.col("vb")).alias("fold"),
+        similarity.dot_arrow(F.col("va"), F.col("vb")).alias("arrow"),
+    )
+    assert both.filter(F.col("fold") != F.col("arrow")).count() == 0
+    assert both.count() > 0
