@@ -172,14 +172,26 @@ _FIXTURE_SERVER = None
 
 def _fixture_base_url() -> str:
     """Process-lifetime loopback ERDDAP simulator serving the committed
-    fixtures (sources/erddap_httpd.py). A singleton because the returned
-    DataFrames are lazy — the HTTP fetches run whenever the caller
-    collects, so the server must outlive the query function."""
+    fixtures (sources/erddap_httpd.py): the csvp glider track as a
+    tabledap dataset and the griddap spool's .nc files as raw bytes. A
+    singleton because the returned DataFrames are lazy — the HTTP
+    fetches run whenever the caller collects, so the server must outlive
+    the query function."""
     global _FIXTURE_SERVER
     if _FIXTURE_SERVER is None:
+        import glob
+        import os
+
         from ..sources.erddap_httpd import ErddapFixtureServer
 
-        srv = ErddapFixtureServer(csvp_fixtures={"glider_track": _CSVP})
+        nc_dir, _ = ensure_griddap_fixture(FIXTURE_ROOT)
+        raw = {
+            f"/griddap/{os.path.basename(p)}": p
+            for p in sorted(glob.glob(os.path.join(nc_dir, "*.nc")))
+        }
+        srv = ErddapFixtureServer(
+            csvp_fixtures={"glider_track": _CSVP}, raw_fixtures=raw
+        )
         base = srv.start()
         _FIXTURE_SERVER = (srv, base)
     return _FIXTURE_SERVER[1]
@@ -225,6 +237,55 @@ def csvp_glider_segments_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return _glider_segments(df)
+
+
+@register(
+    "griddap_ingest_http",
+    oracle=f"""
+    SELECT var, time, count(*) AS n_cells,
+           count(value) AS n_valid,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM read_parquet('{_TRUTH}')
+    WHERE lat BETWEEN 25.5 AND 29.5
+    GROUP BY var, time
+    """,
+    doc="S7's LIVE-HTTP physical path: the griddap spool's .nc chunk "
+    "URLs fetched one per SCAN TASK with bounded retry (the reference "
+    "GETs each division URL and spools response.content, "
+    "data_wrangler.py:592-604), bytes decoded task-side to the long "
+    "grid form — never spooled to disk, never through the driver — then "
+    "the identical hyperslab + cell stats as griddap_ingest. Same "
+    "independent-truth oracle, so the hash grades wire fetch + binary "
+    "decode end to end.",
+)
+def griddap_ingest_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+
+    from ..sources.netcdf import read_griddap_netcdf_http
+
+    base = _fixture_base_url()
+    nc_dir, _ = ensure_griddap_fixture(FIXTURE_ROOT)
+    urls = [
+        f"{base}/griddap/{os.path.basename(p)}"
+        for p in sorted(glob.glob(os.path.join(nc_dir, "*.nc")))
+    ]
+    cells = read_griddap_netcdf_http(spark, urls)
+    sliced = grid.hyperslab(cells, "time", "lat", "lon", lat_range=(25.5, 29.5))
+    v = F.when(F.isnan("value"), None).otherwise(F.col("value"))
+    return (
+        sliced.withColumn("value", v)
+        .groupBy("var", "time")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count("value").alias("n_valid"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
 
 
 _DRIFT = "/root/repo/fixtures/schema_drift"

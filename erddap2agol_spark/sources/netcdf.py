@@ -549,16 +549,62 @@ def read_griddap_netcdf(spark, path: str, time_range: tuple | None = None):
     def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for dataset_id, content in zip(pdf["dataset_id"], pdf["content"]):
-                buf = bytes(content)
-                rng = (
-                    time_rec_range(buf, time_range[0], time_range[1])
-                    if time_range is not None
-                    else None
-                )
-                out = grid_long_pandas(
-                    parse_netcdf_classic(buf, rec_range=rng), dataset_id
-                )
+                out = _decode_long(bytes(content), dataset_id, time_range)
                 if len(out):
                     yield out
 
     return binary.mapInPandas(decode, schema=GRID_LONG_SCHEMA)
+
+
+def _decode_long(buf: bytes, dataset_id: str, time_range: tuple | None) -> pd.DataFrame:
+    """One .nc byte string -> long-form frame, with the record-range
+    prune applied when a time interval is given."""
+    rng = (
+        time_rec_range(buf, time_range[0], time_range[1])
+        if time_range is not None
+        else None
+    )
+    return grid_long_pandas(parse_netcdf_classic(buf, rec_range=rng), dataset_id)
+
+
+_SUBSET_RE = r"^(.*?)(?:_subset_\d+)?\.nc$"
+
+
+def read_griddap_netcdf_http(
+    spark,
+    urls: Sequence[str],
+    time_range: tuple | None = None,
+    attempts: int = 3,
+    timeout_s: float = 120.0,
+):
+    """S7's LIVE-HTTP physical path: griddap ``.nc`` chunk URLs (the
+    reference GETs each division URL and spools ``response.content``
+    straight to ``*.nc``, data_wrangler.py:592-604) fetched ONE PER SCAN
+    TASK with the same bounded retry policy as the tabledap connector
+    (``http_fetch.fetch_with_retry``), decoded in the task to the long
+    grid form — the bytes never spool to disk and never cross the
+    driver. Dataset ids derive from the URL basename with the
+    ``_subset_N`` suffix stripped, exactly like the file reader.
+    """
+    import os
+    import re
+
+    from .http_fetch import fetch_with_retry
+
+    rows = [
+        (re.match(_SUBSET_RE, os.path.basename(u.split("?")[0])).group(1), u)
+        for u in urls
+    ]
+    src = spark.createDataFrame(rows, "dataset_id string, url string").repartition(
+        len(rows)
+    )
+
+    def fetch_decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for dataset_id, url in zip(pdf["dataset_id"], pdf["url"]):
+                buf = fetch_with_retry(url, attempts=attempts, timeout_s=timeout_s)
+                out = _decode_long(buf, dataset_id, time_range)
+                if len(out):
+                    yield out
+
+    return src.mapInPandas(fetch_decode, schema=GRID_LONG_SCHEMA)

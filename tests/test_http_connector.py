@@ -183,3 +183,60 @@ def test_schema_inference_from_first_chunk(spark, server):
         "sea_water_temperature": "double",
     }
     assert df.count() == 40
+
+
+# ---------------------------------------------------------------------------
+# griddap over HTTP: .nc bytes fetched per scan task, decoded in the task
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def grid_server():
+    import glob
+    import os
+
+    from erddap2agol_spark.sources.griddap_fixture import (
+        FIXTURE_ROOT,
+        ensure_griddap_fixture,
+    )
+
+    nc_dir, _ = ensure_griddap_fixture(FIXTURE_ROOT)
+    raw = {
+        f"/griddap/{os.path.basename(p)}": p
+        for p in sorted(glob.glob(os.path.join(nc_dir, "*.nc")))
+    }
+    s = ErddapFixtureServer(raw_fixtures=raw)
+    base = s.start()
+    yield s, base, nc_dir, sorted(raw)
+    s.stop()
+
+
+def test_griddap_http_scan_equals_file_scan(spark, grid_server):
+    from collections import Counter
+
+    from erddap2agol_spark.sources import netcdf as nc
+
+    s, base, nc_dir, paths = grid_server
+    urls = [base + p for p in paths]
+    got = Counter(map(tuple, nc.read_griddap_netcdf_http(spark, urls).collect()))
+
+    def norm(c):
+        return Counter(
+            tuple(None if isinstance(x, float) and x != x else x for x in k)
+            for k, v in c.items()
+            for _ in range(v)
+        )
+
+    want = Counter(map(tuple, nc.read_griddap_netcdf(spark, nc_dir).collect()))
+    assert norm(got) == norm(want) and sum(want.values()) > 0
+    assert len(s.request_log) == len(urls)  # one GET per chunk URL
+
+
+def test_griddap_http_retries_transient_failures(spark, grid_server):
+    from erddap2agol_spark.sources import netcdf as nc
+
+    s, base, _, paths = grid_server
+    s.fail_next("tempsal_grid.nc", 2, status=503)
+    urls = [base + p for p in paths]
+    df = nc.read_griddap_netcdf_http(spark, urls, attempts=3)
+    assert df.count() > 0
