@@ -72,6 +72,14 @@ class ErddapFixtureServer:
         self.request_log: list[str] = []
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # Last-Modified stamp for the whole dataset set; bump with
+        # touch() to simulate new upstream data (drives the ST2
+        # conditional-fetch gate: If-Modified-Since at/after it -> 304)
+        self.last_modified = "Mon, 04 Mar 2024 00:00:00 GMT"
+
+    def touch(self, http_date: str) -> None:
+        """Advance the served Last-Modified (simulates fresh data)."""
+        self.last_modified = http_date
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> str:
@@ -108,6 +116,17 @@ class ErddapFixtureServer:
         """Matching requests sleep first (drives client-side timeouts)."""
         self._delay.append({"match": match, "seconds": seconds})
 
+    def _not_newer(self, since: str) -> bool:
+        """True when the served data is not newer than ``since``."""
+        from email.utils import parsedate_to_datetime
+
+        try:
+            return parsedate_to_datetime(
+                self.last_modified
+            ) <= parsedate_to_datetime(since)
+        except (TypeError, ValueError):
+            return False  # unparsable header: serve the full response
+
     # -- request handling ----------------------------------------------------
     def _handle(self, h: BaseHTTPRequestHandler) -> None:
         decoded = urllib.parse.unquote(h.path)
@@ -121,6 +140,11 @@ class ErddapFixtureServer:
                 h.send_response(f["status"])
                 h.end_headers()
                 return
+        since = h.headers.get("If-Modified-Since")
+        if since is not None and self._not_newer(since):
+            h.send_response(304)
+            h.end_headers()
+            return
         path, _, query = h.path.partition("?")
         if path.startswith("/tabledap/") and path.endswith(".csvp"):
             dataset_id = path[len("/tabledap/") : -len(".csvp")]
@@ -133,6 +157,7 @@ class ErddapFixtureServer:
             h.send_response(200)
             h.send_header("Content-Type", "text/csv")
             h.send_header("Content-Length", str(len(body)))
+            h.send_header("Last-Modified", self.last_modified)
             h.end_headers()
             h.wfile.write(body)
             return
@@ -143,6 +168,7 @@ class ErddapFixtureServer:
             h.send_response(200)
             h.send_header("Content-Type", "application/octet-stream")
             h.send_header("Content-Length", str(len(body)))
+            h.send_header("Last-Modified", self.last_modified)
             h.end_headers()
             h.wfile.write(body)
             return

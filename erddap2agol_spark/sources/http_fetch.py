@@ -87,6 +87,34 @@ def fetch_with_retry(
     raise FetchError(url, max(1, attempts), last)
 
 
+def fetch_if_modified(
+    url: str,
+    since: str | None = None,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+) -> tuple[bytes | None, str | None]:
+    """Conditional GET — the wire form of the reference's Last-Modified
+    gate (ST2: 'source not newer -> skip the download entirely').
+
+    ``since`` is the HTTP-date previously returned by this function.
+    Returns ``(body, last_modified)`` on 200 and ``(None, since)`` on
+    304 Not Modified — the caller skips the refresh without transferring
+    a byte. Callers should record ``last_modified`` only AFTER their
+    sink commits (the same don't-record-until-commit discipline as
+    streaming/nrt.refresh), so a crash between fetch and commit replays
+    as a plain re-fetch.
+    """
+    req = urllib.request.Request(url)
+    if since:
+        req.add_header("If-Modified-Since", since)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return resp.read(), resp.headers.get("Last-Modified")
+    except urllib.error.HTTPError as e:
+        if e.code == 304:
+            return None, since
+        raise
+
+
 def fetch_all(
     urls: list[str],
     attempts: int = DEFAULT_ATTEMPTS,

@@ -207,6 +207,56 @@ def refresh(
     return {"published": True, "target": target, "high_water_mark": hwm}
 
 
+def refresh_http_csvp(
+    spark: SparkSession,
+    url: str,
+    sink_dir: str,
+    timeout_s: float = 120.0,
+) -> dict:
+    """ST1 + ST2 with a REAL wire exchange (the reference's NRT loop:
+    regenerate the trailing-window URL, skip when the server says
+    nothing changed, else download and swap — core.py NRT flow +
+    data_wrangler's conditional headers):
+
+    1. Conditional GET of the window URL (``erddap_url.nrt_url`` output)
+       with ``If-Modified-Since`` from the stored state — a 304 skips
+       the cycle without transferring one data byte.
+    2. On 200, the csvp body parses through the same parser as the
+       chunked connector and publishes via the A/B pointer swap (ST6).
+    3. ``Last-Modified`` is recorded only AFTER the swap commits — the
+       same don't-record-until-commit discipline as :func:`refresh`, so
+       a crash between fetch and publish replays as a plain re-fetch.
+
+    The single-window GET is driver-side by design (the NRT window is
+    bounded — days, not the archive); the executor-parallel chunked
+    scan (``sources/erddap_http.py``) is the backfill/scale path.
+    """
+    from ..sources.erddap_http import _read_csvp_text
+    from ..sources.http_fetch import fetch_if_modified
+
+    state = load_state(sink_dir)
+    body, lm = fetch_if_modified(
+        url, state.get("last_modified"), timeout_s=timeout_s
+    )
+    if body is None:
+        return {"published": False, "reason": "HTTP 304 not modified"}
+    pdf = _read_csvp_text(body.decode())
+    if len(pdf) == 0:
+        return {"published": False, "reason": "window returned no rows"}
+    df = spark.createDataFrame(pdf)
+    target = atomic_overwrite(df, sink_dir)
+    state = load_state(sink_dir)
+    if lm is not None:
+        state["last_modified"] = lm
+        save_state(sink_dir, state)
+    return {
+        "published": True,
+        "target": target,
+        "rows": len(pdf),
+        "last_modified": lm,
+    }
+
+
 def refresh_many(
     datasets: dict[str, DataFrame],
     ts_col: str,

@@ -240,3 +240,41 @@ def test_griddap_http_retries_transient_failures(spark, grid_server):
     urls = [base + p for p in paths]
     df = nc.read_griddap_netcdf_http(spark, urls, attempts=3)
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# ST2 over the wire: If-Modified-Since conditional fetch + NRT refresh
+# ---------------------------------------------------------------------------
+
+
+def test_fetch_if_modified_304_roundtrip(server):
+    s, base = server
+    url = f"{base}/tabledap/glider_dsx.csvp?time,latitude"
+    body, lm = http_fetch.fetch_if_modified(url)
+    assert body is not None and lm == s.last_modified
+    # unchanged upstream -> 304, zero data bytes
+    body2, lm2 = http_fetch.fetch_if_modified(url, since=lm)
+    assert body2 is None and lm2 == lm
+    # upstream advances -> full response again with the new stamp
+    s.touch("Tue, 05 Mar 2024 12:00:00 GMT")
+    body3, lm3 = http_fetch.fetch_if_modified(url, since=lm)
+    assert body3 is not None and lm3 == "Tue, 05 Mar 2024 12:00:00 GMT"
+
+
+def test_refresh_http_csvp_gates_and_publishes(spark, server, tmp_path):
+    from erddap2agol_spark.streaming import nrt
+
+    s, base = server
+    sink = str(tmp_path / "nrt_http")
+    url = f"{base}/tabledap/glider_dsx.csvp?time,latitude,longitude"
+    r1 = nrt.refresh_http_csvp(spark, url, sink)
+    assert r1["published"] and r1["rows"] == 40
+    assert nrt.read_current(spark, sink).count() == 40
+    # second cycle: server unchanged -> 304 skip, nothing rewritten
+    r2 = nrt.refresh_http_csvp(spark, url, sink)
+    assert not r2["published"] and "304" in r2["reason"]
+    # upstream advances -> republish, Last-Modified recorded post-commit
+    s.touch("Tue, 05 Mar 2024 12:00:00 GMT")
+    r3 = nrt.refresh_http_csvp(spark, url, sink)
+    assert r3["published"] and r3["last_modified"].startswith("Tue, 05 Mar")
+    assert nrt.load_state(sink)["last_modified"] == r3["last_modified"]
