@@ -878,6 +878,7 @@ def jaccard_regime_probe(
     text_col: str,
     shingle_n: int = 3,
     fanout_threshold: float = 64.0,
+    sample_rate: float | None = None,
 ) -> str:
     """Pick the set-similarity join strategy from the corpus's document-
     frequency profile: ``"posting"`` (``ngram_jaccard_pairs``) or
@@ -899,8 +900,22 @@ def jaccard_regime_probe(
     a single driver-side row — a plan-time statistics read (what AQE
     does with shuffle stats), not a data path; the scalar never joins
     row data.
+
+    ``sample_rate`` (0 < r <= 1) makes that pass a deterministic
+    hash-sampled one — the 100 TB knob, since an exact probe is itself a
+    full corpus scan. Under doc-sampling at rate r a shingle's df
+    thins binomially (E[df_s] = r*df), so the fan-out ratio thins by
+    ~r for the hot shingles that decide the regime; the probe divides
+    the sampled ratio by r before comparing. The hash gate (md5 of the
+    doc id) is bit-stable across runs and engines.
     """
-    posting = ensure_parallelism(df).select(
+    src = ensure_parallelism(df)
+    if sample_rate is not None:
+        if not 0 < sample_rate <= 1:
+            raise ValueError("sample_rate must be in (0, 1]")
+        gate = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        src = src.filter(gate.cast("long") % 10_000 < int(sample_rate * 10_000))
+    posting = src.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g"),
     )
@@ -914,8 +929,11 @@ def jaccard_regime_probe(
         .first()
     )
     if not row or not row["n"]:
-        return "posting"  # empty corpus: either is trivially fine
-    return "prefix" if row["p"] / row["n"] > fanout_threshold else "posting"
+        return "posting"  # empty corpus (or empty sample): cheap default
+    ratio = row["p"] / row["n"]
+    if sample_rate is not None:
+        ratio = ratio / sample_rate  # undo the binomial df thinning
+    return "prefix" if ratio > fanout_threshold else "posting"
 
 
 def jaccard_pairs_auto(

@@ -122,8 +122,18 @@ def geojson_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("assemble", "true")
         .save(out)
     )
-    doc = spark.read.option("multiLine", "true").json(
-        os.path.join(out, "collection.geojson")
+    # explicit schema: inference over an EMPTY features array (zero-row
+    # input — the empty-tables robustness contract) degrades the element
+    # type to string and the field extraction below would not resolve
+    doc = (
+        spark.read.schema(
+            "type string, features array<struct<"
+            "type string, "
+            "properties struct<track_id long, key long>, "
+            "geometry struct<type string, coordinates array<double>>>>"
+        )
+        .option("multiLine", "true")
+        .json(os.path.join(out, "collection.geojson"))
     )
     f = doc.select(F.explode("features").alias("f"))
     return f.groupBy(

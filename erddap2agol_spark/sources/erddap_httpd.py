@@ -49,13 +49,18 @@ def _parse_tabledap_query(raw_query: str) -> tuple[list[str], list[tuple[str, st
 
 
 def _cmp(op: str, a: str, b: str) -> bool:
-    # ISO-8601 Z strings of equal layout compare correctly as text
+    # numeric constraints compare as numbers; ISO-8601 Z strings of
+    # equal layout compare correctly as text
+    try:
+        a2, b2 = float(a), float(b)
+    except ValueError:
+        a2, b2 = a, b
     return {
-        ">=": a >= b,
-        "<=": a <= b,
-        ">": a > b,
-        "<": a < b,
-        "=": a == b,
+        ">=": a2 >= b2,
+        "<=": a2 <= b2,
+        ">": a2 > b2,
+        "<": a2 < b2,
+        "=": a2 == b2,
     }[op]
 
 

@@ -76,6 +76,24 @@ def test_auto_prefix_branch_matches_posting_result(spark, skewed_docs):
     assert (0, 1) in got and (2, 3) in got
 
 
+def test_sampled_probe_agrees_with_exact(spark, uniform_docs, skewed_docs):
+    """The 100 TB probe mode: a deterministic half-rate doc sample with
+    the 1/r fan-out correction picks the same regime as the exact pass
+    on both planted fixtures."""
+    assert (
+        dedup.jaccard_regime_probe(
+            uniform_docs, "doc_id", "text", sample_rate=0.5
+        )
+        == "posting"
+    )
+    assert (
+        dedup.jaccard_regime_probe(skewed_docs, "doc_id", "text", sample_rate=0.5)
+        == "prefix"
+    )
+    with pytest.raises(ValueError, match="sample_rate"):
+        dedup.jaccard_regime_probe(uniform_docs, "doc_id", "text", sample_rate=0.0)
+
+
 def test_fanout_threshold_is_the_dispatch_knob(spark, uniform_docs):
     # forcing the threshold below 1 flips even the uniform corpus to the
     # prefix branch — proving dispatch consults the probe, not the data

@@ -17,11 +17,11 @@ def _blocks() -> list[str]:
     return re.findall(r"```python\n(.*?)```", text, flags=re.S)
 
 
-def test_usage_doc_has_two_pipelines():
-    assert len(_blocks()) == 2
+def test_usage_doc_has_three_pipelines():
+    assert len(_blocks()) == 3
 
 
-@pytest.mark.parametrize("idx", [0, 1])
+@pytest.mark.parametrize("idx", [0, 1, 2])
 def test_usage_block_runs_verbatim(spark, tmp_path, idx):
     block = _blocks()[idx]
     env = {
@@ -34,6 +34,13 @@ def test_usage_block_runs_verbatim(spark, tmp_path, idx):
         # the GeoJSON pipeline must have committed a valid collection
         doc = json.load(open(os.path.join(env["OUT_DIR"], "collection.geojson")))
         assert doc["type"] == "FeatureCollection" and doc["features"]
-    else:
+    elif idx == 1:
         assert env["n_rows"] > 0
         assert env["stats"]["rows_in"] >= env["stats"]["rows_kept"]
+    else:
+        # the HTTP pipeline published once then skipped on 304; its own
+        # asserts inside the block are the contract, plus the snapshot
+        # must be readable
+        from erddap2agol_spark.streaming import nrt
+
+        assert nrt.read_current(spark, env["OUT_DIR"] + "/nrt").count() == 40
