@@ -53,6 +53,23 @@ def parse_table_json(spark: SparkSession, text: str) -> DataFrame:
     return df
 
 
+def catalog_from_url(
+    spark: SparkSession,
+    url: str,
+    attempts: int = 3,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """S2 on the wire: GET the server's allDatasets table-JSON
+    (``erddap_url.all_datasets_url`` output) with bounded retry and
+    parse it — the reference's catalog bootstrap (one ~catalog-sized
+    document; driver-side by design, the same class of planner fetch as
+    the DAS sweep)."""
+    from .http_fetch import fetch_with_retry
+
+    text = fetch_with_retry(url, attempts=attempts, timeout_s=timeout_s).decode()
+    return parse_table_json(spark, text)
+
+
 def catalog_datasets(df: DataFrame, protocol: str = "tabledap") -> DataFrame:
     """S2 row filters: drop blank-protocol rows and the ``allDatasets``
     self-row (erddap_wrangler.py:310-313)."""

@@ -106,6 +106,34 @@ def das_to_dataframe(spark: SparkSession, das_texts: dict[str, str]) -> DataFram
     return spark.createDataFrame(rows, schema=list(METADATA_COLUMNS))
 
 
+def das_from_urls(
+    spark: SparkSession,
+    urls: dict[str, str],
+    attempts: int = 3,
+    timeout_s: float = 120.0,
+) -> tuple[DataFrame, dict[str, str]]:
+    """S4 on the wire: fetch each dataset's ``.das`` document
+    (``{server}/tabledap/{id}.das``) and parse into the metadata
+    DataFrame. The fetch is the DRIVER-side deque-requeue loop
+    (``http_fetch.fetch_all`` — the reference's exact discipline,
+    das_client fetching metadata per dataset before any data moves): a
+    fleet of .das documents is kilobytes each, so this is planner work,
+    not a data path. Returns ``(metadata_df, failures)`` — a dataset
+    that exhausts its attempts is reported, not raised, so one dead
+    endpoint never kills the fleet's metadata sweep (O13 discipline).
+    """
+    from .http_fetch import fetch_all
+
+    by_url = {url: ds for ds, url in urls.items()}
+    results, failures = fetch_all(
+        list(urls.values()), attempts=attempts, timeout_s=timeout_s
+    )
+    texts = {by_url[u]: body.decode() for u, body in results.items()}
+    return das_to_dataframe(spark, texts), {
+        by_url[u]: reason for u, reason in failures.items()
+    }
+
+
 # ---------------------------------------------------------------------------
 # Schema derivation from metadata (P1/P2, pure relational)
 # ---------------------------------------------------------------------------

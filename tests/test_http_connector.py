@@ -278,3 +278,88 @@ def test_refresh_http_csvp_gates_and_publishes(spark, server, tmp_path):
     r3 = nrt.refresh_http_csvp(spark, url, sink)
     assert r3["published"] and r3["last_modified"].startswith("Tue, 05 Mar")
     assert nrt.load_state(sink)["last_modified"] == r3["last_modified"]
+
+
+# ---------------------------------------------------------------------------
+# metadata on the wire: DAS fleet sweep + catalog bootstrap (S4/S2)
+# ---------------------------------------------------------------------------
+
+
+_DAS_MIN = """Attributes {
+ time {
+  Float64 actual_range 1.0385856e+9, 1.7e+9;
+  String units "seconds since 1970-01-01T00:00:00Z";
+ }
+ NC_GLOBAL {
+  String title "%s";
+ }
+}
+"""
+
+_TABLE_JSON = (
+    '{"table": {"columnNames": ["datasetID", "title", "tabledap", "griddap",'
+    ' "minTime (UTC)", "maxTime (UTC)"], "rows": ['
+    '["buoy_a", "Buoy A", "url", "", "2021-01-01T00:00:00Z", "2024-01-01T00:00:00Z"],'
+    '["buoy_b", "Buoy B", "url", "", "2022-01-01T00:00:00Z", "2024-01-01T00:00:00Z"]'
+    "]}}"
+)
+
+
+@pytest.fixture()
+def meta_server(tmp_path):
+    das_a = tmp_path / "a.das"
+    das_a.write_text(_DAS_MIN % "Buoy A")
+    das_b = tmp_path / "b.das"
+    das_b.write_text(_DAS_MIN % "Buoy B")
+    cat = tmp_path / "allDatasets.json"
+    cat.write_text(_TABLE_JSON)
+    s = ErddapFixtureServer(
+        raw_fixtures={
+            "/tabledap/buoy_a.das": str(das_a),
+            "/tabledap/buoy_b.das": str(das_b),
+            "/tabledap/allDatasets.json": str(cat),
+        }
+    )
+    base = s.start()
+    yield s, base
+    s.stop()
+
+
+def test_das_from_urls_fleet_sweep(spark, meta_server):
+    from erddap2agol_spark.sources import das
+
+    s, base = meta_server
+    urls = {
+        "buoy_a": f"{base}/tabledap/buoy_a.das",
+        "buoy_b": f"{base}/tabledap/buoy_b.das",
+        "dead": f"{base}/tabledap/missing.das",  # 404: fails fast
+    }
+    meta, failures = das.das_from_urls(spark, urls, attempts=3, timeout_s=5.0)
+    assert list(failures) == ["dead"] and "404" in failures["dead"]
+    got = {
+        (r.dataset_id, r.variable, r.attr): r.value
+        for r in meta.collect()
+        if r.attr in ("title", "units")
+    }
+    assert got[("buoy_a", "NC_GLOBAL", "title")] == "Buoy A"
+    assert got[("buoy_b", "time", "units")].startswith("seconds since")
+    # a transient 503 on one endpoint is absorbed by the requeue
+    s.fail_next("buoy_b.das", 2, status=503)
+    meta2, failures2 = das.das_from_urls(
+        spark, {k: v for k, v in urls.items() if k != "dead"},
+        attempts=3, timeout_s=5.0,
+    )
+    assert failures2 == {} and meta2.count() == meta.count()
+
+
+def test_catalog_from_url_bootstrap(spark, meta_server):
+    from erddap2agol_spark.sources import catalog
+    from erddap2agol_spark.sources.erddap_url import all_datasets_url
+
+    s, base = meta_server
+    url = all_datasets_url(base)
+    assert url.startswith(f"{base}/tabledap/allDatasets.json")
+    df = catalog.catalog_from_url(spark, url, timeout_s=5.0)
+    ds = catalog.catalog_datasets(df)
+    assert {r.dataset_id for r in ds.collect()} == {"buoy_a", "buoy_b"}
+    assert dict(df.dtypes)["min_time"] == "timestamp"
