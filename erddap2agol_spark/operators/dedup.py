@@ -910,11 +910,23 @@ def jaccard_regime_probe(
     doc id) is bit-stable across runs and engines.
     """
     src = ensure_parallelism(df)
+    eff_rate = None
     if sample_rate is not None:
         if not 0 < sample_rate <= 1:
             raise ValueError("sample_rate must be in (0, 1]")
+        # 2^30 buckets over a 32-bit hash: 2^32 / 2^30 divides evenly, so
+        # the gate is unbiased, and the resolution floor is ~1e-9. The
+        # fan-out correction divides by the EFFECTIVE (quantized) rate,
+        # not the requested one, so quantization cannot skew the ratio.
+        buckets = round(sample_rate * (1 << 30))
+        if buckets < 1:
+            raise ValueError(
+                f"sample_rate={sample_rate} is below the 2^-30 gate "
+                "resolution — it would sample nothing"
+            )
+        eff_rate = buckets / (1 << 30)
         gate = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        src = src.filter(gate.cast("long") % 10_000 < int(sample_rate * 10_000))
+        src = src.filter(gate.cast("long") % (1 << 30) < buckets)
     posting = src.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("g"),
@@ -931,8 +943,8 @@ def jaccard_regime_probe(
     if not row or not row["n"]:
         return "posting"  # empty corpus (or empty sample): cheap default
     ratio = row["p"] / row["n"]
-    if sample_rate is not None:
-        ratio = ratio / sample_rate  # undo the binomial df thinning
+    if eff_rate is not None:
+        ratio = ratio / eff_rate  # undo the binomial df thinning
     return "prefix" if ratio > fanout_threshold else "posting"
 
 
@@ -943,6 +955,7 @@ def jaccard_pairs_auto(
     shingle_n: int = 3,
     threshold: float = 0.5,
     fanout_threshold: float = 64.0,
+    probe_sample_rate: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs with AUTOMATIC regime selection (VERDICT r4
     #2: the sum(df^2) probe promoted from a docstring note to a
@@ -954,10 +967,14 @@ def jaccard_pairs_auto(
     branches return the same contract ``(doc_a, doc_b, jaccard)`` with
     identical integer-ratio-exact scores at the same threshold (the
     prefix branch's extra bookkeeping columns are projected away).
+
+    ``probe_sample_rate`` passes through to the probe — at corpus scale
+    set it so the regime decision costs a sampled pass, not a second
+    full shingle aggregate on top of the join itself.
     """
     regime = jaccard_regime_probe(
         df, id_col, text_col, shingle_n=shingle_n,
-        fanout_threshold=fanout_threshold,
+        fanout_threshold=fanout_threshold, sample_rate=probe_sample_rate,
     )
     if regime == "prefix":
         return jaccard_prefix_pairs(

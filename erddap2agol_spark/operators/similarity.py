@@ -48,20 +48,38 @@ def _stack_rows(series: "pd.Series"):
     n = len(arr)
     e0 = arr[0]
     base = getattr(e0, "base", None)
-    if isinstance(e0, np.ndarray) and base is not None and e0.ndim == 1:
+    if (
+        isinstance(e0, np.ndarray)
+        and base is not None
+        and e0.ndim == 1
+        and base.dtype == e0.dtype  # a dtype-punned base breaks offsets
+    ):
         d = e0.shape[0]
         it = e0.itemsize
         p0 = e0.__array_interface__["data"][0]
         pl = arr[-1].__array_interface__["data"][0]
-        if pl - p0 == (n - 1) * d * it:
+        # middle spot-check: first/last spacing + equal lengths imply
+        # even spacing ONLY for monotonically-packed buffers (Arrow's
+        # layout); a pathological caller could alternate, so verify one
+        # interior pointer too
+        pm = arr[n // 2].__array_interface__["data"][0]
+        if (
+            pl - p0 == (n - 1) * d * it
+            and pm - p0 == (n // 2) * d * it
+        ):
             lens = np.fromiter((x.shape[0] for x in arr), count=n, dtype=np.int64)
             if (lens == d).all():
+                # reshape(-1) on a non-contiguous base silently COPIES,
+                # making pointer arithmetic meaningless; the final
+                # shares_memory check is the decisive zero-copy guard
                 flat = base.reshape(-1)
                 pb = flat.__array_interface__["data"][0]
                 if (p0 - pb) % it == 0:
                     off = (p0 - pb) // it
-                    if off >= 0 and off + n * d <= flat.size:
-                        return flat[off : off + n * d].reshape(n, d)
+                    if 0 <= off and off + n * d <= flat.size:
+                        out = flat[off : off + n * d].reshape(n, d)
+                        if np.shares_memory(out, e0):
+                            return out
     return np.vstack(arr)
 
 

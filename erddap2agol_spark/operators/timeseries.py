@@ -60,10 +60,14 @@ def resample_locf(
     bounds = df.groupBy(*keys).agg(
         F.min(us).alias("mn_us"), F.max(us).alias("mx_us")
     )
-    # ceil-align with pure integer ops: q = mn + step - 1; lo = q - q % step
+    # ceil-align with pure integer ops: q = mn + step - 1; lo = q - pmod(q,
+    # step). Floor-mod, not `%`: Spark's % follows the dividend sign, which
+    # snaps pre-1970 (negative-epoch) series one step late and silently
+    # drops their first aligned grid point (review r5 — the same bug class
+    # fixed in order_by_closest).
     q = F.col("mn_us") + F.lit(step_us - 1)
     grid = (
-        bounds.withColumn("lo_us", q - (q % F.lit(step_us)))
+        bounds.withColumn("lo_us", q - F.pmod(q, F.lit(step_us)))
         .filter(F.col("lo_us") <= F.col("mx_us"))
         .select(
             *keys,
@@ -150,9 +154,10 @@ def interpolate_linear(
     bounds = df.groupBy(*keys).agg(
         F.min(us).alias("mn_us"), F.max(us).alias("mx_us")
     )
+    # floor-mod ceil-align — see resample_locf for the negative-epoch why
     q = F.col("mn_us") + F.lit(step_us - 1)
     grid = (
-        bounds.withColumn("lo_us", q - (q % F.lit(step_us)))
+        bounds.withColumn("lo_us", q - F.pmod(q, F.lit(step_us)))
         .filter(F.col("lo_us") <= F.col("mx_us"))
         .select(
             *keys,

@@ -36,10 +36,10 @@ _MAX_GAP_S = 21_600  # 6 h
     g AS (
       SELECT user_id,
              unnest(generate_series(
-               (mn + {_DAY_US - 1}) - ((mn + {_DAY_US - 1}) % {_DAY_US}),
+               (mn + {_DAY_US - 1}) - ((((mn + {_DAY_US - 1}) % {_DAY_US}) + {_DAY_US}) % {_DAY_US}),
                mx, {_DAY_US})) AS t_us
       FROM b
-      WHERE (mn + {_DAY_US - 1}) - ((mn + {_DAY_US - 1}) % {_DAY_US}) <= mx
+      WHERE (mn + {_DAY_US - 1}) - ((((mn + {_DAY_US - 1}) % {_DAY_US}) + {_DAY_US}) % {_DAY_US}) <= mx
     ),
     u AS (
       SELECT user_id, t_us, 0 AS is_grid, event_id AS ord_id, value AS v FROM e
@@ -346,10 +346,10 @@ _HOUR_US = 3_600_000_000
     g AS (
       SELECT user_id,
              unnest(generate_series(
-               (mn + {_HOUR_US - 1}) - ((mn + {_HOUR_US - 1}) % {_HOUR_US}),
+               (mn + {_HOUR_US - 1}) - ((((mn + {_HOUR_US - 1}) % {_HOUR_US}) + {_HOUR_US}) % {_HOUR_US}),
                mx, {_HOUR_US})) AS t_us
       FROM b
-      WHERE (mn + {_HOUR_US - 1}) - ((mn + {_HOUR_US - 1}) % {_HOUR_US}) <= mx
+      WHERE (mn + {_HOUR_US - 1}) - ((((mn + {_HOUR_US - 1}) % {_HOUR_US}) + {_HOUR_US}) % {_HOUR_US}) <= mx
     ),
     u AS (
       SELECT user_id, t_us, 0 AS is_grid, event_id AS ord_id, v FROM e

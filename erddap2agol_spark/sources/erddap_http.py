@@ -111,6 +111,8 @@ def _table_for_schema(pdf, schema: T.StructType):
             arrays.append(pa.array(s, type=pa.int32()))
         elif t == "string":
             arrays.append(pa.array(s.astype("string"), type=pa.string()))
+        elif t == "boolean":
+            arrays.append(pa.array(s, type=pa.bool_()))
         else:
             raise TypeError(f"erddap_csvp_http: unmapped type {t} for {field.name}")
     return pa.Table.from_arrays(arrays, names=[f.name for f in schema.fields])

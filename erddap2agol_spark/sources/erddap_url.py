@@ -89,8 +89,11 @@ def tabledap_url(
     response: str = "csvp",
     time_col: str = "time",
     order_by: tuple[str, list[str]] | None = None,
+    end_exclusive: bool = False,
 ) -> str:
-    """Compile projection + time predicate into a tabledap query URL."""
+    """Compile projection + time predicate into a tabledap query URL.
+    ``end_exclusive=True`` emits ``time<end`` instead of ``time<=end`` —
+    the half-open form chunked scans need (see tabledap_chunk_urls)."""
     cols = [c for c in columns if c != time_col]
     # depth is projected first when present (reference data_wrangler.py:334-337)
     if "depth" in cols:
@@ -98,9 +101,10 @@ def tabledap_url(
     projection = "%2C".join([time_col] + cols)
     url = f"{server.rstrip('/')}/tabledap/{dataset_id}.{response}?{projection}"
     if time_range is not None:
+        end_op = "%3C" if end_exclusive else "%3C%3D"
         url += (
             f"&{time_col}%3E%3D{iso_z(time_range.start)}"
-            f"&{time_col}%3C%3D{iso_z(time_range.end)}"
+            f"&{time_col}{end_op}{iso_z(time_range.end)}"
         )
     if order_by is not None:
         url += orderby_clause(order_by[0], order_by[1])
@@ -115,9 +119,25 @@ def tabledap_chunk_urls(
     response: str = "csvp",
 ) -> list[str]:
     """One URL per time slice — these become the scan's input partitions
-    (one Spark task per chunk, SURVEY §2.1 S6)."""
+    (one Spark task per chunk, SURVEY §2.1 S6).
+
+    Every chunk but the LAST gets an EXCLUSIVE upper bound (``time<e``):
+    adjacent slices share their endpoint, and two closed ranges would
+    both fetch a row landing exactly on it — duplicating it in the
+    union and breaking the connector's union-of-partitions ==
+    whole-dataset contract (review r5). The final chunk stays closed so
+    the dataset's true max row is included. (The reference emits closed
+    bounds on every subset URL — data_wrangler.py:322-387 — and carries
+    the same boundary double-count hazard; this is a deliberate
+    correctness deviation, not a parity miss.)
+    """
+    last = len(chunks) - 1
     return [
-        tabledap_url(server, dataset_id, columns, chunk, response) for chunk in chunks
+        tabledap_url(
+            server, dataset_id, columns, chunk, response,
+            end_exclusive=(i != last),
+        )
+        for i, chunk in enumerate(chunks)
     ]
 
 

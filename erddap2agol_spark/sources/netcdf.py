@@ -279,6 +279,16 @@ def _parse_header(buf: bytes):
             np.prod([dims[d][1] for d in vdims[1:]], dtype=np.int64)
         ) * dt.itemsize
         recsize += slab if len(rec_vars) == 1 else _pad4(slab)
+    if numrecs < 0:
+        # spec STREAMING sentinel (numrecs = 0xFFFFFFFF reads as -1
+        # signed): the record count is 'derive from the file length' —
+        # load-bearing now that the HTTP path feeds the parser live wire
+        # responses, not just repo-written fixtures
+        if rec_vars and recsize > 0:
+            rec_start = min(v[5] for v in rec_vars)
+            numrecs = max(0, (len(buf) - rec_start) // recsize)
+        else:
+            numrecs = 0
     return numrecs, dims, gattrs, raw_vars, recsize
 
 
@@ -591,10 +601,19 @@ def read_griddap_netcdf_http(
 
     from .http_fetch import fetch_with_retry
 
-    rows = [
-        (re.match(_SUBSET_RE, os.path.basename(u.split("?")[0])).group(1), u)
-        for u in urls
-    ]
+    if not urls:
+        raise ValueError("read_griddap_netcdf_http: no URLs to scan")
+
+    def _dataset_id(u: str) -> str:
+        name = os.path.basename(u.split("?")[0])
+        m = re.match(_SUBSET_RE, name)
+        if m:
+            return m.group(1)
+        # non-.nc basename (e.g. .nc4, extensionless endpoint): fall
+        # back to the name sans extension rather than failing the plan
+        return os.path.splitext(name)[0] or name
+
+    rows = [(_dataset_id(u), u) for u in urls]
     src = spark.createDataFrame(rows, "dataset_id string, url string").repartition(
         len(rows)
     )

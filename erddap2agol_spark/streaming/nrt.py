@@ -212,6 +212,7 @@ def refresh_http_csvp(
     url: str,
     sink_dir: str,
     timeout_s: float = 120.0,
+    time_col: str = "time",
 ) -> dict:
     """ST1 + ST2 with a REAL wire exchange (the reference's NRT loop:
     regenerate the trailing-window URL, skip when the server says
@@ -243,6 +244,17 @@ def refresh_http_csvp(
     pdf = _read_csvp_text(body.decode())
     if len(pdf) == 0:
         return {"published": False, "reason": "window returned no rows"}
+    if time_col in pdf.columns:
+        # typed time, same as every other ingestion path (review r5: a
+        # raw createDataFrame would publish the ISO strings and break
+        # the engine-wide typed-time contract for snapshot readers)
+        import pandas as pd
+
+        pdf[time_col] = (
+            pd.to_datetime(pdf[time_col], utc=True, format="ISO8601")
+            .dt.tz_localize(None)
+            .astype("datetime64[us]")
+        )
     df = spark.createDataFrame(pdf)
     target = atomic_overwrite(df, sink_dir)
     state = load_state(sink_dir)

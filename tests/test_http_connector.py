@@ -363,3 +363,92 @@ def test_catalog_from_url_bootstrap(spark, meta_server):
     ds = catalog.catalog_datasets(df)
     assert {r.dataset_id for r in ds.collect()} == {"buoy_a", "buoy_b"}
     assert dict(df.dtypes)["min_time"] == "timestamp"
+
+
+def test_chunk_boundary_row_fetched_exactly_once(spark, tmp_path):
+    """Half-open chunk contract (review r5): a row exactly on a shared
+    chunk boundary must be fetched by exactly one task — closed ranges
+    on both sides would duplicate it in the union."""
+    from erddap2agol_spark.sources import erddap_http
+
+    csvp = tmp_path / "boundary.csvp"
+    csvp.write_text(
+        "time (UTC),v (m)\n"
+        "2024-03-01T00:00:00Z,1.0\n"
+        "2024-03-01T12:00:00Z,2.0\n"
+        "2024-03-02T00:00:00Z,3.0\n"
+    )
+    s = ErddapFixtureServer(csvp_fixtures={"bnd": str(csvp)})
+    base = s.start()
+    try:
+        d = dt.datetime
+        chunks = [
+            TimeRange(d(2024, 3, 1, 0, 0), d(2024, 3, 1, 12, 0)),
+            TimeRange(d(2024, 3, 1, 12, 0), d(2024, 3, 2, 0, 0)),
+        ]
+        urls = tabledap_chunk_urls(base, "bnd", ["time", "v"], chunks)
+        erddap_http.register(spark)
+        df = (
+            spark.read.format("erddap_csvp_http")
+            .option("urls", "\n".join(urls))
+            .option("schema_ddl", "time timestamp_ntz, v double")
+            .load()
+        )
+        vals = sorted(r["v"] for r in df.collect())
+        assert vals == [1.0, 2.0, 3.0]  # the 12:00 row exactly once
+    finally:
+        s.stop()
+
+
+def test_boolean_ddl_column_is_readable(spark, tmp_path):
+    """A type the DDL parser accepts must be readable by the scan
+    (review r5: boolean was accepted at plan time, crashed task-side)."""
+    from erddap2agol_spark.sources import erddap_http
+
+    csvp = tmp_path / "flags.csvp"
+    csvp.write_text(
+        "time (UTC),qc_pass (1)\n"
+        "2024-03-01T00:30:00Z,True\n"
+        "2024-03-01T01:30:00Z,False\n"
+    )
+    s = ErddapFixtureServer(csvp_fixtures={"flags": str(csvp)})
+    base = s.start()
+    try:
+        erddap_http.register(spark)
+        df = (
+            spark.read.format("erddap_csvp_http")
+            .option("urls", f"{base}/tabledap/flags.csvp?time,qc_pass")
+            .option("schema_ddl", "time timestamp_ntz, qc_pass boolean")
+            .load()
+        )
+        got = sorted((r["qc_pass"]) for r in df.collect())
+        assert got == [False, True]
+    finally:
+        s.stop()
+
+
+def test_griddap_http_handles_odd_urls(spark, grid_server):
+    from erddap2agol_spark.sources import netcdf as nc
+
+    s, base, _, paths = grid_server
+    with pytest.raises(ValueError, match="no URLs"):
+        nc.read_griddap_netcdf_http(spark, [])
+    # a non-.nc basename still plans (id = name sans extension); here we
+    # just check the plan builds and the dataset id falls back cleanly
+    df = nc.read_griddap_netcdf_http(spark, [base + paths[0]])
+    assert df.schema["dataset_id"].dataType.simpleString() == "string"
+
+
+def test_refresh_http_csvp_publishes_typed_time(spark, server, tmp_path):
+    from erddap2agol_spark.streaming import nrt
+
+    _, base = server
+    sink = str(tmp_path / "nrt_typed")
+    url = f"{base}/tabledap/glider_dsx.csvp?time,latitude"
+    assert nrt.refresh_http_csvp(spark, url, sink)["published"]
+    snap = nrt.read_current(spark, sink)
+    assert dict(snap.dtypes)["time"].startswith("timestamp")
+    # and a timestamp operation works on the snapshot
+    from erddap2agol_spark.functions.datetimes import epoch_us
+
+    assert snap.select(epoch_us("time").alias("e")).agg({"e": "max"}).first()[0] > 0

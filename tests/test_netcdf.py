@@ -387,3 +387,19 @@ def test_netcdf_roundtrip_fuzz(spec):
         assert got["attrs"] == attrs
         assert got["data"].shape == data.shape
         assert np.array_equal(got["data"], data), name
+
+
+def test_streaming_sentinel_numrecs_derives_from_length(tmp_path):
+    """Spec STREAMING sentinel: numrecs = 0xFFFFFFFF means 'derive the
+    record count from the file length' — a live server may stream this;
+    the parser must not read it as 'zero records' (review r5)."""
+    p, t, grid = _pruning_file(tmp_path)
+    buf = bytearray(open(p, "rb").read())
+    assert struct.unpack(">i", bytes(buf[4:8]))[0] == 12
+    buf[4:8] = b"\xff\xff\xff\xff"
+    parsed = nc.parse_netcdf_classic(bytes(buf))
+    assert parsed["records_total"] == 12  # derived, not -1 or 0
+    np.testing.assert_array_equal(parsed["vars"]["grid"]["data"], grid)
+    # record pruning still composes with the derived count
+    sliced = nc.parse_netcdf_classic(bytes(buf), rec_range=(3, 5))
+    np.testing.assert_array_equal(sliced["vars"]["time"]["data"], t[3:5])

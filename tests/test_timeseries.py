@@ -318,3 +318,47 @@ def test_interpolate_linear_null_obs_are_skipped(spark):
     got = {r["grid_ts"]: r["value"] for r in out.collect()}
     # the null row must not anchor the segment: 1:00 interpolates 0..20
     assert got[datetime(2024, 1, 1, 1, 0)] == 10.0
+
+
+def test_locf_grid_aligns_on_negative_epochs(spark):
+    """Pre-1970 series: floor-mod alignment (pmod) must place the first
+    grid point AT or AFTER the first observation on the epoch-aligned
+    lattice — a sign-following % snaps one step late and drops it."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            # 1965-06-01 00:00:00 is NOT 60s-aligned to... it is; use an
+            # offset first obs at hh:00:25 so ceil-align matters
+            ("s", datetime(1965, 6, 1, 0, 0, 25), 1, 10.0),
+            ("s", datetime(1965, 6, 1, 0, 3, 5), 2, 20.0),
+        ],
+        "k string, ts timestamp, id int, v double",
+    )
+    out = resample_locf(df, ["k"], "ts", "id", "v", step_s=60)
+    got = sorted((r["grid_ts"], r["value"]) for r in out.collect())
+    # first aligned point at/after 00:00:25 is 00:01:00 (not 00:02:00)
+    assert got[0] == (datetime(1965, 6, 1, 0, 1), 10.0)
+    assert [t.second for t, _ in got] == [0, 0, 0]
+    # the 00:03:05 obs lands after the last grid point, so LOCF still
+    # carries the first value at 00:03:00
+    assert got[-1] == (datetime(1965, 6, 1, 0, 3), 10.0)
+
+
+def test_interpolate_grid_aligns_on_negative_epochs(spark):
+    from erddap2agol_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [
+            ("s", datetime(1965, 6, 1, 0, 0, 30), 1, 0.0),
+            ("s", datetime(1965, 6, 1, 0, 2, 30), 2, 120.0),
+        ],
+        "k string, ts timestamp, id int, v double",
+    )
+    out = interpolate_linear(df, ["k"], "ts", "id", "v", step_s=60)
+    got = sorted((r["grid_ts"], r["value"]) for r in out.collect())
+    # grid 00:01 and 00:02, linearly interpolated (1.0 per second)
+    assert got == [
+        (datetime(1965, 6, 1, 0, 1), 30.0),
+        (datetime(1965, 6, 1, 0, 2), 90.0),
+    ]

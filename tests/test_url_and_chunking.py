@@ -198,8 +198,16 @@ def test_tabledap_url_invariants(
         for i in range(n_chunks)
     ]
     urls = tabledap_chunk_urls("https://srv.example/erddap", "ds1", cols, chunks)
+    # half-open contract: every chunk but the last is end-EXCLUSIVE, so a
+    # row exactly on a shared boundary is fetched by exactly one task
     assert urls == [
-        tabledap_url("https://srv.example/erddap", "ds1", cols, c)
-        for c in chunks
+        tabledap_url(
+            "https://srv.example/erddap", "ds1", cols, c,
+            end_exclusive=(i != len(chunks) - 1),
+        )
+        for i, c in enumerate(chunks)
     ]
+    for u in urls[:-1]:
+        assert "%3C%3D" not in u and "time%3C" in u
+    assert "%3C%3D" in urls[-1]
     assert len(set(urls)) == len(urls)  # distinct slices -> distinct tasks
