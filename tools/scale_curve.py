@@ -84,7 +84,15 @@ LINEAR_QUERIES = [
     "doc_chunks_overlap",
     "langid_confusion",
 ]
-PAIR_QUERIES = ["dedup_minhash_lsh", "simhash_hamming_pairs"]
+PAIR_QUERIES = [
+    "dedup_minhash_lsh",
+    "simhash_hamming_pairs",
+    # round-5 additions: the auto-dispatched set-similarity join (probe +
+    # posting join on this corpus) and the cross-doc tile dedup — both
+    # must stay linear on the isomorphic-copies corpus
+    "dedup_jaccard_auto",
+    "tile_dedup_stats",
+]
 ANN_QUERIES = ["ann_bruteforce_topk"]
 EVENT_QUERIES = [
     "sessionization",
@@ -277,6 +285,11 @@ def main() -> None:
         for m in mults:
             dirs[(m, "events")] = build_events_dir(spark, m)
         plan += [(q, "events") for q in EVENT_QUERIES]
+
+    only = os.environ.get("SCALE_CURVE_QUERIES")
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        plan = [(q, tag) for q, tag in plan if q in wanted]
 
     results: dict[str, dict[int, tuple[float, int]]] = {}
     for q, tag in plan:
