@@ -389,6 +389,36 @@ def test_netcdf_roundtrip_fuzz(spec):
         assert np.array_equal(got["data"], data), name
 
 
+@given(spec=_nc_spec(), lo=st.integers(0, 4), width=st.integers(0, 4))
+@settings(max_examples=40, deadline=None)
+def test_netcdf_rec_range_fuzz(spec, lo, width):
+    """Record pruning is a pure SLICE for any random file and any
+    (clamped) record range: every record variable equals the full
+    parse's [lo:hi] slice, fixed variables are untouched, and the
+    telemetry counts match."""
+    import os
+    import tempfile
+
+    dims, variables, gattrs = spec
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "fuzz.nc")
+        write_netcdf_classic(path, dims, variables, gattrs)
+        buf = open(path, "rb").read()
+    full = parse_netcdf_classic(buf)
+    total = full["records_total"]
+    sliced = parse_netcdf_classic(buf, rec_range=(lo, lo + width))
+    c_lo, c_hi = min(lo, total), min(max(lo, lo + width), total)
+    assert sliced["records_decoded"] == c_hi - c_lo
+    rec_dim = next((n for n, s in dims if s is None), None)
+    for name, (dnames, _, _) in variables.items():
+        got = sliced["vars"][name]["data"]
+        want = full["vars"][name]["data"]
+        if rec_dim is not None and dnames and dnames[0] == rec_dim:
+            assert np.array_equal(got, want[c_lo:c_hi]), name
+        else:
+            assert np.array_equal(got, want), name
+
+
 def test_streaming_sentinel_numrecs_derives_from_length(tmp_path):
     """Spec STREAMING sentinel: numrecs = 0xFFFFFFFF means 'derive the
     record count from the file length' — a live server may stream this;
