@@ -111,6 +111,7 @@ def das_from_urls(
     urls: dict[str, str],
     attempts: int = 3,
     timeout_s: float = 120.0,
+    max_workers: int = 8,
 ) -> tuple[DataFrame, dict[str, str]]:
     """S4 on the wire: fetch each dataset's ``.das`` document
     (``{server}/tabledap/{id}.das``) and parse into the metadata
@@ -126,7 +127,10 @@ def das_from_urls(
 
     by_url = {url: ds for ds, url in urls.items()}
     results, failures = fetch_all(
-        list(urls.values()), attempts=attempts, timeout_s=timeout_s
+        list(urls.values()),
+        attempts=attempts,
+        timeout_s=timeout_s,
+        max_workers=max_workers,
     )
     texts = {by_url[u]: body.decode() for u, body in results.items()}
     return das_to_dataframe(spark, texts), {

@@ -119,6 +119,7 @@ def fetch_all(
     urls: list[str],
     attempts: int = DEFAULT_ATTEMPTS,
     timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_workers: int = 1,
 ) -> tuple[dict[str, bytes], dict[str, str]]:
     """Fetch many URLs with the reference's deque-requeue discipline:
     pop from the front, and on a retryable failure re-append to the BACK
@@ -127,27 +128,64 @@ def fetch_all(
     — ``results[url] = bytes`` for every success, ``failures[url] =
     reason`` for every URL that exhausted its attempts (a fatal 4xx/413
     fails immediately without requeueing).
+
+    ``max_workers > 1`` drains the SAME deque from a thread pool — the
+    per-URL attempt accounting, back-of-queue requeue, and fatal-4xx
+    rules are identical; only the in-flight width changes. Use it for
+    driver-side fleet sweeps (e.g. thousands of .das documents) where a
+    serial loop would make metadata latency the bottleneck; the DATA
+    paths don't need it — their parallelism is Spark tasks.
     """
+    import threading
+
     queue: deque[str] = deque(urls)
     tried: dict[str, int] = {u: 0 for u in urls}
     results: dict[str, bytes] = {}
     failures: dict[str, str] = {}
-    while queue:
-        url = queue.popleft()
-        tried[url] += 1
-        try:
-            results[url] = fetch_bytes(url, timeout_s=timeout_s)
-        except urllib.error.HTTPError as e:
-            if 400 <= e.code < 500:  # incl. 413: retrying cannot succeed
-                failures[url] = f"HTTP {e.code}"
+    lock = threading.Lock()
+
+    # termination: a worker exits when the queue is empty; a concurrent
+    # worker about to REQUEUE its failed URL is still inside its own
+    # drain loop and pops the requeued entry itself — correctness never
+    # depends on exited workers, only tail parallelism narrows
+    def drain() -> None:
+        while True:
+            with lock:
+                if not queue:
+                    return
+                url = queue.popleft()
+                tried[url] += 1
+                n_try = tried[url]
+            try:
+                body = fetch_bytes(url, timeout_s=timeout_s)
+            except urllib.error.HTTPError as e:
+                with lock:
+                    if 400 <= e.code < 500:  # incl. 413: retry can't succeed
+                        failures[url] = f"HTTP {e.code}"
+                    elif n_try < attempts:
+                        queue.append(url)
+                    else:
+                        failures[url] = f"HTTP {e.code}"
                 continue
-            if tried[url] < attempts:
-                queue.append(url)
-            else:
-                failures[url] = f"HTTP {e.code}"
-        except (urllib.error.URLError, TimeoutError, OSError) as e:
-            if tried[url] < attempts:
-                queue.append(url)
-            else:
-                failures[url] = f"{type(e).__name__}: {e}"
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                with lock:
+                    if n_try < attempts:
+                        queue.append(url)
+                    else:
+                        failures[url] = f"{type(e).__name__}: {e}"
+                continue
+            with lock:
+                results[url] = body
+
+    if max_workers <= 1:
+        drain()
+    else:
+        threads = [
+            threading.Thread(target=drain, daemon=True)
+            for _ in range(min(max_workers, max(1, len(urls))))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
     return results, failures

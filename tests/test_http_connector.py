@@ -452,3 +452,22 @@ def test_refresh_http_csvp_publishes_typed_time(spark, server, tmp_path):
     from erddap2agol_spark.functions.datetimes import epoch_us
 
     assert snap.select(epoch_us("time").alias("e")).agg({"e": "max"}).first()[0] > 0
+
+
+def test_fetch_all_threaded_matches_sequential(server):
+    """max_workers > 1 drains the same deque concurrently: identical
+    results/failures contract, per-URL attempt bounds still hold."""
+    s, base = server
+    urls = tabledap_chunk_urls(base, "glider_dsx", COLS, _chunks())
+    s.fail_next("time>=2024-03-01T13:00:00Z", 2, status=503)  # transient
+    s.fail_next("time>=2024-03-02T05:00:00Z", 99, status=503)  # permanent
+    results, failures = http_fetch.fetch_all(
+        urls, attempts=3, timeout_s=5.0, max_workers=4
+    )
+    assert set(results) == {urls[0], urls[1]}
+    assert list(failures) == [urls[2]] and "503" in failures[urls[2]]
+    # the permanent failure tried exactly `attempts` times (match the
+    # START bound: the middle chunk's exclusive END carries the same
+    # timestamp)
+    perm_hits = [p for p in s.request_log if "time>=2024-03-02T05:00:00Z" in p]
+    assert len(perm_hits) == 3
