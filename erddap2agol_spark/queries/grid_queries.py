@@ -24,6 +24,27 @@ from . import register
 _TRUTH = f"{FIXTURE_ROOT}/grid_long_truth.parquet"
 
 
+def _grid_cell_stats(cells: DataFrame) -> DataFrame:
+    """Shared tail of both griddap_ingest paths: lat hyperslab ->
+    per-(var, time) cell stats. Fill cells decode as NaN (the reference
+    keeps them and filters later, src/erddap_wrangler.py:380-385); null
+    them so avg/count treat them as missing, matching the truth
+    parquet's NULLs."""
+    sliced = grid.hyperslab(cells, "time", "lat", "lon", lat_range=(25.5, 29.5))
+    v = F.when(F.isnan("value"), None).otherwise(F.col("value"))
+    return (
+        sliced.withColumn("value", v)
+        .groupBy("var", "time")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count("value").alias("n_valid"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+
+
 @register(
     "griddap_ingest",
     oracle=f"""
@@ -44,25 +65,7 @@ _TRUTH = f"{FIXTURE_ROOT}/grid_long_truth.parquet"
 )
 def griddap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc_dir, _ = ensure_griddap_fixture(FIXTURE_ROOT)
-    cells = read_griddap_netcdf(spark, nc_dir)
-    sliced = grid.hyperslab(
-        cells, "time", "lat", "lon", lat_range=(25.5, 29.5)
-    )
-    # fill cells decode as NaN (the reference keeps them and filters
-    # later, src/erddap_wrangler.py:380-385); null them so avg/count
-    # treat them as missing, matching the truth parquet's NULLs
-    v = F.when(F.isnan("value"), None).otherwise(F.col("value"))
-    return (
-        sliced.withColumn("value", v)
-        .groupBy("var", "time")
-        .agg(
-            F.count(F.lit(1)).alias("n_cells"),
-            F.count("value").alias("n_valid"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.min("value"), 6).alias("min_value"),
-            F.round(F.max("value"), 6).alias("max_value"),
-        )
-    )
+    return _grid_cell_stats(read_griddap_netcdf(spark, nc_dir))
 
 
 _CSVP = "/root/repo/fixtures/csvp/glider_track.csvp"
@@ -272,20 +275,7 @@ def griddap_ingest_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/griddap/{os.path.basename(p)}"
         for p in sorted(glob.glob(os.path.join(nc_dir, "*.nc")))
     ]
-    cells = read_griddap_netcdf_http(spark, urls)
-    sliced = grid.hyperslab(cells, "time", "lat", "lon", lat_range=(25.5, 29.5))
-    v = F.when(F.isnan("value"), None).otherwise(F.col("value"))
-    return (
-        sliced.withColumn("value", v)
-        .groupBy("var", "time")
-        .agg(
-            F.count(F.lit(1)).alias("n_cells"),
-            F.count("value").alias("n_valid"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.min("value"), 6).alias("min_value"),
-            F.round(F.max("value"), 6).alias("max_value"),
-        )
-    )
+    return _grid_cell_stats(read_griddap_netcdf_http(spark, urls))
 
 
 _DRIFT = "/root/repo/fixtures/schema_drift"

@@ -86,6 +86,19 @@ def _read_csvp_text(text: str):
     return _clean_columns(pd.read_csv(io.StringIO(text), na_values=["NaN"]))
 
 
+def parse_iso_utc_naive(series):
+    """ISO-8601 string Series -> naive-UTC datetime64[us] — the one
+    typed-time coercion every csvp ingestion path shares (this
+    connector's schema coercion and nrt.refresh_http_csvp)."""
+    import pandas as pd
+
+    return (
+        pd.to_datetime(series, utc=True, format="ISO8601")
+        .dt.tz_localize(None)
+        .astype("datetime64[us]")
+    )
+
+
 def _table_for_schema(pdf, schema: T.StructType):
     """Coerce a parsed chunk to the scan schema, in schema column order,
     as one Arrow table (timestamps as naive UTC microseconds)."""
@@ -97,10 +110,7 @@ def _table_for_schema(pdf, schema: T.StructType):
         s = pdf[field.name]
         t = field.dataType.simpleString()
         if t in ("timestamp", "timestamp_ntz"):
-            ts = pd.to_datetime(s, utc=True, format="ISO8601")
-            arrays.append(
-                pa.array(ts.dt.tz_localize(None), type=pa.timestamp("us"))
-            )
+            arrays.append(pa.array(parse_iso_utc_naive(s), type=pa.timestamp("us")))
         elif t == "double":
             arrays.append(pa.array(pd.to_numeric(s), type=pa.float64()))
         elif t == "float":

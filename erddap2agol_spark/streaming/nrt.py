@@ -248,13 +248,9 @@ def refresh_http_csvp(
         # typed time, same as every other ingestion path (review r5: a
         # raw createDataFrame would publish the ISO strings and break
         # the engine-wide typed-time contract for snapshot readers)
-        import pandas as pd
+        from ..sources.erddap_http import parse_iso_utc_naive
 
-        pdf[time_col] = (
-            pd.to_datetime(pdf[time_col], utc=True, format="ISO8601")
-            .dt.tz_localize(None)
-            .astype("datetime64[us]")
-        )
+        pdf[time_col] = parse_iso_utc_naive(pdf[time_col])
     df = spark.createDataFrame(pdf)
     target = atomic_overwrite(df, sink_dir)
     state = load_state(sink_dir)

@@ -471,3 +471,35 @@ def test_fetch_all_threaded_matches_sequential(server):
     # timestamp)
     perm_hits = [p for p in s.request_log if "time>=2024-03-02T05:00:00Z" in p]
     assert len(perm_hits) == 3
+
+
+def test_every_ddl_type_is_readable():
+    """_DDL_TYPES and _table_for_schema are parallel tables — this guard
+    keeps them from drifting (the boolean gap was found by review once;
+    never again). Every type the DDL parser accepts must coerce a tiny
+    frame without error, with the arrow type matching."""
+    import pandas as pd
+
+    from erddap2agol_spark.sources.erddap_http import (
+        _DDL_TYPES,
+        _schema_from_ddl,
+        _table_for_schema,
+    )
+
+    sample = {
+        "timestamp": ["2024-03-01T00:30:00Z"],
+        "timestamp_ntz": ["2024-03-01T00:30:00Z"],
+        "double": [1.5],
+        "float": [1.5],
+        "bigint": [7],
+        "long": [7],
+        "int": [7],
+        "integer": [7],
+        "string": ["x"],
+        "boolean": [True],
+    }
+    assert set(sample) == set(_DDL_TYPES)
+    for typ, vals in sample.items():
+        schema = _schema_from_ddl(f"c {typ}")
+        tbl = _table_for_schema(pd.DataFrame({"c": vals}), schema)
+        assert tbl.num_rows == 1, typ
