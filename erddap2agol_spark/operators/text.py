@@ -68,6 +68,34 @@ def quality_score(col: Column) -> Column:
     return F.round(len_ok + stop_ok + awl_ok, 2)
 
 
+def char_entropy(col: Column) -> Column:
+    """Per-document unigram CHARACTER entropy in bits — the exact form
+    of the classic corpus-quality signal (natural prose sits ~3.8-4.8
+    bits/char; repetition collapses it, random bytes push it up; the
+    compression-ratio filters of Gopher-class pipelines approximate
+    exactly this quantity).
+
+    Entirely map-side Column algebra — NO shuffle, NO Python: per row,
+    fold over the SORTED distinct characters (sorting pins cross-engine
+    summation order) counting occurrences with an array filter. Distinct
+    chars are bounded (~100 for text), so the per-row work is
+    O(distinct * len) inside whole-stage codegen. Empty text is 0.0 by
+    convention. Rounded to 6dp for cross-engine stability.
+    """
+    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+    n = F.size(chars).cast("double")
+    ds = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(
+        ds, lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double")
+    )
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc - (k / n) * F.log2(k / n),
+    )
+    return F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), 6)
+
+
 def lang_id(col: Column) -> Column:
     """Stopword-marker language ID: argmax of per-language marker hits,
     first-listed language wins ties, 'und' when nothing matches."""

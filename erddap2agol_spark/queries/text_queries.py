@@ -510,3 +510,47 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_lang"
         ),
     )
+
+
+@register(
+    "char_entropy_filter",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ''), x -> x <> '') AS cs
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             CAST(len(cs) AS BIGINT) AS n_chars,
+             CAST(len(list_distinct(cs)) AS BIGINT) AS distinct_chars,
+             CASE WHEN len(cs) = 0 THEN 0.0 ELSE round(
+               list_sum(list_transform(list_sort(list_distinct(cs)), d ->
+                 -(CAST(len(list_filter(cs, x -> x = d)) AS DOUBLE) / len(cs))
+                  * log2(CAST(len(list_filter(cs, x -> x = d)) AS DOUBLE)
+                         / len(cs)))), 6) END AS entropy
+      FROM c
+    )
+    SELECT doc_id, n_chars, distinct_chars, entropy,
+           CAST(entropy BETWEEN 3.0 AND 5.5 AS INT) AS keep
+    FROM e
+    """,
+    doc="Per-document unigram character entropy (bits) + keep gate — the "
+    "exact form of the compression-ratio quality filter Gopher-class "
+    "pipelines approximate (prose ~3.8-4.8 bits/char; repetition "
+    "collapses it, random bytes inflate it). Entirely map-side Column "
+    "algebra: a fold over the SORTED distinct characters (sorting pins "
+    "cross-engine summation order) counting occurrences with array "
+    "filters in whole-stage codegen — no shuffle, no explode, no Python.",
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    ent = T.char_entropy(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(chars).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(chars)).cast("long").alias("distinct_chars"),
+        ent.alias("entropy"),
+        ((ent >= 3.0) & (ent <= 5.5)).cast("int").alias("keep"),
+    )

@@ -192,3 +192,31 @@ def test_cross_doc_tile_dedup_partial_overlap(spark):
     got = {r["doc"]: r for r in cross_doc_tile_dedup(df, "doc_id", "text").collect()}
     assert got[2]["n_tiles"] == 4 and got[2]["n_dup_tiles"] == 2
     assert got[2]["dup_frac"] == 0.5
+
+
+def test_char_entropy_known_values(spark):
+    """Closed-form cases: H('aabb')=1, H(uniform 4 chars)=2, single
+    char=0, empty=0; prose lands in the natural-language band."""
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aabb"),
+            (2, "abcd"),
+            (3, "aaaa"),
+            (4, ""),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", char_entropy(F.col("text")).alias("h")).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] == 2.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+    assert 3.5 <= got[5] <= 4.8  # English prose band
