@@ -57,15 +57,18 @@ def _stack_rows(series: "pd.Series"):
         d = e0.shape[0]
         it = e0.itemsize
         p0 = e0.__array_interface__["data"][0]
-        pl = arr[-1].__array_interface__["data"][0]
-        # middle spot-check: first/last spacing + equal lengths imply
-        # even spacing ONLY for monotonically-packed buffers (Arrow's
-        # layout); a pathological caller could alternate, so verify one
-        # interior pointer too
-        pm = arr[n // 2].__array_interface__["data"][0]
-        if (
-            pl - p0 == (n - 1) * d * it
-            and pm - p0 == (n // 2) * d * it
+        # EVERY row's pointer must sit exactly at p0 + i*d*it — a
+        # permuted set of views (rows [0,2,1,...] of one buffer) passes
+        # any sparse spot-check but would reshape into the WRONG row
+        # order; the full check rides the same O(n) pass as the length
+        # check (review r5 #7)
+        ptrs = np.fromiter(
+            (x.__array_interface__["data"][0] for x in arr),
+            count=n,
+            dtype=np.int64,
+        )
+        if np.array_equal(
+            ptrs, p0 + np.arange(n, dtype=np.int64) * (d * it)
         ):
             lens = np.fromiter((x.shape[0] for x in arr), count=n, dtype=np.int64)
             if (lens == d).all():

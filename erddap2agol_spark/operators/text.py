@@ -79,8 +79,9 @@ def char_entropy(col: Column) -> Column:
     fold over the SORTED distinct characters (sorting pins cross-engine
     summation order) counting occurrences with an array filter. Distinct
     chars are bounded (~100 for text), so the per-row work is
-    O(distinct * len) inside whole-stage codegen. Empty text is 0.0 by
-    convention. Rounded to 6dp for cross-engine stability.
+    O(distinct * len) inside whole-stage codegen. NULL text stays NULL
+    (relational semantics, matching the SQL oracle); EMPTY text is 0.0
+    by convention. Rounded to 6dp for cross-engine stability.
     """
     chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
     n = F.size(chars).cast("double")
@@ -93,7 +94,12 @@ def char_entropy(col: Column) -> Column:
         F.lit(0.0),
         lambda acc, k: acc - (k / n) * F.log2(k / n),
     )
-    return F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), 6)
+    return F.round(
+        F.when(col.isNull(), F.lit(None).cast("double"))
+        .when(n > 0, ent)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
 
 
 def lang_id(col: Column) -> Column:

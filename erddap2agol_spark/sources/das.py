@@ -132,7 +132,12 @@ def das_from_urls(
         timeout_s=timeout_s,
         max_workers=max_workers,
     )
-    texts = {by_url[u]: body.decode() for u, body in results.items()}
+    # iterate the CALLER's dict, not the results dict: with concurrent
+    # workers the latter is completion-ordered, which would make the
+    # metadata frame's row layout vary run to run (review r5 #4)
+    texts = {
+        ds: results[u].decode() for ds, u in urls.items() if u in results
+    }
     return das_to_dataframe(spark, texts), {
         by_url[u]: reason for u, reason in failures.items()
     }

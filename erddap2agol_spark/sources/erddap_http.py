@@ -122,7 +122,9 @@ def _table_for_schema(pdf, schema: T.StructType):
         elif t == "string":
             arrays.append(pa.array(s.astype("string"), type=pa.string()))
         elif t == "boolean":
-            arrays.append(pa.array(s, type=pa.bool_()))
+            # from_pandas: NaN cells (missing booleans) become nulls
+            # instead of ArrowInvalid in the scan task
+            arrays.append(pa.array(s, type=pa.bool_(), from_pandas=True))
         else:
             raise TypeError(f"erddap_csvp_http: unmapped type {t} for {field.name}")
     return pa.Table.from_arrays(arrays, names=[f.name for f in schema.fields])

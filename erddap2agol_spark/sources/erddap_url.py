@@ -121,23 +121,25 @@ def tabledap_chunk_urls(
     """One URL per time slice — these become the scan's input partitions
     (one Spark task per chunk, SURVEY §2.1 S6).
 
-    Every chunk but the LAST gets an EXCLUSIVE upper bound (``time<e``):
-    adjacent slices share their endpoint, and two closed ranges would
-    both fetch a row landing exactly on it — duplicating it in the
-    union and breaking the connector's union-of-partitions ==
-    whole-dataset contract (review r5). The final chunk stays closed so
-    the dataset's true max row is included. (The reference emits closed
-    bounds on every subset URL — data_wrangler.py:322-387 — and carries
-    the same boundary double-count hazard; this is a deliberate
+    A chunk gets an EXCLUSIVE upper bound (``time<e``) exactly when
+    ANOTHER chunk starts at its endpoint: two closed ranges sharing a
+    boundary would both fetch a row landing exactly on it — duplicating
+    it in the union and breaking the connector's union-of-partitions ==
+    whole-dataset contract (review r5). Keying on continuation (not list
+    position) keeps the rule correct for unsorted or descending chunk
+    lists AND leaves genuinely disjoint windows fully closed, so a row
+    on a lone window's edge is never dropped. (The reference emits
+    closed bounds on every subset URL — data_wrangler.py:322-387 — and
+    carries the boundary double-count hazard; this is a deliberate
     correctness deviation, not a parity miss.)
     """
-    last = len(chunks) - 1
+    starts = {iso_z(c.start) for c in chunks}
     return [
         tabledap_url(
             server, dataset_id, columns, chunk, response,
-            end_exclusive=(i != last),
+            end_exclusive=(iso_z(chunk.end) in starts),
         )
-        for i, chunk in enumerate(chunks)
+        for chunk in chunks
     ]
 
 

@@ -69,6 +69,8 @@ def fetch_with_retry(
     timeout. Timeouts, connection errors, and 5xx responses retry (with
     linear backoff); HTTP 413 raises :class:`PayloadTooLarge`
     immediately; other 4xx are caller bugs and also never retry."""
+    import http.client
+
     last = "no attempt made"
     for attempt in range(1, max(1, attempts) + 1):
         try:
@@ -80,7 +82,15 @@ def fetch_with_retry(
             if 400 <= e.code < 500:
                 raise FetchError(url, attempt, last) from e
             # 5xx: transient server side, retry
-        except (urllib.error.URLError, TimeoutError, OSError) as e:
+        except (
+            urllib.error.URLError,
+            TimeoutError,
+            OSError,
+            # mid-response drops from a flaky server surface as
+            # http.client exceptions (BadStatusLine, IncompleteRead) —
+            # transient, retryable
+            http.client.HTTPException,
+        ) as e:
             last = f"{type(e).__name__}: {e}"
         if attempt < attempts and backoff_s > 0:
             time.sleep(backoff_s * attempt)
@@ -127,7 +137,9 @@ def fetch_all(
     attempt count reaches ``attempts``. Returns ``(results, failures)``
     — ``results[url] = bytes`` for every success, ``failures[url] =
     reason`` for every URL that exhausted its attempts (a fatal 4xx/413
-    fails immediately without requeueing).
+    fails immediately without requeueing, as does any non-HTTP error
+    such as a malformed URL). EVERY input URL lands in exactly one of
+    the two dicts — the accounting contract fleet sweeps rely on.
 
     ``max_workers > 1`` drains the SAME deque from a thread pool — the
     per-URL attempt accounting, back-of-queue requeue, and fatal-4xx
@@ -143,6 +155,8 @@ def fetch_all(
     results: dict[str, bytes] = {}
     failures: dict[str, str] = {}
     lock = threading.Lock()
+
+    import http.client
 
     # termination: a worker exits when the queue is empty; a concurrent
     # worker about to REQUEUE its failed URL is still inside its own
@@ -167,12 +181,24 @@ def fetch_all(
                     else:
                         failures[url] = f"HTTP {e.code}"
                 continue
-            except (urllib.error.URLError, TimeoutError, OSError) as e:
+            except (
+                urllib.error.URLError,
+                TimeoutError,
+                OSError,
+                http.client.HTTPException,  # mid-response drop: transient
+            ) as e:
                 with lock:
                     if n_try < attempts:
                         queue.append(url)
                     else:
                         failures[url] = f"{type(e).__name__}: {e}"
+                continue
+            except Exception as e:  # noqa: BLE001 — the accounting contract:
+                # an unexpected error (malformed URL ValueError, decode bug)
+                # must land the URL in `failures`, never die with a worker
+                # thread and leave it in NEITHER dict (review r5 #1)
+                with lock:
+                    failures[url] = f"{type(e).__name__}: {e}"
                 continue
             with lock:
                 results[url] = body

@@ -252,6 +252,11 @@ def refresh_http_csvp(
 
         pdf[time_col] = parse_iso_utc_naive(pdf[time_col])
     df = spark.createDataFrame(pdf)
+    if time_col in df.columns:
+        # NTZ, not LTZ: the backfill path for the same data (the
+        # erddap_csvp_http chunked scan) publishes timestamp_ntz, and a
+        # union of snapshot + backfill must not hit a flavor mismatch
+        df = df.withColumn(time_col, F.col(time_col).cast("timestamp_ntz"))
     target = atomic_overwrite(df, sink_dir)
     state = load_state(sink_dir)
     if lm is not None:

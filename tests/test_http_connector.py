@@ -503,3 +503,71 @@ def test_every_ddl_type_is_readable():
         schema = _schema_from_ddl(f"c {typ}")
         tbl = _table_for_schema(pd.DataFrame({"c": vals}), schema)
         assert tbl.num_rows == 1, typ
+
+
+def test_fetch_all_accounts_for_every_url(server):
+    """Accounting contract (review r5): every input URL lands in exactly
+    one of results/failures — even one with a malformed scheme that
+    raises ValueError, in both sequential and threaded modes."""
+    _, base = server
+    urls = [
+        f"{base}/tabledap/glider_dsx.csvp?time",
+        "notaurl://nope",  # ValueError: unknown url type
+        f"{base}/tabledap/missing.csvp?time",  # 404
+    ]
+    for workers in (1, 4):
+        results, failures = http_fetch.fetch_all(
+            urls, attempts=2, timeout_s=5.0, max_workers=workers
+        )
+        assert set(results) | set(failures) == set(urls)
+        assert set(results) & set(failures) == set()
+        assert urls[0] in results
+        assert "ValueError" in failures[urls[1]] or "unknown url" in failures[urls[1]]
+        assert "404" in failures[urls[2]]
+
+
+def test_boolean_column_with_missing_values(spark, tmp_path):
+    from erddap2agol_spark.sources import erddap_http
+
+    csvp = tmp_path / "flags2.csvp"
+    csvp.write_text(
+        "time (UTC),qc_pass (1)\n"
+        "2024-03-01T00:30:00Z,True\n"
+        "2024-03-01T01:30:00Z,NaN\n"
+        "2024-03-01T02:30:00Z,False\n"
+    )
+    s = ErddapFixtureServer(csvp_fixtures={"flags2": str(csvp)})
+    base = s.start()
+    try:
+        erddap_http.register(spark)
+        df = (
+            spark.read.format("erddap_csvp_http")
+            .option("urls", f"{base}/tabledap/flags2.csvp?time,qc_pass")
+            .option("schema_ddl", "time timestamp_ntz, qc_pass boolean")
+            .load()
+        )
+        got = [r["qc_pass"] for r in df.orderBy("time").collect()]
+        assert got == [True, None, False]
+    finally:
+        s.stop()
+
+
+def test_disjoint_and_descending_chunk_bounds():
+    """Continuation-aware bounds (review r5): disjoint windows stay
+    fully CLOSED (no boundary row silently dropped); a descending
+    adjacent list still gets the exclusive bound on the continued
+    endpoint, not on a positional guess."""
+    d = dt.datetime
+    disjoint = [
+        TimeRange(d(2024, 1, 1), d(2024, 1, 2)),
+        TimeRange(d(2024, 3, 1), d(2024, 3, 2)),
+    ]
+    urls = tabledap_chunk_urls("http://x", "ds", ["time", "v"], disjoint)
+    assert all("%3C%3D" in u for u in urls)  # both closed
+    descending = [
+        TimeRange(d(2024, 1, 2), d(2024, 1, 3)),  # the TRUE last window
+        TimeRange(d(2024, 1, 1), d(2024, 1, 2)),  # continued by the first
+    ]
+    urls = tabledap_chunk_urls("http://x", "ds", ["time", "v"], descending)
+    assert "%3C%3D" in urls[0]  # max-time window keeps its closed bound
+    assert "%3C%3D" not in urls[1] and "time%3C" in urls[1]

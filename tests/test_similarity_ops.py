@@ -428,3 +428,21 @@ def test_dot_arrow_bit_identical_to_fold(spark):
     )
     assert both.filter(F.col("fold") != F.col("arrow")).count() == 0
     assert both.count() > 0
+
+
+def test_stack_rows_rejects_permuted_views():
+    """A permuted set of views into one buffer must NOT take the
+    zero-copy path (it would reshape into the wrong row order); the
+    vstack fallback returns the caller's order (review r5)."""
+    import numpy as np
+    import pandas as pd
+
+    from erddap2agol_spark.operators.similarity import _stack_rows
+
+    n, d = 6, 4
+    flat = np.arange(n * d, dtype=np.float32)
+    views = [flat[i * d : (i + 1) * d] for i in range(n)]
+    views[1], views[2] = views[2], views[1]  # same span, permuted interior
+    m = _stack_rows(pd.Series(views))
+    assert not np.shares_memory(m, flat) or (m[1] == views[1]).all()
+    np.testing.assert_array_equal(m, np.vstack(views))

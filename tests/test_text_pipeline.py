@@ -220,3 +220,18 @@ def test_char_entropy_known_values(spark):
     assert got[3] == 0.0
     assert got[4] == 0.0
     assert 3.5 <= got[5] <= 4.8  # English prose band
+
+
+def test_char_entropy_null_text_stays_null(spark):
+    """NULL text -> NULL entropy (relational semantics, matching the
+    char_entropy_filter oracle); empty string stays the 0.0 convention."""
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame([(1, None), (2, "")], "id int, text string")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", char_entropy(F.col("text")).alias("h")).collect()
+    }
+    assert got[1] is None and got[2] == 0.0

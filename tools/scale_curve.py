@@ -270,26 +270,32 @@ def main() -> None:
 
     families = os.environ.get("SCALE_CURVE_FAMILIES", "docs,events").split(",")
 
-    dirs: dict[tuple[int, str], str] = {}
     plan: list[tuple[str, str]] = []
     if "docs" in families:
-        for m in mults:
-            dirs[(m, "salted")] = build_dir(spark, m, scrambled=False)
-            dirs[(m, "scrambled")] = build_dir(spark, m, scrambled=True)
         plan += (
             [(q, "salted") for q in LINEAR_QUERIES]
             + [(q, "scrambled") for q in PAIR_QUERIES]
             + [(q, "salted") for q in ANN_QUERIES]
         )
     if "events" in families:
-        for m in mults:
-            dirs[(m, "events")] = build_events_dir(spark, m)
         plan += [(q, "events") for q in EVENT_QUERIES]
 
     only = os.environ.get("SCALE_CURVE_QUERIES")
     if only:
         wanted = {q.strip() for q in only.split(",") if q.strip()}
         plan = [(q, tag) for q, tag in plan if q in wanted]
+
+    # build only the corpora the FILTERED plan touches — the builds are
+    # the tool's dominant wall-clock cost
+    dirs: dict[tuple[int, str], str] = {}
+    tags = {tag for _, tag in plan}
+    for m in mults:
+        if "salted" in tags:
+            dirs[(m, "salted")] = build_dir(spark, m, scrambled=False)
+        if "scrambled" in tags:
+            dirs[(m, "scrambled")] = build_dir(spark, m, scrambled=True)
+        if "events" in tags:
+            dirs[(m, "events")] = build_events_dir(spark, m)
 
     results: dict[str, dict[int, tuple[float, int]]] = {}
     for q, tag in plan:
