@@ -59,6 +59,10 @@ HEADLINE = [
     # round 4 close: the warehouse temporal join (window as-of form —
     # its oracle is the validity-range theta join DuckDB must execute)
     "scd2_point_in_time",
+    # round 5: probe-dispatched set-similarity and the shuffle-free
+    # character-entropy quality filter
+    "dedup_jaccard_auto",
+    "char_entropy_filter",
 ]
 
 
