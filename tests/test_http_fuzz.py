@@ -127,3 +127,67 @@ def test_tabledap_query_parser_roundtrip(cols, n_cons):
     got_proj, got_cons = _parse_tabledap_query(raw)
     assert got_proj == cols
     assert got_cons == cons
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    n_rows=st.integers(min_value=0, max_value=25),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_csvp_parse_seam_roundtrip(n_rows, seed):
+    """Random typed csvp bodies (doubles with NaN holes, booleans with
+    holes, longs, strings, ISO times) survive the connector's parse
+    seam: _read_csvp_text + _table_for_schema reproduce the source
+    values, nulls where the wire says NaN, in schema order."""
+    import math
+    import random
+
+    from erddap2agol_spark.sources.erddap_http import (
+        _read_csvp_text,
+        _schema_from_ddl,
+        _table_for_schema,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_rows):
+        t = _BASE + dt.timedelta(seconds=i * 61)
+        v = None if rng.random() < 0.2 else round(rng.uniform(-50, 50), 3)
+        b = rng.choice([True, False, None])
+        k = rng.randint(-1000, 1000)
+        s = rng.choice(["alpha", "beta", "gamma"])
+        rows.append((t, v, b, k, s))
+    lines = ["time (UTC),v (m),ok (1),k (count),tag"]
+    for t, v, b, k, s in rows:
+        lines.append(
+            ",".join(
+                [
+                    t.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    "NaN" if v is None else repr(v),
+                    "NaN" if b is None else str(b),
+                    str(k),
+                    s,
+                ]
+            )
+        )
+    text = "\n".join(lines) + "\n"
+    schema = _schema_from_ddl(
+        "time timestamp_ntz, v double, ok boolean, k long, tag string"
+    )
+    pdf = _read_csvp_text(text)
+    if n_rows == 0:
+        assert len(pdf) == 0
+        return
+    tbl = _table_for_schema(pdf, schema)
+    got = tbl.to_pylist()
+    assert len(got) == n_rows
+    for want, g in zip(rows, got):
+        t, v, b, k, s = want
+        assert g["time"].replace(tzinfo=None) == t
+        if v is None:
+            assert g["v"] is None or math.isnan(g["v"])
+        else:
+            assert abs(g["v"] - v) < 1e-9
+        assert g["ok"] == b
+        assert g["k"] == k
+        assert g["tag"] == s

@@ -83,6 +83,8 @@ LINEAR_QUERIES = [
     # round-4 continuation additions
     "doc_chunks_overlap",
     "langid_confusion",
+    # round 5: shuffle-free per-doc character entropy
+    "char_entropy_filter",
 ]
 PAIR_QUERIES = [
     "dedup_minhash_lsh",
