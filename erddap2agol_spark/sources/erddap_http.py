@@ -32,7 +32,12 @@ from dataclasses import dataclass
 from typing import Iterator
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 @dataclass
@@ -171,6 +176,20 @@ class ErddapCsvpHttpDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "ErddapCsvpHttpReader":
         return ErddapCsvpHttpReader(self._urls(), schema, self.options)
 
+    def simpleStreamReader(self, schema: T.StructType) -> "ErddapCsvpHttpStreamReader":
+        url = self.options.get("stream_url")
+        if not url:
+            raise ValueError(
+                "erddap_csvp_http streaming needs option 'stream_url' "
+                "(a tabledap .csvp URL with projection, no time constraint)"
+            )
+        if not self.options.get("schema_ddl"):
+            raise ValueError(
+                "erddap_csvp_http streaming needs an explicit schema_ddl "
+                "(no plan-time inference on a stream)"
+            )
+        return ErddapCsvpHttpStreamReader(url, schema, self.options)
+
 
 class ErddapCsvpHttpReader(DataSourceReader):
     def __init__(self, urls: list[str], schema: T.StructType, options):
@@ -200,6 +219,69 @@ class ErddapCsvpHttpReader(DataSourceReader):
         yield from _table_for_schema(pdf, self.schema).to_batches(
             max_chunksize=1 << 16
         )
+
+
+class ErddapCsvpHttpStreamReader(SimpleDataSourceStreamReader):
+    """ST1 over the wire as a Structured Streaming SOURCE: each
+    microbatch polls the tabledap endpoint for rows with event time
+    STRICTLY past the committed high-water mark — the reference's NRT
+    loop ('download the window, skip when nothing is newer') expressed
+    through Spark's offset protocol, so exactly-once comes from the
+    offset log + sink commit, not hand-rolled state.
+
+    Offsets are the ISO-Z high-water mark (lexicographic == chronologic
+    for a fixed ISO layout). ``readBetweenOffsets`` replays a committed
+    batch by re-fetching ``(start, end]`` — deterministic because an
+    ERDDAP archive's PAST window is immutable (late data lands with new
+    event times and is picked up by a later batch; watermark/late
+    semantics compose downstream).
+
+    One GET per microbatch, driver-side — the NRT window is bounded by
+    cadence, not the archive; backfill at scale is the chunked batch
+    scan. The ``time_col`` option names the hwm column (default
+    ``time``).
+    """
+
+    _EPOCH = "1970-01-01T00:00:00Z"
+
+    def __init__(self, url: str, schema: T.StructType, options):
+        self.url = url
+        self.schema_ = schema
+        self.time_col = options.get("time_col", "time")
+        self.attempts = int(options.get("attempts", 3))
+        self.timeout_s = float(options.get("timeout_s", 120.0))
+
+    def initialOffset(self) -> dict:
+        return {"hwm": self._EPOCH}
+
+    def _fetch_rows(self, lo: str, hi: str | None) -> list[dict]:
+        from .http_fetch import fetch_with_retry
+
+        url = f"{self.url}&{self.time_col}%3E{lo}"
+        if hi is not None:
+            url += f"&{self.time_col}%3C%3D{hi}"
+        text = fetch_with_retry(
+            url, attempts=self.attempts, timeout_s=self.timeout_s
+        ).decode()
+        pdf = _read_csvp_text(text)
+        if len(pdf) == 0:
+            return []
+        return _table_for_schema(pdf, self.schema_).to_pylist()
+
+    def _tuples(self, rows: list[dict]) -> list[tuple]:
+        names = [f.name for f in self.schema_.fields]
+        return [tuple(r[n] for n in names) for r in rows]
+
+    def read(self, start: dict):
+        rows = self._fetch_rows(start["hwm"], None)
+        if not rows:
+            # iter(list): the prefetch cache copy.copy()s the iterator
+            return iter([]), start
+        hwm = max(r[self.time_col] for r in rows).strftime("%Y-%m-%dT%H:%M:%SZ")
+        return iter(self._tuples(rows)), {"hwm": hwm}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return self._tuples(self._fetch_rows(start["hwm"], end["hwm"]))
 
 
 def register(spark) -> None:

@@ -571,3 +571,74 @@ def test_disjoint_and_descending_chunk_bounds():
     urls = tabledap_chunk_urls("http://x", "ds", ["time", "v"], descending)
     assert "%3C%3D" in urls[0]  # max-time window keeps its closed bound
     assert "%3C%3D" not in urls[1] and "time%3C" in urls[1]
+
+
+def test_streaming_source_over_http_exactly_once(spark, tmp_path):
+    """ST1 over the wire as a Structured Streaming SOURCE: offsets are
+    the time high-water mark, so a checkpointed restart ingests only
+    rows newer than the committed mark — exactly-once across restarts,
+    driven by polling a (mutable) tabledap endpoint."""
+    from erddap2agol_spark.sources import erddap_http
+
+    src = tmp_path / "live.csvp"
+    hdr = "time (UTC),v (m)\n"
+    day1 = "".join(
+        f"2024-03-01T{h:02d}:30:00Z,{float(h)}\n" for h in range(4)
+    )
+    src.write_text(hdr + day1)
+    s = ErddapFixtureServer(csvp_fixtures={"live": str(src)})
+    base = s.start()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        erddap_http.register(spark)
+
+        def run_once():
+            stream = (
+                spark.readStream.format("erddap_csvp_http")
+                .option("stream_url", f"{base}/tabledap/live.csvp?time,v")
+                .option("schema_ddl", "time timestamp_ntz, v double")
+                .option("urls", "unused")  # batch-path option, not consumed
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        got = spark.read.parquet(out)
+        assert sorted(r["v"] for r in got.collect()) == [0.0, 1.0, 2.0, 3.0]
+
+        # new upstream rows; restart from the same checkpoint
+        day2 = "".join(
+            f"2024-03-02T{h:02d}:30:00Z,{float(100 + h)}\n" for h in range(2)
+        )
+        src.write_text(hdr + day1 + day2)
+        run_once()
+        vals = sorted(r["v"] for r in spark.read.parquet(out).collect())
+        # day-1 rows exactly once, day-2 rows appended
+        assert vals == [0.0, 1.0, 2.0, 3.0, 100.0, 101.0]
+    finally:
+        s.stop()
+
+
+def test_streaming_source_requires_stream_url_and_ddl(spark):
+    from erddap2agol_spark.sources import erddap_http
+
+    erddap_http.register(spark)
+    with pytest.raises(Exception, match="stream_url"):
+        (
+            spark.readStream.format("erddap_csvp_http")
+            .option("urls", "http://x/a.csvp?time")
+            .option("schema_ddl", "time timestamp_ntz")
+            .load()
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
