@@ -944,7 +944,15 @@ def jaccard_regime_probe(
         return "posting"  # empty corpus (or empty sample): cheap default
     ratio = row["p"] / row["n"]
     if eff_rate is not None:
-        ratio = ratio / eff_rate  # undo the binomial df thinning
+        # Undo the binomial df thinning. Under doc sampling at rate r,
+        # E[df_s] = r*df and E[df_s^2] = r^2*df^2 + r(1-r)*df, so
+        # E[sum(df_s^2)/sum(df_s)] ~ r*ratio + (1-r): a plain `/ r`
+        # over-corrects by (1-r)/r — at r=1% that alone is ~99, which
+        # dispatches a perfectly uniform corpus (true ratio ~1) to the
+        # ~40x-slower prefix regime (ADVICE r5). Subtract the additive
+        # thinning term first, then rescale; the true ratio is >= 1 by
+        # Cauchy-Schwarz, so clamp there.
+        ratio = max(1.0, (ratio - (1.0 - eff_rate)) / eff_rate)
     return "prefix" if ratio > fanout_threshold else "posting"
 
 

@@ -62,15 +62,24 @@ def _stack_rows(series: "pd.Series"):
         # any sparse spot-check but would reshape into the WRONG row
         # order; the full check rides the same O(n) pass as the length
         # check (review r5 #7)
-        ptrs = np.fromiter(
-            (x.__array_interface__["data"][0] for x in arr),
-            count=n,
-            dtype=np.int64,
-        )
+        try:
+            # element 0 being an ndarray does not guarantee the REST are
+            # (heterogeneous object rows: mixed list/ndarray) — a later
+            # non-ndarray lacks __array_interface__/.shape, so the gather
+            # itself is the cheapest completeness check; any failure
+            # falls back to np.vstack, which handles mixed rows
+            # (ADVICE r5)
+            ptrs = np.fromiter(
+                (x.__array_interface__["data"][0] for x in arr),
+                count=n,
+                dtype=np.int64,
+            )
+            lens = np.fromiter((x.shape[0] for x in arr), count=n, dtype=np.int64)
+        except (AttributeError, TypeError):
+            return np.vstack(arr)
         if np.array_equal(
             ptrs, p0 + np.arange(n, dtype=np.int64) * (d * it)
         ):
-            lens = np.fromiter((x.shape[0] for x in arr), count=n, dtype=np.int64)
             if (lens == d).all():
                 # reshape(-1) on a non-contiguous base silently COPIES,
                 # making pointer arithmetic meaningless; the final

@@ -111,9 +111,13 @@ def geojson_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("track_id"), F.col("o_orderkey").alias("key")
     )
     feats = o.select(feature_json(props, geom).alias("feature"))
+    # pid-keyed: two concurrent runs against the same scale factor must
+    # not race on one sink directory (one overwrites while the other
+    # parses collection.geojson — ADVICE r5)
     out = os.path.join(
         tempfile.gettempdir(),
-        f"erddap2agol_geojson_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"erddap2agol_geojson_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
     )
     geojson_sink.register(spark)
     (

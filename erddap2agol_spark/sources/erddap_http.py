@@ -277,7 +277,14 @@ class ErddapCsvpHttpStreamReader(SimpleDataSourceStreamReader):
         if not rows:
             # iter(list): the prefetch cache copy.copy()s the iterator
             return iter([]), start
-        hwm = max(r[self.time_col] for r in rows).strftime("%Y-%m-%dT%H:%M:%SZ")
+        # Microsecond precision (still fixed-layout => lexicographic ==
+        # chronologic): truncating to whole seconds would commit a hwm
+        # BELOW the delivered max for fractional-second datasets, so the
+        # next poll (time>hwm) re-delivers rows in (hwm, max] and replay
+        # returns fewer rows than originally delivered (ADVICE r5).
+        hwm = max(r[self.time_col] for r in rows).strftime(
+            "%Y-%m-%dT%H:%M:%S.%fZ"
+        )
         return iter(self._tuples(rows)), {"hwm": hwm}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:

@@ -48,13 +48,26 @@ def _parse_tabledap_query(raw_query: str) -> tuple[list[str], list[tuple[str, st
     return proj, cons
 
 
+def _iso(s: str):
+    from datetime import datetime, timezone
+
+    try:
+        d = datetime.fromisoformat(s[:-1] if s.endswith("Z") else s)
+    except ValueError:
+        return None
+    return d if d.tzinfo else d.replace(tzinfo=timezone.utc)
+
+
 def _cmp(op: str, a: str, b: str) -> bool:
-    # numeric constraints compare as numbers; ISO-8601 Z strings of
-    # equal layout compare correctly as text
+    # numeric constraints compare as numbers; ISO-8601 timestamps parse
+    # (handles MIXED layouts: a fractional-second hwm like ...00.500000Z
+    # vs whole-second cells, where text order is wrong); equal-layout
+    # strings fall back to text
     try:
         a2, b2 = float(a), float(b)
     except ValueError:
-        a2, b2 = a, b
+        ia, ib = _iso(a), _iso(b)
+        a2, b2 = (ia, ib) if ia is not None and ib is not None else (a, b)
     return {
         ">=": a2 >= b2,
         "<=": a2 <= b2,

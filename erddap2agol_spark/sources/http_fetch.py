@@ -150,8 +150,13 @@ def fetch_all(
     """
     import threading
 
-    queue: deque[str] = deque(urls)
-    tried: dict[str, int] = {u: 0 for u in urls}
+    # Deduplicate while preserving order: duplicate inputs would share
+    # one attempt counter (halving the retry budget) and could land in
+    # BOTH dicts when one instance succeeds and another fails fatally
+    # (ADVICE r5). The contract is per-URL, so each distinct URL is
+    # fetched once.
+    queue: deque[str] = deque(dict.fromkeys(urls))
+    tried: dict[str, int] = {u: 0 for u in queue}
     results: dict[str, bytes] = {}
     failures: dict[str, str] = {}
     lock = threading.Lock()

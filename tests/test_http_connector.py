@@ -627,6 +627,72 @@ def test_streaming_source_over_http_exactly_once(spark, tmp_path):
         s.stop()
 
 
+def test_streaming_source_subsecond_hwm_exactly_once(spark, tmp_path):
+    """ADVICE r5: a whole-second hwm format truncated fractional max
+    times, so (hwm, max] rows were re-delivered next poll — duplicates
+    across microbatches. The microsecond-precision hwm must keep
+    sub-second datasets exactly-once across a checkpointed restart."""
+    from erddap2agol_spark.sources import erddap_http
+
+    src = tmp_path / "subsec.csvp"
+    hdr = "time (UTC),v (m)\n"
+    batch1 = (
+        "2024-03-01T12:00:00.250Z,1.0\n"
+        "2024-03-01T12:00:00.500Z,2.0\n"
+    )
+    src.write_text(hdr + batch1)
+    s = ErddapFixtureServer(csvp_fixtures={"subsec": str(src)})
+    base = s.start()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        erddap_http.register(spark)
+
+        def run_once():
+            stream = (
+                spark.readStream.format("erddap_csvp_http")
+                .option("stream_url", f"{base}/tabledap/subsec.csvp?time,v")
+                .option("schema_ddl", "time timestamp_ntz, v double")
+                .option("urls", "unused")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        assert sorted(
+            r["v"] for r in spark.read.parquet(out).collect()
+        ) == [1.0, 2.0]
+        # a row strictly inside the truncation gap (12:00:00, 12:00:00.5]
+        # would be re-delivered by a whole-second hwm; plus a later row
+        src.write_text(hdr + batch1 + "2024-03-01T12:00:00.750Z,3.0\n")
+        run_once()
+        vals = sorted(r["v"] for r in spark.read.parquet(out).collect())
+        assert vals == [1.0, 2.0, 3.0]  # no duplicate 1.0/2.0
+    finally:
+        s.stop()
+
+
+def test_fetch_all_deduplicates_input_urls(server):
+    """ADVICE r5: duplicate input URLs shared one attempt counter
+    (halving the retry budget) and could land in BOTH dicts. Inputs are
+    deduplicated up front: each distinct URL fetched once, full budget."""
+    s, base = server
+    url = f"{base}/tabledap/glider_dsx.csvp?time"
+    s.fail_next("glider_dsx", 2)  # needs the FULL 3-attempt budget
+    results, failures = http_fetch.fetch_all(
+        [url, url, url], attempts=3, timeout_s=5.0
+    )
+    assert url in results and not failures
+    assert len(s.request_log) == 3  # 2 failures + 1 success — fetched once
+
+
 def test_streaming_source_requires_stream_url_and_ddl(spark):
     from erddap2agol_spark.sources import erddap_http
 

@@ -94,6 +94,23 @@ def test_sampled_probe_agrees_with_exact(spark, uniform_docs, skewed_docs):
         dedup.jaccard_regime_probe(uniform_docs, "doc_id", "text", sample_rate=0.0)
 
 
+def test_small_rate_probe_is_unbiased_on_uniform(spark):
+    """ADVICE r5: under binomial doc thinning E[sum(df_s^2)/sum(df_s)]
+    ~ r*ratio + (1-r), so a plain `/ r` correction inflates a perfectly
+    uniform corpus (true ratio ~1) to ~1/r — at the 100 TB sample rates
+    (r < 1/64) that mis-dispatched uniform corpora to the ~40x-slower
+    prefix regime. The additive-term-subtracting correction must keep
+    the uniform fixture in the posting regime at a 1% sample."""
+    rows = [
+        (i, " ".join(f"u{i}w{j}" for j in range(12))) for i in range(2000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert (
+        dedup.jaccard_regime_probe(docs, "doc_id", "text", sample_rate=0.01)
+        == "posting"
+    )
+
+
 def test_fanout_threshold_is_the_dispatch_knob(spark, uniform_docs):
     # forcing the threshold below 1 flips even the uniform corpus to the
     # prefix branch — proving dispatch consults the probe, not the data

@@ -414,6 +414,24 @@ def test_stack_rows_zero_copy_and_fallback():
     np.testing.assert_array_equal(m2, m)
 
 
+def test_stack_rows_heterogeneous_rows_fall_back(spark):
+    """ADVICE r5: the zero-copy fast path is chosen from element 0
+    alone; a later non-ndarray row (mixed list/ndarray object Series)
+    must fall back to vstack, not crash the scan task with
+    AttributeError."""
+    import numpy as np
+    import pandas as pd
+
+    from erddap2agol_spark.operators.similarity import _stack_rows
+
+    n, d = 8, 4
+    flat = np.arange(n * d, dtype=np.float32)
+    rows = [flat[i * d : (i + 1) * d] for i in range(n)]
+    rows[5] = list(rows[5])  # heterogeneous: a plain-list row
+    m = _stack_rows(pd.Series(rows, dtype=object))
+    np.testing.assert_array_equal(m, flat.reshape(n, d))
+
+
 def test_dot_arrow_bit_identical_to_fold(spark):
     """dot_arrow must equal the interpreted fold BIT-for-bit (no
     rounding slack): same values through both the zero-copy batch path
