@@ -56,6 +56,7 @@ def _load_all() -> None:
     from . import orderby_queries  # noqa: F401
     from . import pipeline_queries  # noqa: F401
     from . import qc_queries  # noqa: F401
+    from . import reference_surfaces  # noqa: F401
     from . import search_queries  # noqa: F401
     from . import sketch_queries  # noqa: F401
     from . import reference_core  # noqa: F401
@@ -74,46 +75,38 @@ def _load_all() -> None:
 # rows.  Everything else follows in registration order and rotates into the
 # window in later rounds.
 _GRADE_PRIORITY: list[str] = [
-    # ROUND 4 window. 68 queries have never had a driver row (11 late-r3
-    # additions VERDICT r3 names explicitly + 57 added this round); the
-    # window is 50, so: (a) the 11 first, (b) 39 round-4 additions led by
-    # the judge-named deliverables (griddap_ingest — VERDICT task 4,
-    # ann_ivf_recall — task 6).  The 18 deferred round-4 queries (the
-    # remaining TPC-H fills q7/q9/q11-q16/q19/q20/q22 and small
-    # derived-analytics ones) stay oracle-parity-checked locally and
-    # rotate into the r5 window.
-    # (a) never driver-graded, late round-3 additions (VERDICT r3 §missing #3)
-    "asof_next_purchase", "doc_length_log_histogram",
-    "intersect_converting_users", "q6_forecast_revenue",
-    "q10_returned_items", "q17_correlated_sql", "sensor_trend",
-    "source_lang_entropy", "table_profile", "unpivot_lineitem_measures",
-    "value_rank_distribution",
-    # (b) round-4 additions — judge-named deliverables first
-    "griddap_ingest", "ann_ivf_recall", "quantile_sketch_prices",
-    # dedup/similarity/LM additions
-    "tile_dedup_stats", "tile_dedup_clean", "dedup_jaccard_prefix",
-    "dedup_sparse_cosine", "lm_perplexity", "lm_quality_gate",
-    "bpe_top_merges", "token_communities", "contrastive_negatives",
-    "embedding_dim_profile", "jl_distortion",
-    # sketch family
-    "hll_distinct_users", "hll_weekly_rollup", "kmv_pair_overlap",
-    "cms_join_size_estimate",
-    # graph / spatial / interval
-    "kcore_copurchase", "label_prop_communities", "alert_polygon_hits",
-    "interval_overlap_counts",
-    # data-quality / governance / semantics
-    "expectations_report", "referential_integrity_report",
-    "benford_first_digit", "k_anonymity_report", "null_semantics_matrix",
-    "null_aware_anti_join", "weighted_median_by_type",
-    # incremental-maintenance / warehouse-pattern family
-    "incremental_agg_merge", "incremental_join_merge",
-    "merge_upsert_users", "scd2_user_tiers",
-    # mixture diagnostics / sampling (source_token_kl rotates to r5 —
-    # its dsir siblings cover the family's first driver look)
-    "dsir_lang_lift", "dsir_weights_topk", "weighted_sample_per_lang",
-    # TPC-H fills that are also headline-bench queries
-    "q2_min_cost_supplier", "q18_large_volume_customers",
-    "q21_late_sole_suppliers",
+    # ROUND 6 window. 57 registry queries have never had a driver
+    # CORRECTNESS row (r5 graded the r4 window again); the window is 50:
+    # (a) the 12 round-6 additions closing the pytest-only SURVEY §2
+    # gaps (VERDICT r5 #1/#7/#8), (b) the round-5 physical-path and
+    # grid queries the judge marked "local", (c) every other
+    # never-graded query except 7 deferred TPC-H fills
+    # (q13/q14/q15/q16/q19/q20/q22 — locally oracle-green, their family
+    # already has driver rows via q2/q18/q21; they rotate into r7).
+    # (a) round-6 reference-surface grades
+    "das_parse_metadata", "das_schema_plan", "feed_items_parse",
+    "feed_geometry_assembly", "json_flatten_types",
+    "datetime_decode_matrix", "url_compile_goldens",
+    "publish_portal_roundtrip", "nrt_gate_cycles", "nrt_http_304",
+    "streaming_neardup_replay", "griddap_stride",
+    # (b) round-5 wire/grid/sink queries judged "local"
+    "csvp_glider_segments", "csvp_glider_segments_http",
+    "griddap_ingest_http", "geojson_sink_roundtrip",
+    "schema_drift_union", "grid_bilinear_regrid", "grid_sigma_t",
+    "dedup_jaccard_auto", "char_entropy_filter",
+    # (c) the remaining never-graded set
+    "event_transition_matrix", "scd2_point_in_time", "source_venn",
+    "props_variant_stats", "basket_association_rules",
+    "measure_correlations", "revenue_share_of_parent", "asof_cogrouped",
+    "doc_chunks_overlap", "langid_confusion", "stratified_exact_split",
+    "hierarchy_closure", "fuzzy_name_variants", "source_token_kl",
+    "orderby_max_value", "orderby_minmax_ts", "orderby_count_cols",
+    "orderby_limit_first5", "orderby_closest_6h",
+    "heavy_hitters_users", "rolling_weekly_active_users",
+    "wow_revenue_change", "interp_hourly_linear", "time_weighted_avg",
+    "ohlc_daily_value",
+    "q7_volume_shipping", "q9_product_type_profit",
+    "q11_important_stock", "q12_late_priority_counts",
 ]
 
 

@@ -696,3 +696,86 @@ def dedup_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_auto(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5
     )
+
+
+_NEARDUP_SIG_CTES = f"""
+    {_SHINGLES_CTE},
+    h AS (SELECT doc, md5('a:' || sh) AS h0, md5('b:' || sh) AS h1 FROM sh),
+    sig AS (
+      SELECT doc,
+             min(substr(h0, 1, 8))  AS m0, min(substr(h0, 9, 8))  AS m1,
+             min(substr(h0, 17, 8)) AS m2, min(substr(h0, 25, 8)) AS m3,
+             min(substr(h1, 1, 8))  AS m4, min(substr(h1, 9, 8))  AS m5,
+             min(substr(h1, 17, 8)) AS m6, min(substr(h1, 25, 8)) AS m7
+      FROM h GROUP BY doc
+    ),
+    bands AS (
+      SELECT doc, 0 AS band, m0 || '|' || m1 AS band_sig FROM sig UNION ALL
+      SELECT doc, 1, m2 || '|' || m3 FROM sig UNION ALL
+      SELECT doc, 2, m4 || '|' || m5 FROM sig UNION ALL
+      SELECT doc, 3, m6 || '|' || m7 FROM sig
+    )
+"""
+
+
+@register(
+    "streaming_neardup_replay",
+    oracle=f"""
+    WITH {_NEARDUP_SIG_CTES},
+    b0 AS (SELECT * FROM bands WHERE doc % 3 = 0),
+    min0 AS (SELECT band, band_sig, min(doc) AS m FROM b0 GROUP BY 1, 2),
+    drop0 AS (SELECT DISTINCT b.doc FROM b0 b
+              JOIN min0 m ON b.band = m.band AND b.band_sig = m.band_sig
+              WHERE b.doc > m.m),
+    acc0 AS (SELECT * FROM b0 WHERE doc NOT IN (SELECT doc FROM drop0)),
+    b1 AS (SELECT * FROM bands WHERE doc % 3 = 1),
+    hit1 AS (SELECT DISTINCT b.doc FROM b1 b
+             JOIN acc0 s ON b.band = s.band AND b.band_sig = s.band_sig),
+    b1f AS (SELECT * FROM b1 WHERE doc NOT IN (SELECT doc FROM hit1)),
+    min1 AS (SELECT band, band_sig, min(doc) AS m FROM b1f GROUP BY 1, 2),
+    drop1 AS (SELECT DISTINCT b.doc FROM b1f b
+              JOIN min1 m ON b.band = m.band AND b.band_sig = m.band_sig
+              WHERE b.doc > m.m),
+    acc1 AS (SELECT * FROM b1f WHERE doc NOT IN (SELECT doc FROM drop1)),
+    b2 AS (SELECT * FROM bands WHERE doc % 3 = 2),
+    store2 AS (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1),
+    hit2 AS (SELECT DISTINCT b.doc FROM b2 b
+             JOIN store2 s ON b.band = s.band AND b.band_sig = s.band_sig),
+    b2f AS (SELECT * FROM b2 WHERE doc NOT IN (SELECT doc FROM hit2)),
+    min2 AS (SELECT band, band_sig, min(doc) AS m FROM b2f GROUP BY 1, 2),
+    drop2 AS (SELECT DISTINCT b.doc FROM b2f b
+              JOIN min2 m ON b.band = m.band AND b.band_sig = m.band_sig
+              WHERE b.doc > m.m),
+    acc2 AS (SELECT * FROM b2f WHERE doc NOT IN (SELECT doc FROM drop2))
+    SELECT 0 AS ingest_batch, doc AS doc_id FROM (SELECT DISTINCT doc FROM acc0)
+    UNION ALL
+    SELECT 1, doc FROM (SELECT DISTINCT doc FROM acc1)
+    UNION ALL
+    SELECT 2, doc FROM (SELECT DISTINCT doc FROM acc2)
+    """,
+    doc="The streaming near-dup ingest gate (streaming/neardup.py) as a "
+    "deterministic batch replay (VERDICT r5 #8): the documents corpus "
+    "arrives as three micro-batches (doc_id % 3, processed 0->1->2); "
+    "each batch rejects docs whose MinHash band bucket collides with "
+    "ACCEPTED history (broadcast probe, history never shuffles), then "
+    "resolves within-batch collisions per bucket to the minimum doc id, "
+    "and appends survivors under ingest_batch=<id> (replay-idempotent "
+    "overwrite). The oracle unrolls the same three-stage gate in SQL "
+    "over the identical chunked-md5 signature algebra as "
+    "dedup_minhash_lsh — the full accepted corpus is hash-graded.",
+)
+def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.neardup import ingest_batch, read_accepted
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="e2a_neardup_replay_")
+    store, out = f"{root}/store", f"{root}/out"
+    for b in range(3):
+        ingest_batch(docs.filter(F.col("doc_id") % 3 == b), b, store, out)
+    return read_accepted(spark, out).select(
+        F.col("ingest_batch").cast("int").alias("ingest_batch"), "doc_id"
+    )
