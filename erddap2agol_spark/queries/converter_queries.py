@@ -194,3 +194,58 @@ def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.format").alias("format"),
         F.col("media_meta.digest").alias("digest"),
     )
+
+
+@register(
+    "png_decode_resize",
+    oracle="""
+    WITH px AS (
+      SELECT media_id, y, x, c,
+             (media_id*13 + (y*4)*7 + (x*4)*3 + c*11) % 256 AS v
+      FROM (SELECT unnest(generate_series(1, 4)) AS media_id),
+           (SELECT unnest(generate_series(0, 3)) AS y),
+           (SELECT unnest(generate_series(0, 5)) AS x),
+           (SELECT unnest(generate_series(0, 2)) AS c)
+    )
+    SELECT media_id, 'png' AS format, 24 AS src_width, 16 AS src_height,
+           3 AS n_channels,
+           md5(string_agg(printf('%02X', v), '' ORDER BY y, x, c))
+             AS resized_digest
+    FROM px GROUP BY media_id
+    """,
+    doc="The REAL multimodal codec path (VERDICT r5 #2): formula-"
+    "generated RGB images are encoded to genuine PNG bytes (zlib "
+    "scanlines, filter types cycling 0-4), decoded back inside the "
+    "bounded-batch mapInPandas seam (functions/png.py — stdlib zlib + "
+    "numpy unfiltering, no image library), and nearest-neighbor resized "
+    "24x16 -> 6x4. The oracle never sees a PNG: DuckDB recomputes the "
+    "expected resized pixels straight from the generating formula "
+    "(src = floor(dst*src_size/dst_size) sampling) and hashes the "
+    "raster hex — a hash match proves encode -> decode -> unfilter -> "
+    "resample end to end.",
+)
+def png_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..functions.png import encode_png
+
+    rows = []
+    for mid in range(1, 5):
+        img = np.fromfunction(
+            lambda y, x, c: (mid * 13 + y * 7 + x * 3 + c * 11) % 256,
+            (16, 24, 3),
+        ).astype(np.uint8)
+        rows.append((mid, bytearray(encode_png(img))))
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    dec = multimodal.decode_media(df, "media_id", "blob")
+    rsz = multimodal.resize_media(df, "media_id", "blob", 6, 4)
+    digest = rsz.select(
+        "media_id", F.md5(F.upper(F.hex("data"))).alias("resized_digest")
+    )
+    return dec.select(
+        "media_id",
+        "format",
+        F.col("width").alias("src_width"),
+        F.col("height").alias("src_height"),
+        "n_channels",
+    ).join(digest, "media_id")

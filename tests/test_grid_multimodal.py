@@ -144,12 +144,15 @@ def test_decode_media_fake_deterministic(spark, media):
     assert all(16 <= w <= 255 for w, _, _ in r1.values())
 
 
-def test_decode_media_stub_raises_without_fake(spark, media):
+def test_decode_media_real_raises_on_non_png(spark, media):
+    """The seam contract after the real PNG branch landed: non-PNG
+    blobs still raise (NotImplementedError), and a blob that merely
+    STARTS with the PNG magic fails parsing loudly (ValueError) — never
+    wrong pixels."""
     with pytest.raises(Exception) as exc_info:
         multimodal.decode_media(media, "media_id", "payload", fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
+    msg = str(exc_info.value)
+    assert "NotImplementedError" in msg or "ValueError" in msg
 
 
 def test_frame_sample_plan(spark):
@@ -178,14 +181,85 @@ def test_resize_media_fake_shape_and_determinism(spark, media):
     assert rows1[1] != rows1[2]
 
 
-def test_resize_media_stub_raises_without_fake(spark, media):
+def test_resize_media_real_raises_on_non_png(spark, media):
     with pytest.raises(Exception) as exc_info:
         multimodal.resize_media(
             media, "media_id", "payload", width=8, height=4, fake=False
         ).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+    msg = str(exc_info.value)
+    assert "NotImplementedError" in msg or "ValueError" in msg
+
+
+def _formula_png(mid: int, h: int = 16, w: int = 24):
+    import numpy as np
+
+    from erddap2agol_spark.functions.png import encode_png
+
+    img = np.fromfunction(
+        lambda y, x, c: (mid * 13 + y * 7 + x * 3 + c * 11) % 256, (h, w, 3)
+    ).astype(np.uint8)
+    return img, encode_png(img)
+
+
+def test_decode_media_real_png(spark):
+    """The REAL codec branch (VERDICT r5 #2): genuine PNG bytes through
+    the bounded-batch seam come back with the actual pixel dimensions,
+    not digest-derived fakes."""
+    blobs = [(mid, bytearray(_formula_png(mid)[1])) for mid in (1, 2)]
+    df = spark.createDataFrame(blobs, "media_id long, payload binary")
+    out = {
+        r.media_id: (r.format, r.width, r.height, r.n_channels)
+        for r in multimodal.decode_media(df, "media_id", "payload").collect()
+    }
+    assert out[1] == ("png", 24, 16, 3) and out[2] == ("png", 24, 16, 3)
+
+
+def test_resize_media_real_png_nearest_and_box(spark):
+    import numpy as np
+
+    from erddap2agol_spark.functions.png import resize_box, resize_nearest
+
+    img, blob = _formula_png(3)
+    df = spark.createDataFrame(
+        [(3, bytearray(blob))], "media_id long, payload binary"
     )
+    for mode, ref in (("nearest", resize_nearest), ("box", resize_box)):
+        row = multimodal.resize_media(
+            df, "media_id", "payload", width=6, height=4, mode=mode
+        ).collect()[0]
+        got = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(4, 6, 3)
+        np.testing.assert_array_equal(got, ref(img, 6, 4))
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode_png cycles filter types 0-4 across rows; decode must
+    invert every unfilter path bit-exactly, for 1/2/3/4-channel images
+    and degenerate 1x1."""
+    import numpy as np
+
+    from erddap2agol_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 24, 3), (5, 5, 1), (7, 3, 4), (11, 13, 2), (1, 1, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from erddap2agol_spark.functions.png import decode_png, encode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot really")
+    with _pytest.raises(ValueError):
+        decode_png(b"JUNK")
+    # truncated valid stream
+    import numpy as np
+
+    blob = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        decode_png(blob[: len(blob) - 20])
 
 
 def test_props_variant_dirty_rows_degrade_to_null(spark):
