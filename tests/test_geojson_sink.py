@@ -99,3 +99,36 @@ def test_commit_sweeps_stray_attempt_files(registered, tmp_path):
     assert not any(f.endswith(".inprogress") for f in files)
     doc = json.load(open(os.path.join(path, "collection.geojson")))
     assert len(doc["features"]) == 1
+
+
+def test_writer_distinct_spool_and_commit_roots(registered, tmp_path):
+    """The fsio seam (VERDICT r5 #4): tasks spool parts under one root,
+    the committer publishes parts + collection + manifest under a
+    DIFFERENT root (copied through the filesystem clients) — the final
+    directory is self-contained, no single shared path namespace
+    assumed."""
+    import json
+    import os
+
+    spark = registered
+    spool = str(tmp_path / "staging")
+    final = str(tmp_path / "published")
+    feats = spark.range(20).selectExpr(
+        """concat('{"type":"Feature","properties":{"i":', id,
+                  '},"geometry":null}') AS feature"""
+    )
+    (
+        feats.write.format("geojson_fc")
+        .mode("overwrite")
+        .option("assemble", "true")
+        .option("spool_path", spool)
+        .save(final)
+    )
+    man = json.load(open(os.path.join(final, "_manifest.json")))
+    assert man["n_features"] == 20
+    # every manifest-listed part exists under the COMMIT root
+    for p in man["parts"]:
+        assert os.path.exists(os.path.join(final, p["file"]))
+    doc = json.load(open(os.path.join(final, "collection.geojson")))
+    assert len(doc["features"]) == 20
+    assert {f["properties"]["i"] for f in doc["features"]} == set(range(20))

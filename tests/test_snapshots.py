@@ -288,3 +288,55 @@ def test_schema_evolution_across_appends(spark, tmp_path):
     by_id = {r.id: r.score for r in got.collect()}
     # pre-evolution rows surface the new column as NULL
     assert by_id[1] is None and by_id[3] == 9.5
+
+
+def test_manifest_io_on_memory_fs():
+    """The fsio seam (VERDICT r5 #4): the manifest/HEAD protocol —
+    optimistic-lock commits, head publish, history, retention — runs
+    unchanged on a non-POSIX filesystem (MemoryFS: create_exclusive is
+    check-and-insert, atomic publish is an object put, directories are
+    implicit). Data files are faked through the same client; Spark never
+    runs here."""
+    from erddap2agol_spark.plans import snapshots
+    from erddap2agol_spark.sinks import fsio
+
+    mem = fsio.MemoryFS()
+    fsio.register_filesystem("memtest", mem)
+    root = "memtest://tbl"
+    try:
+        snapshots.init(root)
+        # fake two immutable data files through the client
+        for b, name in (("batch-a", "part-00000-x.parquet"),
+                        ("batch-b", "part-00000-y.parquet")):
+            with mem.open(f"tbl/data/{b}/{name}", "w") as f:
+                f.write("bytes")
+        v1 = snapshots._commit(root, ["data/batch-a/part-00000-x.parquet"],
+                               "append", parent=None)
+        v2 = snapshots._commit(
+            root,
+            ["data/batch-a/part-00000-x.parquet",
+             "data/batch-b/part-00000-y.parquet"],
+            "append", parent=v1)
+        assert (v1, v2) == (1, 2)
+        assert snapshots.current_version(root) == 2
+        assert len(snapshots.manifest(root, 1)["files"]) == 1
+        assert [m["version"] for m in snapshots.history(root)] == [1, 2]
+        # optimistic lock holds on the dict store too
+        import pytest as _pytest
+
+        with _pytest.raises(snapshots.SnapshotConflict):
+            snapshots._commit(root, [], "append", parent=v1)
+        # retention through the client: v1 manifest dropped, its
+        # now-unreferenced batch dir swept once past the grace window
+        mem.mtimes = {k: 0.0 for k in mem.mtimes}  # age everything
+        dropped, deleted = snapshots.expire_versions(root, keep_last=1)
+        assert dropped == 1 and deleted == 0  # batch-a still in v2's list
+        v3 = snapshots._commit(
+            root, ["data/batch-b/part-00000-y.parquet"], "overwrite", parent=v2)
+        mem.mtimes = {k: 0.0 for k in mem.mtimes}
+        dropped, deleted = snapshots.expire_versions(root, keep_last=1)
+        assert dropped == 1 and deleted == 1  # batch-a now unreferenced
+        assert not mem.exists("tbl/data/batch-a")
+        assert snapshots.current_version(root) == v3
+    finally:
+        fsio._REGISTRY.pop("memtest", None)
