@@ -1,0 +1,81 @@
+"""Chunked raster store (K5, sinks/raster.py): tile orientation,
+nodata round-trip, edge padding, manifest commit marker."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from erddap2agol_spark.sinks import raster
+
+
+@pytest.fixture()
+def cells(spark):
+    # 3 lat x 5 lon grid, one slice; value = iy*10 + ix from the NORTH
+    # (lat 30 is row 0), one NaN hole at (iy=1, ix=2)
+    rows = []
+    for iy, lat in enumerate([30.0, 29.0, 28.0]):
+        for ix, lon in enumerate([-95.0, -94.0, -93.0, -92.0, -91.0]):
+            v = float("nan") if (iy, ix) == (1, 2) else float(iy * 10 + ix)
+            rows.append(("sst", "2024-03-01", lat, lon, v))
+    return spark.createDataFrame(
+        rows, "var string, t string, lat double, lon double, value double"
+    )
+
+
+def test_tile_block_orientation_north_first(spark, cells, tmp_path):
+    """Row 0 of tile (0, 0) must be the NORTHERNMOST latitude (the
+    reference's lat flip, agol_wrangler.py:235-261) — asserted on the
+    raw block bytes, not through the reader (a shared indexing error in
+    writer+reader would cancel out in a round-trip)."""
+    root = str(tmp_path / "r")
+    meta = raster.write_raster_tiles(
+        cells, root, slice_cols=("t",), tile_h=2, tile_w=3
+    )
+    t00 = next(
+        t for t in meta["tiles"] if (t["ty"], t["tx"]) == (0, 0)
+    )
+    block = np.frombuffer(
+        open(os.path.join(root, t00["path"]), "rb").read(), dtype=np.float64
+    ).reshape(2, 3)
+    # north-west corner = (iy=0, ix=0) = 0.0; row 1 starts at iy=1 -> 10
+    assert block[0, 0] == 0.0 and block[0, 2] == 2.0
+    assert block[1, 0] == 10.0
+    # the NaN hole landed as nodata in tile (0,0)? (iy=1, ix=2) is in
+    # this tile (rows 0-1, cols 0-2)
+    assert block[1, 2] == meta["nodata"]
+    assert meta["wkid"] == 4326
+
+
+def test_roundtrip_values_nodata_and_edge_padding(spark, cells, tmp_path):
+    root = str(tmp_path / "r")
+    raster.write_raster_tiles(cells, root, slice_cols=("t",), tile_h=2, tile_w=3)
+    back = raster.read_raster_tiles(spark, root)
+    got = {(r["lat"], r["lon"]): r["value"] for r in back.collect()}
+    # exactly the lattice positions, no edge-tile padding rows
+    assert len(got) == 15
+    assert got[(30.0, -95.0)] == 0.0
+    assert got[(28.0, -91.0)] == 24.0
+    assert got[(29.0, -93.0)] is None  # the NaN hole -> nodata -> NULL
+
+
+def test_manifest_is_commit_marker(spark, cells, tmp_path):
+    root = str(tmp_path / "r")
+    raster.write_raster_tiles(cells, root, slice_cols=("t",), tile_h=2, tile_w=3)
+    meta = json.load(open(os.path.join(root, "_raster_meta.json")))
+    assert meta["n_lat"] == 3 and meta["n_lon"] == 5
+    assert len(meta["tiles"]) == 4  # ceil(3/2) x ceil(5/3)
+    assert sum(t["n_cells"] for t in meta["tiles"]) == 15
+
+
+def test_non_uniform_axis_rejected(spark, tmp_path):
+    bad = spark.createDataFrame(
+        [("v", "t0", 30.0, -95.0, 1.0), ("v", "t0", 29.0, -95.0, 1.0),
+         ("v", "t0", 27.5, -95.0, 1.0)],
+        "var string, t string, lat double, lon double, value double",
+    )
+    with pytest.raises(ValueError, match="non-uniform"):
+        raster.write_raster_tiles(bad, str(tmp_path / "r"), slice_cols=("t",))
