@@ -81,7 +81,7 @@ _GRADE_PRIORITY: list[str] = [
     # gaps (VERDICT r5 #1/#7/#8), (b) the round-5 physical-path and
     # grid queries the judge marked "local", (c) every other
     # never-graded query except 7 deferred TPC-H fills
-    # (q13/q14/q15/q16/q19/q20/q22 — locally oracle-green, their family
+    # (q9/q11/q12/q13/q14/q15/q16/q19/q20/q22 — locally oracle-green; family
     # already has driver rows via q2/q18/q21; they rotate into r7).
     # (a) round-6 reference-surface grades
     "das_parse_metadata", "das_schema_plan", "feed_items_parse",
@@ -89,7 +89,7 @@ _GRADE_PRIORITY: list[str] = [
     "datetime_decode_matrix", "url_compile_goldens",
     "publish_portal_roundtrip", "nrt_gate_cycles", "nrt_http_304",
     "streaming_neardup_replay", "griddap_stride", "png_decode_resize",
-    "raster_roundtrip",
+    "raster_roundtrip", "agol_rest_roundtrip",
     # (b) round-5 wire/grid/sink queries judged "local"
     "csvp_glider_segments", "csvp_glider_segments_http",
     "griddap_ingest_http", "geojson_sink_roundtrip",
@@ -106,7 +106,7 @@ _GRADE_PRIORITY: list[str] = [
     "heavy_hitters_users", "rolling_weekly_active_users",
     "wow_revenue_change", "interp_hourly_linear", "time_weighted_avg",
     "ohlc_daily_value",
-    "q7_volume_shipping", "q9_product_type_profit",
+    "q7_volume_shipping",
 ]
 
 

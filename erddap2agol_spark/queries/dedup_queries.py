@@ -774,8 +774,15 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="e2a_neardup_replay_")
     store, out = f"{root}/store", f"{root}/out"
+    accepted = 0
     for b in range(3):
-        ingest_batch(docs.filter(F.col("doc_id") % 3 == b), b, store, out)
+        accepted += ingest_batch(
+            docs.filter(F.col("doc_id") % 3 == b), b, store, out
+        )
+    if accepted == 0:
+        # zero-row robustness: an all-empty stream never creates the
+        # sink directory — the accepted corpus is the empty frame
+        return spark.createDataFrame([], "ingest_batch int, doc_id long")
     return read_accepted(spark, out).select(
         F.col("ingest_batch").cast("int").alias("ingest_batch"), "doc_id"
     )

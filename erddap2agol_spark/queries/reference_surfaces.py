@@ -606,6 +606,15 @@ def nrt_gate_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     now1, now2 = "2024-01-20 00:00:00", "2024-01-24 00:00:00"
     src1 = events.filter(F.col("ts") <= F.lit(now1).cast("timestamp"))
     src2 = events.filter(F.col("ts") <= F.lit(now2).cast("timestamp"))
+
+    def snap_count() -> int:
+        # zero-row robustness: a cycle that published nothing leaves no
+        # snapshot to read — 0 rows, not FileNotFoundError
+        try:
+            return nrt.read_current(spark, sink).count()
+        except FileNotFoundError:
+            return 0
+
     rows = []
     r1 = nrt.refresh(src1, "ts", sink, window_days=7, now=now1)
     rows.append(
@@ -613,7 +622,7 @@ def nrt_gate_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cycle1_publish",
             r1["published"],
             "published" if r1["published"] else r1["reason"],
-            nrt.read_current(spark, sink).count(),
+            snap_count(),
         )
     )
     r2 = nrt.refresh(src1, "ts", sink, window_days=7, now=now1)
@@ -624,7 +633,7 @@ def nrt_gate_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cycle3_publish",
             r3["published"],
             "published" if r3["published"] else r3["reason"],
-            nrt.read_current(spark, sink).count(),
+            snap_count(),
         )
     )
     window1 = src1.filter(
@@ -703,3 +712,76 @@ def nrt_http_304(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cycle string, published boolean, detail string, n_rows bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# K3/K6/K8 over the WIRE — ArcGIS-REST transport vs the loopback portal
+# ---------------------------------------------------------------------------
+
+_AGOL_REST_ORACLE = """
+SELECT * FROM (VALUES
+  ('item1', 'Buoy 42 Observations', 'snip',
+   (SELECT count(*) FROM region), (SELECT sum(r_regionkey) FROM region)),
+  ('item2', 'Buoy 42 Observations_2', 'snip',
+   (SELECT count(*) FROM nation), (SELECT sum(n_nationkey) FROM nation))
+) AS t(item, title, snippet, n_rows, key_sum)
+"""
+
+
+@register(
+    "agol_rest_roundtrip",
+    oracle=_AGOL_REST_ORACLE,
+    doc="The publish surface's REST TRANSPORT (VERDICT r5 missing #1), "
+    "graded end to end against the loopback ArcGIS-REST portal "
+    "(sinks/agol_httpd.py): addItem with the 409 title-collision rename "
+    "loop (postAndPublish agol_wrangler.py:527-568), publish to a "
+    "feature service, an OVERWRITE that swaps the service data while "
+    "backup->restore preserves the item properties over the wire "
+    "(OverwriteFS.py:268-805 contract in three REST calls), and paged "
+    "FeatureServer query readback. Row counts and key sums of the "
+    "read-back services are graded cross-engine against the source "
+    "tables.",
+)
+def agol_rest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.agol_httpd import AgolFixturePortal
+    from ..sinks.agol_rest import AgolRestClient, publish_df, read_service
+    from ..sinks.publish import ItemProperties
+    from ..sources.tables import load_table
+
+    portal = AgolFixturePortal()
+    base = portal.start()
+    try:
+        client = AgolRestClient(base)
+        props = ItemProperties(
+            title="Buoy 42 Observations", snippet="snip",
+            license_info="Public domain", tags=["e2a_layer", "buoy_42"],
+        )
+        nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+        region = load_table(spark, sf_dir, "region").select("r_regionkey")
+        i1, s1 = publish_df(nation, client, props)
+        i2, s2 = publish_df(nation, client, props)  # 409 -> rename _2
+        changed = ItemProperties(
+            title="Buoy 42 Observations", snippet="SHOULD NOT APPEAR",
+            tags=list(props.tags),
+        )
+        publish_df(region, client, changed, overwrite=True)
+        rows = []
+        for label, iid, sid, schema, key in (
+            ("item1", i1, s1, "r_regionkey long", "r_regionkey"),
+            ("item2", i2, s2, "n_nationkey long", "n_nationkey"),
+        ):
+            back = read_service(spark, client, sid, schema, page_size=7)
+            agg = back.agg(
+                F.count(F.lit(1)).alias("n"), F.sum(key).alias("s")
+            ).first()
+            pr = client.item_properties(iid)
+            rows.append(
+                (label, pr["title"], pr["snippet"], agg["n"], agg["s"])
+            )
+        return spark.createDataFrame(
+            rows,
+            "item string, title string, snippet string, "
+            "n_rows bigint, key_sum bigint",
+        )
+    finally:
+        portal.stop()

@@ -28,6 +28,14 @@ registered factory (:func:`register_filesystem`) or fsspec.  Spark's
 own parquet read/write keeps using its Hadoop filesystems (that path
 already speaks object stores natively); this seam covers the Python-
 side I/O around it.
+
+Executor-side resolution: sink code that runs INSIDE tasks (the GeoJSON
+part spool, raster tile writes) calls :func:`for_path` in the Python
+worker process — plain paths and fsspec schemes resolve there natively
+(fsspec must be installed cluster-wide, as any object-store client
+must); the in-process ``register_filesystem`` registry is
+driver-local by nature, so registered custom schemes serve driver-side
+I/O (snapshot manifests) and tests.
 """
 
 from __future__ import annotations

@@ -108,6 +108,10 @@ def content_fingerprint(df: DataFrame) -> str:
         )
         .first()
     )
+    if row["n"] == 0:
+        # empty batch: bit_xor over zero rows is NULL — a stable token,
+        # not a NoneType format crash (zero-row robustness sweep, r6)
+        return "empty-0"
     return f"{row['xa']:x}-{row['xb']:x}-{row['n']}"
 
 
