@@ -49,6 +49,8 @@ def encode_png(img: np.ndarray) -> bytes:
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
+    if c not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported channel count {c} (need 1-4)")
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = bytearray()

@@ -63,13 +63,20 @@ def hyperslab(
         if time_index is not None:
             out = out.filter(time_index % time_stride == 0)
         else:
+            from .dedup import truncate_lineage
             from .windows import _ranged_row_number
 
             # distinct rows: row_number == dense_rank, so the scalable
             # ranged numbering reproduces the rank-based step index
-            # without moving all steps to one partition
+            # without moving all steps to one partition.  The distinct
+            # step table materializes ONCE (review r6): the ranged
+            # numbering takes three driver actions (count + split-point
+            # sample + per-range counts), each of which would otherwise
+            # re-execute the full distinct-over-cells lineage.
             steps = _ranged_row_number(
-                out.select(time_col).distinct(), [time_col], "__step"
+                truncate_lineage(out.select(time_col).distinct()),
+                [time_col],
+                "__step",
             ).withColumn("__step", F.col("__step") - 1)
             out = out.join(
                 F.broadcast(steps.filter(F.col("__step") % time_stride == 0)),

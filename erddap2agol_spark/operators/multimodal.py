@@ -73,23 +73,22 @@ def _media_map(
     bin_col: str,
     schema: str,
     row_builder,
-    fake: bool,
     batch_rows: int,
-    codec_name: str,
 ) -> DataFrame:
     """Shared ``mapInPandas`` scaffolding for per-blob media work.
 
     ``row_builder(media_id, blob)`` maps one (nullable id, bytes) pair
-    to an output dict; the scaffold owns the fake-guard, NULL handling
-    (NULL blob -> empty bytes, NULL id passes through as None), and
-    BOTH batch bounds: the inner chunk loop bounds OUTPUT-row
-    construction, and — because Arrow's input batch size is a SESSION
-    knob, not a per-operator one — the session's
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` is lowered to
-    ``batch_rows`` if it is currently larger, so an incoming batch can
-    never materialize more than ``batch_rows`` source blobs either.
-    (Session-wide by necessity; media pipelines want small Arrow
-    batches everywhere blobs flow.)
+    to an output dict and owns format dispatch (real PNG decode /
+    deterministic fake / the :func:`_require_png` seam for everything
+    else); the scaffold owns NULL handling (NULL blob -> empty bytes,
+    NULL id passes through as None) and BOTH batch bounds: the inner
+    chunk loop bounds OUTPUT-row construction, and — because Arrow's
+    input batch size is a SESSION knob, not a per-operator one — the
+    session's ``spark.sql.execution.arrow.maxRecordsPerBatch`` is
+    lowered to ``batch_rows`` if it is currently larger, so an incoming
+    batch can never materialize more than ``batch_rows`` source blobs
+    either.  (Session-wide by necessity; media pipelines want small
+    Arrow batches everywhere blobs flow.)
     """
     spark = df.sparkSession
     key = "spark.sql.execution.arrow.maxRecordsPerBatch"
@@ -171,10 +170,7 @@ def decode_media(
             "duration_ms": 0,
         }
 
-    return _media_map(
-        df, id_col, bin_col, DECODE_SCHEMA, build, fake, batch_rows,
-        "media codecs",
-    )
+    return _media_map(df, id_col, bin_col, DECODE_SCHEMA, build, batch_rows)
 
 
 def frame_sample_plan(
@@ -221,6 +217,10 @@ def resize_media(
     ``fake=True`` keeps the md5-keystream pseudo-raster for
     format-agnostic plumbing tests.
     """
+    if mode not in ("nearest", "box"):
+        # garbage-in contract: an unknown mode must not silently select
+        # a different resampler (review r6)
+        raise ValueError(f"unknown resize mode {mode!r} (nearest|box)")
     n_channels = 3
     out_len = width * height * n_channels
 
@@ -256,7 +256,4 @@ def resize_media(
             "data": small.tobytes(),
         }
 
-    return _media_map(
-        df, id_col, bin_col, RESIZE_SCHEMA, build, fake, batch_rows,
-        "image codecs",
-    )
+    return _media_map(df, id_col, bin_col, RESIZE_SCHEMA, build, batch_rows)

@@ -210,8 +210,11 @@ def _file_may_match(root: str, relpath: str, col: str, lo, hi) -> bool:
     import pyarrow.parquet as pq
 
     fs, r = for_path(root)
-    pf = pq.ParquetFile(fs.open(fs.join(r, relpath), "rb"))
-    md = pf.metadata
+    # the footer loads eagerly at construction; close the handle before
+    # using the metadata (review r6: one leaked fd / remote connection
+    # PER candidate file during a large delete_where)
+    with fs.open(fs.join(r, relpath), "rb") as fh:
+        md = pq.ParquetFile(fh).metadata
     if md.num_row_groups == 0:
         return True
     for rg in range(md.num_row_groups):

@@ -164,6 +164,8 @@ class MemoryFS(FileSystem):
 
         class _W(io.StringIO if "b" not in mode else io.BytesIO):  # type: ignore[misc]
             def close(self_inner) -> None:
+                if self_inner.closed:  # io contract: close is idempotent
+                    return
                 val = self_inner.getvalue()
                 fs.files[p] = val if isinstance(val, bytes) else val.encode()
                 fs.mtimes[p] = time.time()

@@ -109,17 +109,27 @@ class GeoJSONWriter(DataSourceWriter):
         self.column = column
         self.overwrite = overwrite
         self.assemble = assemble
-        self.spool = spool or path
-        for root in {self.path, self.spool}:
-            fs, p = for_path(root)
-            if fs.exists(p):
-                if overwrite:
-                    fs.rmtree(p)
-                elif fs.listdir(p):
-                    raise FileExistsError(
-                        f"{root} exists and is non-empty; use mode('overwrite')"
-                    )
-            fs.makedirs(p)
+        if spool and spool != path:
+            # a UNIQUE job-owned subdirectory under the caller's spool
+            # prefix: concurrent writers sharing one staging prefix can
+            # never see (or delete) each other's parts, and overwrite
+            # mode never rmtree's a directory this writer doesn't own
+            # (review r6)
+            # joined at the URL level so the scheme survives re-resolution
+            self.spool = spool.rstrip("/") + f"/.spool-{uuid.uuid4().hex}"
+            sfs, sp = for_path(self.spool)
+            sfs.makedirs(sp)
+        else:
+            self.spool = path
+        fs, p = for_path(self.path)
+        if fs.exists(p):
+            if overwrite:
+                fs.rmtree(p)
+            elif fs.listdir(p):
+                raise FileExistsError(
+                    f"{path} exists and is non-empty; use mode('overwrite')"
+                )
+        fs.makedirs(p)
 
     # runs on EXECUTORS
     def write(self, iterator: Iterator) -> _PartMessage:
@@ -165,29 +175,37 @@ class GeoJSONWriter(DataSourceWriter):
         if self.spool != self.path:
             # distinct spool/commit roots: publish parts into the final
             # root through the clients, so the committed directory is
-            # self-contained and the spool can be garbage-collected
+            # self-contained and the spool can be garbage-collected.
+            # Chunked streaming — a part is never slurped whole into
+            # driver memory (review r6)
             for m in parts:
-                with sfs.open(sfs.join(sp, m.filename), "r") as src, dfs.open(
-                    dfs.join(dp, m.filename), "w"
+                with sfs.open(sfs.join(sp, m.filename), "rb") as src, dfs.open(
+                    dfs.join(dp, m.filename), "wb"
                 ) as dst:
-                    dst.write(src.read())
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        dst.write(chunk)
         manifest = {
             "parts": [
                 {"file": m.filename, "n_features": m.n_features} for m in parts
             ],
             "n_features": sum(m.n_features for m in parts),
         }
-        # best-effort sweep of retry/speculation strays (a zombie attempt
-        # finishing after this sweep is why readers must use the manifest)
-        referenced = {m.filename for m in parts}
-        for f in sfs.listdir(sp):
-            if f.endswith(".inprogress") or (
-                f.endswith(".ndjson") and f not in referenced
-            ):
-                try:
-                    sfs.remove(sfs.join(sp, f))
-                except OSError:
-                    pass
+        if self.spool == self.path:
+            # best-effort sweep of retry/speculation strays (a zombie
+            # attempt finishing after this sweep is why readers must use
+            # the manifest)
+            referenced = {m.filename for m in parts}
+            for f in sfs.listdir(sp):
+                if f.endswith(".inprogress") or (
+                    f.endswith(".ndjson") and f not in referenced
+                ):
+                    try:
+                        sfs.remove(sfs.join(sp, f))
+                    except OSError:
+                        pass
         if self.assemble:
             out = dfs.join(dp, "collection.geojson")
             with dfs.open(out, "w") as dst:
@@ -207,9 +225,21 @@ class GeoJSONWriter(DataSourceWriter):
             manifest["collection"] = "collection.geojson"
         # manifest LAST: its presence is the commit marker
         dfs.write_atomic(dfs.join(dp, "_manifest.json"), json.dumps(manifest))
+        if self.spool != self.path:
+            # the job-owned staging dir (strays included) dies whole
+            try:
+                sfs.rmtree(sp)
+            except OSError:
+                pass
 
     def abort(self, messages) -> None:
         fs, sp = for_path(self.spool)
+        if self.spool != self.path:
+            try:
+                fs.rmtree(sp)  # job-owned staging dir
+            except OSError:
+                pass
+            return
         for m in messages:
             if m is not None:
                 try:

@@ -43,6 +43,21 @@ WKID = 4326  # the reference pins WGS84 (agol_wrangler.py copy_raster)
 _META = "_raster_meta.json"
 
 
+def _path_slug(s: str) -> str:
+    """Path-safe directory name for a var/slice value: F7 sanitization
+    plus an md5 tag whenever sanitization changed anything, so two
+    DISTINCT values can never collide onto one tile file (review r6:
+    'a b' vs 'a:b' both sanitize to 'a_b'; a var containing '/' would
+    escape the layout).  The manifest stores the RAW value; the slug is
+    only the storage address."""
+    import hashlib
+
+    clean = "".join(ch if ch.isalnum() or ch in "._-" else "_" for ch in s)
+    if clean == s and s not in ("", ".", ".."):
+        return clean
+    return f"{clean}-{hashlib.md5(s.encode()).hexdigest()[:8]}"
+
+
 @dataclass(frozen=True)
 class Lattice:
     lat0: float  # northernmost latitude (row 0 — the lat flip)
@@ -97,8 +112,17 @@ def write_raster_tiles(
     ix = F.round(
         (F.col(lon_col) - F.lit(lattice.lon0)) / F.lit(lattice.dlon)
     ).cast("int")
+    # the slice separator is escaped INSIDE each value first, so a value
+    # containing '|' can never collide with a multi-column combination
+    # (review r6: ('a','b') vs ('a|b',))
     slice_key = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("na")) for c in slice_cols]
+        "|",
+        *[
+            F.regexp_replace(
+                F.coalesce(F.col(c).cast("string"), F.lit("na")), r"\|", "%7C"
+            )
+            for c in slice_cols
+        ],
     )
     stamped = cells.select(
         F.col(var_col).alias("var"),
@@ -125,9 +149,8 @@ def write_raster_tiles(
         vals = np.where(np.isnan(vals), nd, vals)
         block[ry, rx] = vals
         fs, r = for_path(root_str)
-        # '=' and '|' are path-hostile; slice dirs are sanitized like F7
-        sdir = "".join(ch if ch.isalnum() or ch in "._-" else "_" for ch in sl)
-        d = fs.join(r, str(var), sdir)
+        vdir, sdir = _path_slug(str(var)), _path_slug(sl)
+        d = fs.join(r, vdir, sdir)
         fs.makedirs(d)
         fname = f"tile_{ty:04d}_{tx:04d}.f64"
         with fs.open(fs.join(d, fname), "wb") as f:
@@ -139,7 +162,7 @@ def write_raster_tiles(
                     "slice": sl,
                     "ty": ty,
                     "tx": tx,
-                    "path": f"{var}/{sdir}/{fname}",
+                    "path": f"{vdir}/{sdir}/{fname}",
                     "n_cells": int(len(pdf)),
                 }
             ]

@@ -132,3 +132,28 @@ def test_writer_distinct_spool_and_commit_roots(registered, tmp_path):
     doc = json.load(open(os.path.join(final, "collection.geojson")))
     assert len(doc["features"]) == 20
     assert {f["properties"]["i"] for f in doc["features"]} == set(range(20))
+
+
+def test_concurrent_writers_share_a_spool_prefix_safely(registered, tmp_path):
+    """Review r6: each write job owns a unique subdirectory under the
+    caller's spool prefix — a second overwrite-mode write must not
+    delete the first job's committed output or leave staging litter."""
+    import json
+    import os
+
+    spark = registered
+    spool = str(tmp_path / "staging")
+    for i, final in enumerate((str(tmp_path / "outA"), str(tmp_path / "outB"))):
+        feats = spark.range(5 + i).selectExpr(
+            """concat('{"type":"Feature","properties":{},"geometry":null}')
+               AS feature"""
+        )
+        (
+            feats.write.format("geojson_fc").mode("overwrite")
+            .option("spool_path", spool).option("assemble", "true").save(final)
+        )
+    a = json.load(open(os.path.join(str(tmp_path / "outA"), "_manifest.json")))
+    b = json.load(open(os.path.join(str(tmp_path / "outB"), "_manifest.json")))
+    assert (a["n_features"], b["n_features"]) == (5, 6)
+    # job-owned staging dirs were cleaned up after commit
+    assert os.listdir(spool) == []

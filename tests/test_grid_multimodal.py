@@ -325,3 +325,10 @@ def test_sigma_t_unesco_check_value(spark):
         f"SELECT round({sigma_t_sql('5.0', '35.0')}, 5)"
     ).fetchall()
     assert d == 27.67547
+
+
+def test_resize_media_rejects_unknown_mode(spark):
+    _, blob = _formula_png(1)
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, payload binary")
+    with pytest.raises(ValueError, match="unknown resize mode"):
+        multimodal.resize_media(df, "media_id", "payload", 4, 4, mode="bilinear")

@@ -79,3 +79,39 @@ def test_non_uniform_axis_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-uniform"):
         raster.write_raster_tiles(bad, str(tmp_path / "r"), slice_cols=("t",))
+
+
+def test_path_hostile_slice_values_do_not_collide(spark, tmp_path):
+    """Review r6: two slice values that sanitize identically ('a b' vs
+    'a:b') must land in DISTINCT tile files, and both read back with
+    their own pixels."""
+    rows = []
+    for sl, base in (("a b", 1.0), ("a:b", 100.0)):
+        for ix, lon in enumerate([-95.0, -94.0]):
+            rows.append(("v", sl, 30.0, lon, base + ix))
+    cells = spark.createDataFrame(
+        rows, "var string, t string, lat double, lon double, value double"
+    )
+    root = str(tmp_path / "r")
+    meta = raster.write_raster_tiles(
+        cells, root, slice_cols=("t",), tile_h=1, tile_w=2
+    )
+    paths = {t["path"] for t in meta["tiles"]}
+    assert len(paths) == 2  # distinct files despite identical sanitization
+    back = raster.read_raster_tiles(spark, root)
+    got = {(r["slice"], r["lon"]): r["value"] for r in back.collect()}
+    assert got[("a b", -95.0)] == 1.0 and got[("a:b", -95.0)] == 100.0
+
+
+def test_separator_in_slice_value_cannot_collide(spark, tmp_path):
+    """('a','b') as two slice columns vs a single value 'a|b' must be
+    two different slices (the separator is escaped inside values)."""
+    cells = spark.createDataFrame(
+        [("v", "a", "b", 30.0, -95.0, 1.0), ("v2", "a|b", "x", 30.0, -95.0, 2.0)],
+        "var string, s1 string, s2 string, lat double, lon double, value double",
+    )
+    meta = raster.write_raster_tiles(
+        cells, str(tmp_path / "r"), slice_cols=("s1", "s2"), tile_h=1, tile_w=1
+    )
+    slices = {t["slice"] for t in meta["tiles"]}
+    assert slices == {"a|b", "a%7Cb|x"}
