@@ -17,11 +17,11 @@ def _blocks() -> list[str]:
     return re.findall(r"```python\n(.*?)```", text, flags=re.S)
 
 
-def test_usage_doc_has_three_pipelines():
-    assert len(_blocks()) == 3
+def test_usage_doc_has_four_pipelines():
+    assert len(_blocks()) == 4
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3])
 def test_usage_block_runs_verbatim(spark, tmp_path, idx):
     block = _blocks()[idx]
     env = {
@@ -37,10 +37,18 @@ def test_usage_block_runs_verbatim(spark, tmp_path, idx):
     elif idx == 1:
         assert env["n_rows"] > 0
         assert env["stats"]["rows_in"] >= env["stats"]["rows_kept"]
-    else:
+    elif idx == 2:
         # the HTTP pipeline published once then skipped on 304; its own
         # asserts inside the block are the contract, plus the snapshot
         # must be readable
         from erddap2agol_spark.streaming import nrt
 
         assert nrt.read_current(spark, env["OUT_DIR"] + "/nrt").count() == 40
+    else:
+        # multimodal/raster/portal block: the raster store committed
+        import json as _json
+
+        meta = _json.load(
+            open(os.path.join(env["OUT_DIR"] + "/tiles", "_raster_meta.json"))
+        )
+        assert meta["wkid"] == 4326 and meta["tiles"]
