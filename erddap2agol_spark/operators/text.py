@@ -429,3 +429,54 @@ def bloom_contamination(docs, bench_sources: tuple[str, ...], n: int = 5):
             "bloom_frac"
         ),
     )
+
+
+def hashed_feature_weight(tok: Column, salt: str = "qw") -> Column:
+    """Deterministic per-feature weight in [-1, 1): the first 8 hex
+    digits of md5(salt:token) scaled from [0, 2^32) — the same
+    engine-portable coin as the JL sign matrix (similarity._jl_sign),
+    widened from a sign to a uniform weight.  No weight table exists
+    anywhere: the 'model' is the hash, so scoring is a pure map."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), tok)), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(2147483648.0)
+        - 1.0
+    )
+
+
+def linear_classifier_score(
+    df,
+    text_col: str,
+    out_col: str = "clf_score",
+    salt: str = "qw",
+    round_to: int = 6,
+):
+    """fastText-shaped linear text scorer (Joulin et al. 2016 shape):
+    unigram + bigram hashed features, a weight per feature, score =
+    mean feature weight.  Here the weight vector is DETERMINISTIC
+    (md5-derived — a stand-in for trained weights with identical plan
+    shape): swap :func:`hashed_feature_weight` for a broadcast lookup
+    of trained weights and nothing else changes.
+
+    Scale shape: pure narrow map in whole-stage codegen — zero shuffle,
+    zero state, linear in corpus bytes; the mean is a LEFT-TO-RIGHT
+    fold over (unigrams then bigrams) in document order, so the float
+    result is engine-portable under the 6dp round."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    feats = F.concat(toks, F.when(n >= 2, bigrams).otherwise(F.array()))
+    score = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, t: acc + hashed_feature_weight(t, salt),
+    ) / F.size(feats)
+    return df.withColumn(
+        out_col,
+        F.when(n > 0, F.round(score, round_to)),
+    )

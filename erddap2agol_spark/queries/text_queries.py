@@ -554,3 +554,192 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("entropy"),
         ((ent >= 3.0) & (ent <= 5.5)).cast("int").alias("keep"),
     )
+
+
+def _hex8_num(expr: str) -> str:
+    """DuckDB expression: first 8 hex digits of md5 string `expr` as a
+    number in [0, 2^32) — the cross-engine form of Spark's
+    conv(substr(md5, 1, 8), 16, 10)."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+_CLF_MD5 = "md5('qw:' || t)"
+_CLF_W = f"(CAST({_hex8_num(_CLF_MD5)} AS DOUBLE) / 2147483648.0 - 1.0)"
+
+
+@register(
+    "quality_linear_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             list_concat(
+               w,
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(generate_series(1, len(w) - 1),
+                                        i -> w[i] || '_' || w[i + 1])
+                    ELSE [] END) AS feats
+      FROM t
+    )
+    SELECT doc_id,
+           round(list_sum(list_transform(feats, t -> {_CLF_W}))
+                 / len(feats), 6) AS clf_score
+    FROM f
+    """,
+    doc="fastText-shaped linear quality classifier (Joulin et al. 2016 "
+    "shape): unigram + bigram hashed features, one weight per feature, "
+    "score = mean feature weight. The weight vector is deterministic "
+    "(md5-derived uniform in [-1,1) — trained weights would swap in as "
+    "a broadcast lookup with the identical plan): scoring is a pure "
+    "narrow map in whole-stage codegen, zero shuffle — the cheapest "
+    "possible quality gate at corpus scale.",
+)
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return T.linear_classifier_score(docs, "text").select("doc_id", "clf_score")
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rk,
+             sum(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM vocab
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM vocab)
+    SELECT CAST(min(CASE WHEN cum >= 0.50 * total THEN rk END) AS BIGINT)
+             AS v50,
+           CAST(min(CASE WHEN cum >= 0.90 * total THEN rk END) AS BIGINT)
+             AS v90,
+           CAST(min(CASE WHEN cum >= 0.99 * total THEN rk END) AS BIGINT)
+             AS v99,
+           CAST(max(rk) AS BIGINT) AS vocab_size,
+           CAST(max(cum) AS BIGINT) AS n_tokens
+    FROM ranked, tot
+    """,
+    doc="Tokenizer-design diagnostic: the vocabulary coverage curve — "
+    "how many most-frequent word types cover 50/90/99% of all token "
+    "occurrences (the readout that sizes a vocab before BPE training). "
+    "The corpus-sized work is ONE hash aggregate; the cumulative runs "
+    "over the top-2^20 types only (TakeOrderedAndProject — under any "
+    "Zipf-shaped corpus the 99% mass sits far inside that head, and no "
+    "practical tokenizer vocab exceeds it), so the ordered stage's "
+    "input is explicitly bounded, never the token stream.",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    head = vocab.orderBy(F.desc("n"), F.col("tok")).limit(1 << 20)
+    w = Window.orderBy(F.desc("n"), F.col("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy(F.desc("n"), F.col("tok"))
+    ranked = head.select(
+        F.row_number().over(wr).alias("rk"), F.sum("n").over(w).alias("cum")
+    )
+    total = vocab.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .agg(
+            F.min(F.when(F.col("cum") >= 0.50 * F.col("total"), F.col("rk")))
+            .cast("bigint").alias("v50"),
+            F.min(F.when(F.col("cum") >= 0.90 * F.col("total"), F.col("rk")))
+            .cast("bigint").alias("v90"),
+            F.min(F.when(F.col("cum") >= 0.99 * F.col("total"), F.col("rk")))
+            .cast("bigint").alias("v99"),
+            F.max("rk").cast("bigint").alias("vocab_size"),
+            F.max("cum").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "source_shingle_overlap",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT source, sh FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        FROM (SELECT source, regexp_split_to_array(lower(text), '\\s+') AS t
+              FROM documents)
+      )
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM s GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           round(CAST(n_common AS DOUBLE) / (x.n + y.n - n_common), 6)
+             AS jaccard
+    FROM common JOIN sizes x ON source_a = x.source
+                JOIN sizes y ON source_b = y.source
+    """,
+    doc="Exact pairwise SOURCE-level 3-gram Jaccard — the cross-source "
+    "contamination/diversity matrix a corpus curator reads before "
+    "mixing (the exact companion to kmv_pair_overlap's sketch "
+    "estimates). JOIN-FREE: each shingle aggregates its <=|sources| "
+    "present-source set, pairs explode from that bounded array "
+    "map-side, and one map-combined aggregate lands on <=|sources|^2 "
+    "keys — a shingle-keyed self-join (fan |sources|^2 per hot "
+    "shingle THROUGH the shuffle) measured 4x slower at sf0.1.",
+)
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    # one small parquet file = one input split; the shingle explode is
+    # the expensive map, so fan it out first (same ensure_parallelism
+    # discipline as every dedup operator — measured 4x here)
+    docs = dedup.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    s = docs.select(
+        "source",
+        F.explode(dedup.word_shingles(F.col("text"), 3)).alias("sh"),
+    ).distinct()
+    sizes = s.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    per_sh = s.groupBy("sh").agg(F.collect_set("source").alias("srcs"))
+    common = (
+        per_sh.select(F.explode("srcs").alias("source_a"), "srcs")
+        .select("source_a", F.explode("srcs").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    x = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    y = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(x), "source_a")
+        .join(F.broadcast(y), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

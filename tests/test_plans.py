@@ -548,6 +548,7 @@ NESTED_LOOP_JUSTIFIED = {
     "simhash_hamming_pairs",  # 1-row adaptive pair-join threshold
     "source_token_kl",  # 1-row corpus-total scalar
     "token_rarity",
+    "vocab_coverage",  # 1-row token-total scalar beside the capped head
 }
 
 CARTESIAN_JUSTIFIED = {"jl_distortion"}
