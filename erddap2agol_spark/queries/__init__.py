@@ -89,7 +89,7 @@ _GRADE_PRIORITY: list[str] = [
     "datetime_decode_matrix", "url_compile_goldens",
     "publish_portal_roundtrip", "nrt_gate_cycles", "nrt_http_304",
     "streaming_neardup_replay", "griddap_stride", "png_decode_resize",
-    "raster_roundtrip", "agol_rest_roundtrip",
+    "raster_roundtrip", "agol_rest_roundtrip", "glider_workflow_e2e",
     # (b) round-5 wire/grid/sink queries judged "local"
     "csvp_glider_segments", "csvp_glider_segments_http",
     "griddap_ingest_http", "geojson_sink_roundtrip",
@@ -106,7 +106,6 @@ _GRADE_PRIORITY: list[str] = [
     "heavy_hitters_users", "rolling_weekly_active_users",
     "wow_revenue_change", "interp_hourly_linear", "time_weighted_avg",
     "ohlc_daily_value",
-    "q7_volume_shipping",
 ]
 
 

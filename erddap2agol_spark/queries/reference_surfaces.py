@@ -785,3 +785,122 @@ def agol_rest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         portal.stop()
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §3.3 — the glider workflow end to end, over the wire
+# ---------------------------------------------------------------------------
+
+_GLIDER_E2E_ORACLE = f"""
+WITH raw AS (
+  SELECT "time (UTC)" AS t,
+         "latitude (degrees_north)" AS lat,
+         "longitude (degrees_east)" AS lon
+  FROM read_csv('{_CSVP_FIXTURE}', header=true, nullstr='NaN')
+),
+pts AS (SELECT t FROM raw WHERE lat IS NOT NULL AND lon IS NOT NULL)
+SELECT (SELECT count(*) FROM pts) - 1 AS n_segments,
+       (SELECT count(*) FROM pts) - 1 AS n_published,
+       (SELECT count(*) FROM raw) AS n_raw_rows,
+       (SELECT count(*) FROM pts) AS n_clean_points
+"""
+
+
+@register(
+    "glider_workflow_e2e",
+    oracle=_GLIDER_E2E_ORACLE,
+    doc="SURVEY §3.3 — the reference's glider workflow traced END TO "
+    "END over real transports in one graded plan: chunked tabledap "
+    "scan from the loopback ERDDAP server (one HTTP chunk per scan "
+    "task), invalid-coordinate drop + consecutive-point segment build "
+    "(scalable row numbering, agol_wrangler.pointTableToGeojsonLine), "
+    "two-point LineString Features rendered in codegen, the "
+    "executor-parallel geojson_fc sink assembling one "
+    "FeatureCollection, and the resulting layer published through the "
+    "ArcGIS-REST transport and read back from the portal's "
+    "FeatureServer. The oracle derives every count independently from "
+    "the committed csvp fixture — raw rows, plottable points, segments "
+    "(points-1 for a single track), and the published service's rows "
+    "must all agree.",
+)
+def glider_workflow_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import json
+
+    from ..functions import geometry
+    from ..sinks import geojson_sink
+    from ..sinks.agol_httpd import AgolFixturePortal
+    from ..sinks.agol_rest import AgolRestClient, publish_df, read_service
+    from ..sinks.geojson import feature_json
+    from ..sinks.publish import ItemProperties
+    from ..sources import erddap_http
+    from ..sources.erddap_url import TimeRange, tabledap_chunk_urls
+    from .grid_queries import _fixture_base_url, _glider_segments
+
+    base = _fixture_base_url()
+    erddap_http.register(spark)
+    d = dt.datetime
+    chunks = [
+        TimeRange(d(2024, 3, 1, 0, 0), d(2024, 3, 1, 13, 0)),
+        TimeRange(d(2024, 3, 1, 13, 0), d(2024, 3, 2, 5, 0)),
+        TimeRange(d(2024, 3, 2, 5, 0), d(2024, 3, 2, 20, 0)),
+    ]
+    cols = ["time", "latitude", "longitude", "depth", "sea_water_temperature"]
+    urls = tabledap_chunk_urls(base, "glider_track", cols, chunks)
+    scan = (
+        spark.read.format("erddap_csvp_http")
+        .option("urls", "\n".join(urls))
+        .option(
+            "schema_ddl",
+            "time timestamp_ntz, latitude double, longitude double, "
+            "depth double, sea_water_temperature double",
+        )
+        .option("timeout_s", "30")
+        .load()
+    )
+    n_raw = scan.count()
+    n_clean = scan.filter(
+        F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    ).count()
+    segs = _glider_segments(scan)
+    feats = segs.select(
+        feature_json(
+            F.struct(F.col("seg_id"), F.col("temp_end")),
+            geometry.segment_geojson(
+                F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+            ),
+        ).alias("feature")
+    )
+    out = tempfile.mkdtemp(prefix="e2a_glider_e2e_")
+    geojson_sink.register(spark)
+    (
+        feats.write.format("geojson_fc")
+        .mode("overwrite")
+        .option("assemble", "true")
+        .save(out)
+    )
+    with open(os.path.join(out, "collection.geojson")) as f:
+        doc = json.load(f)
+    n_features = len(doc["features"])
+    portal = AgolFixturePortal()
+    pbase = portal.start()
+    try:
+        client = AgolRestClient(pbase)
+        layer = spark.createDataFrame(
+            [(int(ft["properties"]["seg_id"]),) for ft in doc["features"]],
+            "seg_id long",
+        )
+        _, svc = publish_df(
+            layer, client,
+            ItemProperties(title="Glider Track Segments", tags=["e2a_glider"]),
+        )
+        n_published = read_service(
+            spark, client, svc, "seg_id long", page_size=11
+        ).count()
+    finally:
+        portal.stop()
+    return spark.createDataFrame(
+        [(n_features, n_published, n_raw, n_clean)],
+        "n_segments bigint, n_published bigint, n_raw_rows bigint, "
+        "n_clean_points bigint",
+    )
