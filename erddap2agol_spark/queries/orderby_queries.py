@@ -161,3 +161,33 @@ def orderby_closest_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orderby.order_by_closest(
         ev, ["event_type"], "ts", _SIX_H_US, carry=["event_id"]
     )
+
+
+@register(
+    "orderby_mean_value",
+    oracle="""
+    SELECT event_type, round(avg(value), 6) AS value_mean
+    FROM events GROUP BY event_type
+    """,
+    doc="orderByMean('event_type,value'): per-group means — one hash "
+    "aggregate with map-side combine, rounded so cross-engine summation "
+    "order can't flip a bit. Completes the graded orderBy* protocol "
+    "family (URL clause: &orderByMean(%22event_type%2Cvalue%22)).",
+)
+def orderby_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return orderby.order_by_mean(ev, ["event_type"], ["value"])
+
+
+@register(
+    "orderby_sum_value",
+    oracle="""
+    SELECT event_type, round(sum(value), 6) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+    doc="orderBySum('event_type,value'): per-group sums — the same "
+    "one-aggregate shape as orderByMean.",
+)
+def orderby_sum_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return orderby.order_by_sum(ev, ["event_type"], ["value"])
