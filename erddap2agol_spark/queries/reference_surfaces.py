@@ -718,12 +718,19 @@ def nrt_http_304(spark: SparkSession, sf_dir: str) -> DataFrame:
 # K3/K6/K8 over the WIRE — ArcGIS-REST transport vs the loopback portal
 # ---------------------------------------------------------------------------
 
+# NOTE: DuckDB's sum(INTEGER) is HUGEINT (decimal128 over Arrow) — the
+# r6 driver sweep hash-mismatched this query while fetchall()-based
+# local compares passed, because int128 normalizes differently from
+# Spark's BIGINT in an Arrow/pandas pipeline.  Every other green oracle
+# casts integer sums; this one now does too (VERDICT r6 "wrong" #1).
 _AGOL_REST_ORACLE = """
 SELECT * FROM (VALUES
   ('item1', 'Buoy 42 Observations', 'snip',
-   (SELECT count(*) FROM region), (SELECT sum(r_regionkey) FROM region)),
+   (SELECT count(*) FROM region),
+   (SELECT CAST(sum(r_regionkey) AS BIGINT) FROM region)),
   ('item2', 'Buoy 42 Observations_2', 'snip',
-   (SELECT count(*) FROM nation), (SELECT sum(n_nationkey) FROM nation))
+   (SELECT count(*) FROM nation),
+   (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation))
 ) AS t(item, title, snippet, n_rows, key_sum)
 """
 
@@ -777,6 +784,28 @@ def agol_rest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             pr = client.item_properties(iid)
             rows.append(
                 (label, pr["title"], pr["snippet"], agg["n"], agg["s"])
+            )
+        # Self-check (VERDICT r6 #2): recompute the expected tuple from
+        # the same source tables in-process; on ANY divergence raise with
+        # the portal request log — the CORRECTNESS ``err`` field is the
+        # one channel that carries diagnostics back from a driver sweep.
+        exp = []
+        for label, src, suffix in (
+            ("item1", region, ""),
+            ("item2", nation, "_2"),
+        ):
+            a = src.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(src.columns[0]).alias("s"),
+            ).first()
+            exp.append(
+                (label, "Buoy 42 Observations" + suffix, "snip", a["n"], a["s"])
+            )
+        if rows != exp:
+            raise RuntimeError(
+                f"agol_rest_roundtrip self-check: got={rows!r} "
+                f"expected={exp!r} request_log_tail="
+                f"{portal.request_log[-12:]!r}"
             )
         return spark.createDataFrame(
             rows,

@@ -42,6 +42,11 @@ class AgolFixturePortal:
         #: service_id -> {"item_id": ..., "rows": list[dict]}
         self.services: dict[str, dict] = {}
         self.request_log: list[str] = []
+        #: serializes ALL portal-state access — ThreadingHTTPServer runs
+        #: one thread per request, and even a single sequential client
+        #: can overlap a new request with the tail of the previous
+        #: handler under load (VERDICT r6 #2 hardening)
+        self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -95,6 +100,12 @@ class AgolFixturePortal:
 
     # -- request handling ------------------------------------------------------
     def _handle(self, h: BaseHTTPRequestHandler, form: dict) -> None:
+        # loopback bodies are tiny; holding the lock across the socket
+        # write keeps read-modify-write sequences atomic per request
+        with self._lock:
+            self._handle_locked(h, form)
+
+    def _handle_locked(self, h: BaseHTTPRequestHandler, form: dict) -> None:
         parsed = urllib.parse.urlparse(h.path)
         path = parsed.path
         query = {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
