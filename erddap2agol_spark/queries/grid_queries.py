@@ -474,6 +474,84 @@ def grid_sigma_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _noisy_lattice_fixture() -> tuple[list, str]:
+    """Deterministic noisy+irregular lattice and its VALUES oracle.
+
+    lat axis: 5 values with ~1e-8 float noise on a 0.05 step (the
+    0.049999...-style steps real griddap axes carry) — noisy-UNIFORM,
+    arithmetic tile indexing, explicit axes persisted for exact
+    readback.  lon axis: genuinely IRREGULAR (steps 0.1/0.2/0.3) —
+    index assignment via the broadcast axis join.  Two cells are
+    missing and one is NaN; all three must read back as NULL.
+    """
+    lats = [30.0, 29.95000001, 29.9, 29.84999999, 29.8]
+    lons = [-85.0, -84.9, -84.7, -84.4]
+    cells, values = [], []
+    for iy, lat in enumerate(lats):
+        for ix, lon in enumerate(lons):
+            if (iy, ix) in ((1, 3), (4, 0)):  # missing cells
+                v = None
+            elif (iy, ix) == (2, 2):
+                v = float("nan")  # NaN -> nodata -> NULL
+            else:
+                v = float(iy * 10 + ix)
+            if v is not None:
+                cells.append(("sst", "2024-01-01", lat, lon, v))
+            lit = (
+                "CAST(NULL AS DOUBLE)"
+                if v is None or (isinstance(v, float) and v != v)
+                else f"CAST({v!r} AS DOUBLE)"
+            )
+            # DuckDB parses bare decimal literals as DECIMAL, which
+            # normalizes differently from DOUBLE in the driver compare
+            values.append(
+                f"(CAST({lat!r} AS DOUBLE), CAST({lon!r} AS DOUBLE), {lit})"
+            )
+    oracle = (
+        "SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(values)
+        + "\n) AS t(lat, lon, value)"
+    )
+    return cells, oracle
+
+
+_NOISY_CELLS, _NOISY_ORACLE = _noisy_lattice_fixture()
+
+
+@register(
+    "raster_noisy_lattice",
+    oracle=_NOISY_ORACLE,
+    doc="VERDICT r6 #4: the raster store on the axes real griddap "
+    "grids actually have — a float-noisy uniform latitude axis "
+    "(0.049999...-style steps, within AXIS_REL_TOL) and a genuinely "
+    "IRREGULAR longitude axis (reference ingests any axis, "
+    "agol_wrangler.py:235-261). Noisy-uniform keeps arithmetic tile "
+    "indexing; irregular assigns indexes via a broadcast axis join; "
+    "both persist explicit axis values in _raster_meta.json so the "
+    "readback reconstructs the EXACT input coordinates (graded "
+    "bit-for-bit against the hand-derived VALUES oracle, including "
+    "missing and NaN cells surfacing as NULL).",
+)
+def raster_noisy_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks import raster
+
+    cells = spark.createDataFrame(
+        _NOISY_CELLS,
+        "var string, time string, lat double, lon double, value double",
+    )
+    root = tempfile.mkdtemp(prefix="e2a_raster_noisy_")
+    raster.write_raster_tiles(
+        cells, root, slice_cols=("time",), tile_h=2, tile_w=3
+    )
+    back = raster.read_raster_tiles(spark, root)
+    return back.select("lat", "lon", "value").orderBy(
+        F.desc("lat"), F.asc("lon")
+    )
+
+
+
 @register(
     "raster_roundtrip",
     oracle=f"""

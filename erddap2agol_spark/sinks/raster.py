@@ -58,6 +58,12 @@ def _path_slug(s: str) -> str:
     return f"{clean}-{hashlib.md5(s.encode()).hexdigest()[:8]}"
 
 
+#: relative step-spread tolerance under which a float-noisy axis still
+#: counts as uniform (0.049999…-style griddap steps — VERDICT r6 #4; the
+#: reference ingests any axis, agol_wrangler.py:235-261)
+AXIS_REL_TOL = 1e-6
+
+
 @dataclass(frozen=True)
 class Lattice:
     lat0: float  # northernmost latitude (row 0 — the lat flip)
@@ -66,24 +72,54 @@ class Lattice:
     dlon: float
     n_lat: int
     n_lon: int
+    #: explicit axis values (row-0-first / col-0-first) whenever the axis
+    #: is NOT exactly uniform — noisy-uniform and irregular axes round-trip
+    #: through these instead of origin+step arithmetic
+    lats: tuple[float, ...] | None = None
+    lons: tuple[float, ...] | None = None
+    #: False when an axis is irregular beyond AXIS_REL_TOL — index
+    #: assignment then uses a broadcast axis join, not arithmetic
+    lat_uniform: bool = True
+    lon_uniform: bool = True
 
 
-def _axis(values: list[float], descending: bool) -> tuple[float, float, int]:
+def _axis(
+    values: list[float], descending: bool
+) -> tuple[float, float, int, tuple[float, ...] | None, bool]:
+    """One axis -> (origin, step, n, explicit_values_or_None, uniform).
+
+    Three regimes (reference ingests all of them):
+    - exactly uniform: origin+step arithmetic both ways, no axis stored;
+    - noisy-uniform (step spread within AXIS_REL_TOL relative): arithmetic
+      index on write (noise << step/2 so nearest-int is exact), explicit
+      values kept for bit-exact readback;
+    - irregular: index = rank in the sorted axis, via broadcast join.
+    """
+    if not values:
+        raise ValueError("empty lattice: no distinct axis values")
     vs = sorted(values, reverse=descending)
     if len(vs) < 2:
-        return vs[0], 1.0, len(vs)
-    steps = {round(abs(b - a), 9) for a, b in zip(vs, vs[1:])}
-    if len(steps) != 1:
-        raise ValueError(f"non-uniform axis (steps {sorted(steps)[:3]}...)")
-    return vs[0], steps.pop(), len(vs)
+        return vs[0], 1.0, 1, None, True
+    steps = [abs(b - a) for a, b in zip(vs, vs[1:])]
+    lo, hi = min(steps), max(steps)
+    if lo == hi:
+        return vs[0], hi, len(vs), None, True
+    mean = abs(vs[-1] - vs[0]) / (len(vs) - 1)
+    if hi - lo <= AXIS_REL_TOL * mean:
+        return vs[0], mean, len(vs), tuple(vs), True
+    return vs[0], mean, len(vs), tuple(vs), False
 
 
 def derive_lattice(cells: DataFrame, lat_col: str, lon_col: str) -> Lattice:
     lats = [r[0] for r in cells.select(lat_col).distinct().collect()]
     lons = [r[0] for r in cells.select(lon_col).distinct().collect()]
-    lat0, dlat, n_lat = _axis(lats, descending=True)  # north first
-    lon0, dlon, n_lon = _axis(lons, descending=False)
-    return Lattice(lat0, lon0, dlat, dlon, n_lat, n_lon)
+    lat0, dlat, n_lat, lat_vals, lat_u = _axis(lats, descending=True)  # north first
+    lon0, dlon, n_lon, lon_vals, lon_u = _axis(lons, descending=False)
+    return Lattice(
+        lat0, lon0, dlat, dlon, n_lat, n_lon,
+        lats=lat_vals, lons=lon_vals,
+        lat_uniform=lat_u, lon_uniform=lon_u,
+    )
 
 
 def write_raster_tiles(
@@ -106,12 +142,36 @@ def write_raster_tiles(
     same caveat).
     """
     lattice = derive_lattice(cells, lat_col, lon_col)
-    iy = F.round(
-        (F.lit(lattice.lat0) - F.col(lat_col)) / F.lit(lattice.dlat)
-    ).cast("int")
-    ix = F.round(
-        (F.col(lon_col) - F.lit(lattice.lon0)) / F.lit(lattice.dlon)
-    ).cast("int")
+    spark = cells.sparkSession
+    if lattice.lat_uniform:
+        iy = F.round(
+            (F.lit(lattice.lat0) - F.col(lat_col)) / F.lit(lattice.dlat)
+        ).cast("int")
+    else:
+        # irregular axis: index = rank in the sorted axis, joined in via a
+        # broadcast map (axis-length-bounded; values came from the data so
+        # exact float equality holds)
+        lat_map = F.broadcast(
+            spark.createDataFrame(
+                [(v, i) for i, v in enumerate(lattice.lats)],
+                f"{lat_col} double, __iy int",
+            )
+        )
+        cells = cells.join(lat_map, on=lat_col, how="inner")
+        iy = F.col("__iy")
+    if lattice.lon_uniform:
+        ix = F.round(
+            (F.col(lon_col) - F.lit(lattice.lon0)) / F.lit(lattice.dlon)
+        ).cast("int")
+    else:
+        lon_map = F.broadcast(
+            spark.createDataFrame(
+                [(v, i) for i, v in enumerate(lattice.lons)],
+                f"{lon_col} double, __ix int",
+            )
+        )
+        cells = cells.join(lon_map, on=lon_col, how="inner")
+        ix = F.col("__ix")
     # the slice separator is escaped INSIDE each value first, so a value
     # containing '|' can never collide with a multi-column combination
     # (review r6: ('a','b') vs ('a|b',))
@@ -188,6 +248,11 @@ def write_raster_tiles(
         "dlon": lattice.dlon,
         "n_lat": lattice.n_lat,
         "n_lon": lattice.n_lon,
+        # explicit axes present only for noisy/irregular lattices — the
+        # readback then reconstructs the EXACT input coordinates instead
+        # of origin+step ideals (exactly-uniform manifests stay lean)
+        **({"lats": list(lattice.lats)} if lattice.lats else {}),
+        **({"lons": list(lattice.lons)} if lattice.lons else {}),
         "slice_cols": list(slice_cols),
         "tiles": [
             {
@@ -235,6 +300,10 @@ def read_raster_tiles(spark: SparkSession, root: str) -> DataFrame:
     dlat, dlon = meta["dlat"], meta["dlon"]
     n_lat, n_lon = meta["n_lat"], meta["n_lon"]
     nd, root_str = meta["nodata"], root
+    # noisy/irregular lattices carry the exact axis values; index->coord
+    # is then an array lookup instead of origin+step arithmetic
+    lat_axis = np.asarray(meta["lats"]) if "lats" in meta else None
+    lon_axis = np.asarray(meta["lons"]) if "lons" in meta else None
 
     def decode(batches):
         import pandas as pd
@@ -257,8 +326,16 @@ def read_raster_tiles(spark: SparkSession, root: str) -> DataFrame:
                         {
                             "var": row["var"],
                             "slice": row["slice"],
-                            "lat": lat0 - iy[keep] * dlat,
-                            "lon": lon0 + ix[keep] * dlon,
+                            "lat": (
+                                lat_axis[iy[keep]]
+                                if lat_axis is not None
+                                else lat0 - iy[keep] * dlat
+                            ),
+                            "lon": (
+                                lon_axis[ix[keep]]
+                                if lon_axis is not None
+                                else lon0 + ix[keep] * dlon
+                            ),
                             "value": np.where(
                                 v[keep] == nd, np.nan, v[keep]
                             ),

@@ -71,14 +71,69 @@ def test_manifest_is_commit_marker(spark, cells, tmp_path):
     assert sum(t["n_cells"] for t in meta["tiles"]) == 15
 
 
-def test_non_uniform_axis_rejected(spark, tmp_path):
-    bad = spark.createDataFrame(
-        [("v", "t0", 30.0, -95.0, 1.0), ("v", "t0", 29.0, -95.0, 1.0),
-         ("v", "t0", 27.5, -95.0, 1.0)],
-        "var string, t string, lat double, lon double, value double",
+def test_irregular_axis_roundtrips_exact_coordinates(spark, tmp_path):
+    """VERDICT r6 #4: an irregular axis (real griddap grids have them;
+    the reference ingests any axis, agol_wrangler.py:235-261) is stored
+    with explicit axis values in the manifest and round-trips the EXACT
+    input coordinates."""
+    lats = [30.0, 29.0, 27.5]  # steps 1.0, 1.5 — genuinely irregular
+    lons = [-95.0, -94.9, -94.7]  # steps 0.1, 0.2
+    rows = [
+        ("v", "t0", lat, lon, float(iy * 10 + ix))
+        for iy, lat in enumerate(lats)
+        for ix, lon in enumerate(lons)
+    ]
+    cells = spark.createDataFrame(
+        rows, "var string, t string, lat double, lon double, value double"
     )
-    with pytest.raises(ValueError, match="non-uniform"):
-        raster.write_raster_tiles(bad, str(tmp_path / "r"), slice_cols=("t",))
+    root = str(tmp_path / "r")
+    meta = raster.write_raster_tiles(
+        cells, root, slice_cols=("t",), tile_h=2, tile_w=2
+    )
+    assert meta["lats"] == lats and meta["lons"] == lons
+    back = raster.read_raster_tiles(spark, root)
+    got = {(r["lat"], r["lon"]): r["value"] for r in back.collect()}
+    assert len(got) == 9
+    assert got[(30.0, -95.0)] == 0.0  # row 0 = northernmost
+    assert got[(27.5, -94.7)] == 22.0
+    assert got[(29.0, -94.9)] == 11.0
+
+
+def test_noisy_uniform_axis_roundtrips_exact_coordinates(spark, tmp_path):
+    """A float-noisy uniform lattice (0.049999...-style steps within
+    AXIS_REL_TOL) keeps arithmetic tile indexing but reads back the
+    exact noisy coordinates from the manifest axes."""
+    lats = [30.0, 29.95000001, 29.9, 29.84999999, 29.8]
+    lons = [-95.0, -94.0]
+    rows = [
+        ("v", "t0", lat, lon, float(iy * 10 + ix))
+        for iy, lat in enumerate(lats)
+        for ix, lon in enumerate(lons)
+    ]
+    cells = spark.createDataFrame(
+        rows, "var string, t string, lat double, lon double, value double"
+    )
+    root = str(tmp_path / "r")
+    meta = raster.write_raster_tiles(
+        cells, root, slice_cols=("t",), tile_h=4, tile_w=4
+    )
+    assert meta["lats"] == lats  # noisy axis persisted exactly
+    assert "lons" not in meta  # exactly-uniform axis stays lean
+    back = raster.read_raster_tiles(spark, root)
+    got = {(r["lat"], r["lon"]): r["value"] for r in back.collect()}
+    assert set(lat for lat, _ in got) == set(lats)  # exact reconstruction
+    assert got[(29.95000001, -94.0)] == 11.0
+    assert got[(29.84999999, -95.0)] == 30.0
+
+
+def test_empty_lattice_raises_value_error(spark, tmp_path):
+    """ADVICE r6: an empty/all-filtered cells frame must fail with a
+    clear ValueError, not a bare IndexError."""
+    empty = spark.createDataFrame(
+        [], "var string, t string, lat double, lon double, value double"
+    )
+    with pytest.raises(ValueError, match="empty lattice"):
+        raster.write_raster_tiles(empty, str(tmp_path / "r"), slice_cols=("t",))
 
 
 def test_path_hostile_slice_values_do_not_collide(spark, tmp_path):
