@@ -817,6 +817,90 @@ def agol_rest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K3/K6/K8 behind the TOKEN boundary (VERDICT r6 #5)
+# ---------------------------------------------------------------------------
+
+_AGOL_AUTH_ORACLE = """
+SELECT * FROM (VALUES
+  ('anon_write',   'denied:499', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('bad_password', 'denied:401', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('authed_publish', 'ok',
+   (SELECT count(*) FROM nation),
+   (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation)),
+  ('reauth_after_expiry', 'ok',
+   (SELECT count(*) FROM region),
+   (SELECT CAST(sum(r_regionkey) AS BIGINT) FROM region))
+) AS t(step, detail, n_rows, key_sum)
+"""
+
+
+@register(
+    "agol_rest_auth_roundtrip",
+    oracle=_AGOL_AUTH_ORACLE,
+    doc="The REST transport's TOKEN boundary (VERDICT r6 #5 — the "
+    "reference logs in with a fresh GIS('Home') per worker, "
+    "core.py:787-804): an anonymous write is refused with 499, a bad "
+    "password is refused by generateToken with 401, an authenticated "
+    "publish succeeds, and after the portal expires every token "
+    "(deterministic stand-in for wall-clock expiry) the next overwrite "
+    "hits 498 and the client transparently re-authenticates and "
+    "retries — graded by reading both published services back and "
+    "checking counts/key-sums cross-engine.",
+)
+def agol_rest_auth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.agol_httpd import AgolFixturePortal
+    from ..sinks.agol_rest import (
+        AgolHttpError,
+        AgolRestClient,
+        publish_df,
+        read_service,
+    )
+    from ..sinks.publish import ItemProperties
+    from ..sources.tables import load_table
+
+    portal = AgolFixturePortal(require_auth=True)
+    base = portal.start()
+    try:
+        props = ItemProperties(
+            title="Buoy 42 Observations", snippet="snip",
+            tags=["e2a_layer", "buoy_42"],
+        )
+        nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+        region = load_table(spark, sf_dir, "region").select("r_regionkey")
+        rows = []
+        for step, client in (
+            ("anon_write", AgolRestClient(base)),
+            ("bad_password", AgolRestClient(base, password="wrong")),
+        ):
+            try:
+                publish_df(nation, client, props)
+                detail = "unexpectedly-accepted"
+            except AgolHttpError as e:
+                detail = f"denied:{e.code}"
+            rows.append((step, detail, 0, 0))
+        authed = AgolRestClient(base, password="e2a_pw")
+        _, s1 = publish_df(nation, authed, props)
+        back = read_service(spark, authed, s1, "n_nationkey long", page_size=7)
+        a = back.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("s")
+        ).first()
+        rows.append(("authed_publish", "ok", a["n"], a["s"]))
+        portal.expire_tokens()  # every live token now answers 498
+        _, s2 = publish_df(region, authed, props, overwrite=True)
+        back = read_service(spark, authed, s2, "r_regionkey long", page_size=7)
+        a = back.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("r_regionkey").alias("s")
+        ).first()
+        rows.append(("reauth_after_expiry", "ok", a["n"], a["s"]))
+        return spark.createDataFrame(
+            rows,
+            "step string, detail string, n_rows bigint, key_sum bigint",
+        )
+    finally:
+        portal.stop()
+
+
+# ---------------------------------------------------------------------------
 # SURVEY §3.3 — the glider workflow end to end, over the wire
 # ---------------------------------------------------------------------------
 

@@ -36,11 +36,28 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class AgolFixturePortal:
-    def __init__(self) -> None:
+    """``require_auth=True`` turns on the token boundary the reference
+    crosses with a fresh ``GIS("Home")`` login per worker
+    (core.py:787-804): content WRITES (addItem/update/publish/delete)
+    must carry a token minted by ``generateToken``; anonymous reads
+    (search, item properties, FeatureServer query) stay public, the
+    real portal's default for public items.  Token lifetimes are
+    LOGICAL — ``expire_tokens()`` is the deterministic stand-in for
+    wall-clock expiry, so graded flows can exercise the 498 re-auth
+    path without sleeping."""
+
+    def __init__(self, require_auth: bool = False) -> None:
         #: item_id -> {"properties": {...}, "payload": str}
         self.items: dict[str, dict] = {}
         #: service_id -> {"item_id": ..., "rows": list[dict]}
         self.services: dict[str, dict] = {}
+        self.require_auth = require_auth
+        #: username -> password accepted by generateToken
+        self.users: dict[str, str] = {"e2a": "e2a_pw"}
+        #: live token -> username
+        self.tokens: dict[str, str] = {}
+        #: tokens that were live once — present 498 (expired), not 499
+        self.expired: set[str] = set()
         self.request_log: list[str] = []
         #: serializes ALL portal-state access — ThreadingHTTPServer runs
         #: one thread per request, and even a single sequential client
@@ -84,6 +101,13 @@ class AgolFixturePortal:
             self._httpd.server_close()
             self._httpd = None
 
+    def expire_tokens(self) -> None:
+        """Deterministic token expiry (the wall-clock stand-in): every
+        live token starts answering 498, forcing clients to re-auth."""
+        with self._lock:
+            self.expired.update(self.tokens)
+            self.tokens.clear()
+
     # -- helpers -------------------------------------------------------------
     def _send(self, h: BaseHTTPRequestHandler, doc, status: int = 200) -> None:
         body = json.dumps(doc).encode()
@@ -105,11 +129,48 @@ class AgolFixturePortal:
         with self._lock:
             self._handle_locked(h, form)
 
+    def _check_token(self, h, form: dict, query: dict) -> bool:
+        """Returns True when the request may proceed.  498 = token was
+        once valid (expired/invalid — re-auth fixes it), 499 = no token
+        at all (the ArcGIS REST error-code split)."""
+        if not self.require_auth:
+            return True
+        token = form.get("token") or query.get("token")
+        if not token:
+            self._send(
+                h, {"error": {"code": 499, "message": "Token Required"}}
+            )
+            return False
+        if token not in self.tokens:
+            self._send(
+                h, {"error": {"code": 498, "message": "Invalid Token"}}
+            )
+            return False
+        return True
+
     def _handle_locked(self, h: BaseHTTPRequestHandler, form: dict) -> None:
         parsed = urllib.parse.urlparse(h.path)
         path = parsed.path
         query = {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
         self.request_log.append(h.path)
+
+        if path == "/sharing/rest/generateToken":
+            user = form.get("username", "")
+            if self.users.get(user) != form.get("password"):
+                self._send(
+                    h,
+                    {"error": {"code": 401, "message": "Invalid credentials"}},
+                )
+                return
+            tok = f"tok{len(self.tokens) + len(self.expired):04d}{uuid.uuid4().hex[:8]}"
+            self.tokens[tok] = user
+            # logical lifetime; expiry is driven by expire_tokens()
+            self._send(h, {"token": tok, "expires": 9_999_999_999_999})
+            return
+
+        # content WRITES sit behind the token boundary
+        if "/content/users/" in path and not self._check_token(h, form, query):
+            return
 
         if path == "/sharing/rest/search":
             q = query.get("q", "")

@@ -45,13 +45,40 @@ class AgolHttpError(RuntimeError):
 
 
 class AgolRestClient:
-    def __init__(self, base_url: str, user: str = "e2a", timeout_s: float = 30.0):
+    """``password=None`` is the anonymous client; with a password the
+    client logs in lazily via ``generateToken`` and transparently
+    re-authenticates ONCE when the portal answers 498 (expired/invalid
+    token) — the reference's login boundary, where each worker opens a
+    fresh ``GIS("Home")`` session (core.py:787-804)."""
+
+    def __init__(
+        self,
+        base_url: str,
+        user: str = "e2a",
+        timeout_s: float = 30.0,
+        password: str | None = None,
+    ):
         self.base = base_url.rstrip("/")
         self.user = user
         self.timeout_s = timeout_s
+        self.password = password
+        self._token: str | None = None
+
+    # -- auth ------------------------------------------------------------
+    def login(self) -> str:
+        """Mint a token via generateToken (explicit form of the lazy
+        auth every authenticated request performs)."""
+        if self.password is None:
+            raise AgolHttpError(499, "no credentials configured")
+        doc = self._request_raw(
+            "/sharing/rest/generateToken",
+            {"username": self.user, "password": self.password, "f": "json"},
+        )
+        self._token = doc["token"]
+        return self._token
 
     # -- wire ------------------------------------------------------------
-    def _request(self, path: str, form: dict | None = None) -> dict:
+    def _request_raw(self, path: str, form: dict | None = None) -> dict:
         url = self.base + path
         data = (
             urllib.parse.urlencode(form).encode() if form is not None else None
@@ -72,6 +99,22 @@ class AgolRestClient:
             err = doc["error"]
             raise AgolHttpError(int(err.get("code", 500)), err.get("message", ""))
         return doc
+
+    def _request(self, path: str, form: dict | None = None) -> dict:
+        if form is None:  # GET — reads are public on the portal
+            return self._request_raw(path)
+        if self._token is None and self.password is not None:
+            self.login()
+        try:
+            attach = {**form, "token": self._token} if self._token else form
+            return self._request_raw(path, attach)
+        except AgolHttpError as e:
+            # 498 = token expired/invalid, 499 = token required — both
+            # recoverable by (re-)logging in when credentials exist
+            if e.code not in (498, 499) or self.password is None:
+                raise
+            self.login()
+            return self._request_raw(path, {**form, "token": self._token})
 
     # -- content operations ------------------------------------------------
     def add_item(

@@ -95,3 +95,73 @@ def test_http_errors_surface_with_code(spark, portal):
     with pytest.raises(AgolHttpError) as e:
         client.publish("no-such-item")
     assert e.value.code == 404
+
+
+# ---------------------------------------------------------------------------
+# Token boundary (VERDICT r6 #5 — reference core.py:787-804 login)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def auth_portal():
+    p = AgolFixturePortal(require_auth=True)
+    base = p.start()
+    yield p, base
+    p.stop()
+
+
+def _auth_props():
+    return ItemProperties(title="T", snippet="s", tags=["tag1"])
+
+
+def test_anonymous_write_denied_499(spark, auth_portal):
+    _, base = auth_portal
+    client = AgolRestClient(base)
+    with pytest.raises(AgolHttpError) as e:
+        client.add_item(_auth_props(), "{}")
+    assert e.value.code == 499
+
+
+def test_bad_password_denied_401(spark, auth_portal):
+    _, base = auth_portal
+    client = AgolRestClient(base, password="nope")
+    with pytest.raises(AgolHttpError) as e:
+        client.add_item(_auth_props(), "{}")
+    assert e.value.code == 401
+
+
+def test_authed_publish_and_public_read(spark, auth_portal):
+    p, base = auth_portal
+    client = AgolRestClient(base, password="e2a_pw")
+    iid = client.add_item(_auth_props(), '{"a": 1}')
+    sid = client.publish(iid)
+    # reads stay public: a fresh anonymous client can query the service
+    anon = AgolRestClient(base)
+    doc = anon._request(f"/rest/services/{sid}/FeatureServer/0/query?f=json")
+    assert [f["attributes"] for f in doc["features"]] == [{"a": 1}]
+    assert anon.item_properties(iid)["title"] == "T"
+
+
+def test_expired_token_reauths_transparently(spark, auth_portal):
+    p, base = auth_portal
+    client = AgolRestClient(base, password="e2a_pw")
+    iid = client.add_item(_auth_props(), '{"a": 1}')
+    old_token = client._token
+    p.expire_tokens()
+    client.update_item(iid, payload='{"a": 2}')  # 498 -> re-auth -> retry
+    assert client._token != old_token
+    sid = client.publish(iid)
+    doc = client._request(f"/rest/services/{sid}/FeatureServer/0/query?f=json")
+    assert [f["attributes"] for f in doc["features"]] == [{"a": 2}]
+
+
+def test_expired_token_without_credentials_raises_498(spark, auth_portal):
+    p, base = auth_portal
+    good = AgolRestClient(base, password="e2a_pw")
+    iid = good.add_item(_auth_props(), "{}")
+    stolen = AgolRestClient(base)
+    stolen._token = good._token
+    p.expire_tokens()
+    with pytest.raises(AgolHttpError) as e:
+        stolen.update_item(iid, payload="{}")
+    assert e.value.code == 498
