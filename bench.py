@@ -63,6 +63,13 @@ HEADLINE = [
     # character-entropy quality filter
     "dedup_jaccard_auto",
     "char_entropy_filter",
+    # round 7 (VERDICT r6 #3/#8): the regime-dispatched IVF near-dup
+    # pairs and the three corpus-scale text operators that were
+    # correctness-only until now
+    "emb_near_dup_cells",
+    "vocab_coverage",
+    "source_shingle_overlap",
+    "quality_linear_classifier",
 ]
 
 

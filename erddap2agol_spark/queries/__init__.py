@@ -92,7 +92,7 @@ _GRADE_PRIORITY: list[str] = [
     # (c) new round-7 queries (added this round; names filtered against
     # REGISTRY so listing them before they land is safe)
     "raster_noisy_lattice", "agol_rest_auth_roundtrip",
-    "streaming_tabledap_hwm", "emb_near_dup_cells_topk",
+    "streaming_tabledap_hwm", "emb_near_dup_cells",
     "fsspec_sink_roundtrip",
     # (d) refresh the round-6 fixture/wire surfaces so they accumulate a
     # second consecutive green row (stability evidence for the judge)
