@@ -115,7 +115,15 @@ _EPOCH_RE = re.compile(r"^[+-]?\d{1,13}$")
 def decode_datetime_fast(col: Column, formats: tuple[str, ...] = FAST_FORMATS) -> Column:
     """JVM-side candidate-format decode: coalesce of ``to_timestamp``
     attempts plus 10/13-digit epoch handling. NULL when nothing matches —
-    chain with :func:`decode_datetime_udf` for the long tail."""
+    chain with :func:`decode_datetime_udf` for the long tail.
+
+    Pure ±digit inputs ALWAYS decode as epoch (13 digits = millis, else
+    seconds), regardless of ``formats`` — a caller-supplied all-digit
+    format such as ``yyyyMMdd`` is unreachable here because the epoch
+    branch wins first (matches the reference's float-first behavior and
+    the UDF's ``_EPOCH_RE``; ADVICE r6). Callers with compact digit
+    layouts should pre-parse with ``F.try_to_timestamp(col, fmt)`` and
+    coalesce this decoder behind it."""
     is_epoch_ms = col.rlike(r"^[+-]?\d{13}$")
     # any other pure ±digit run is epoch SECONDS — the reference treats
     # small ints as seconds (datetimeUtils epoch branch), and the

@@ -641,7 +641,11 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the top-2^20 types only (TakeOrderedAndProject — under any "
     "Zipf-shaped corpus the 99% mass sits far inside that head, and no "
     "practical tokenizer vocab exceeds it), so the ordered stage's "
-    "input is explicitly bounded, never the token stream.",
+    "input is explicitly bounded, never the token stream. vocab_size / "
+    "n_tokens come from the UNCAPPED vocab aggregate (ADVICE r6: the "
+    "capped head silently under-reported them past 2^20 types); only "
+    "the rank/cumulative coverage columns use the capped head, and the "
+    "coverage thresholds are computed against the uncapped token total.",
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -657,7 +661,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = head.select(
         F.row_number().over(wr).alias("rk"), F.sum("n").over(w).alias("cum")
     )
-    total = vocab.agg(F.sum("n").cast("double").alias("total"))
+    # UNCAPPED totals: one extra scalar aggregate over the same vocab
+    # relation (Catalyst reuses the exchange), so vocab_size/n_tokens
+    # are exact even when the vocabulary exceeds the 2^20 head
+    total = vocab.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size_total"),
+        F.sum("n").cast("bigint").alias("n_tokens_total"),
+    )
     return (
         ranked.crossJoin(F.broadcast(total))
         .agg(
@@ -667,8 +678,8 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("v90"),
             F.min(F.when(F.col("cum") >= 0.99 * F.col("total"), F.col("rk")))
             .cast("bigint").alias("v99"),
-            F.max("rk").cast("bigint").alias("vocab_size"),
-            F.max("cum").cast("bigint").alias("n_tokens"),
+            F.max("vocab_size_total").alias("vocab_size"),
+            F.max("n_tokens_total").alias("n_tokens"),
         )
     )
 
