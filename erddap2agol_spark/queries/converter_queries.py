@@ -149,6 +149,87 @@ def geojson_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fsspec_sink_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="The fsio SCHEME seam end to end (VERDICT r6 #6): the geojson_fc "
+    "writer runs against a REGISTERED non-POSIX object store "
+    "(fsio.ObjectStoreDirFS — copy+delete rename, plain-PUT "
+    "write_atomic, the exact contract FsspecFS exposes for s3/gs; "
+    "fsspec itself isn't in this container) with a staging prefix "
+    "distinct from the publish prefix. Executor tasks resolve the "
+    "scheme from the registry snapshot baked into the shipped "
+    "DataSource class, publish their completed parts themselves "
+    "(no driver byte funnel — ADVICE r6), and the driver commits the "
+    "manifest last. Readback follows the reader contract — the "
+    "manifest, never a listing, names the parts — and the re-parsed "
+    "features are re-aggregated against the direct-SQL oracle.",
+)
+def fsspec_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    from ..sinks import fsio, geojson_sink
+
+    o = load_table(spark, sf_dir, "orders")
+    geom = geometry.point_from_xy(
+        F.col("o_totalprice"), F.col("o_custkey") * 1.0
+    )
+    props = F.struct(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("key"),
+    )
+    feats = o.select(feature_json(props, geom).alias("feature"))
+    # pid-keyed scheme + backing dir: concurrent runs never share a store
+    scheme = f"e2aobjstore{os.getpid()}"
+    root = tempfile.mkdtemp(prefix="e2a_objstore_rt_")
+    fsio.register_filesystem(scheme, fsio.ObjectStoreDirFS(root))
+    try:
+        geojson_sink.register(spark)  # bakes the scheme snapshot in
+        (
+            feats.write.format("geojson_fc")
+            .mode("overwrite")
+            .option("assemble", "false")
+            .option("spool_path", f"{scheme}://staging")
+            .save(f"{scheme}://published")
+        )
+        store, pub = fsio.for_path(f"{scheme}://published")
+        with store.open(store.join(pub, "_manifest.json")) as f:
+            manifest = json.load(f)
+        lines: list[str] = []
+        for part in manifest["parts"]:
+            with store.open(store.join(pub, part["file"])) as f:
+                lines += [ln for ln in f.read().splitlines() if ln]
+        if len(lines) != manifest["n_features"]:
+            raise ValueError(
+                f"manifest promises {manifest['n_features']} features, "
+                f"parts hold {len(lines)}"
+            )
+    finally:
+        fsio._REGISTRY.pop(scheme, None)
+    parsed = spark.createDataFrame(
+        [(ln,) for ln in lines], "feature string"
+    ).select(
+        F.from_json(
+            "feature",
+            "struct<type string, "
+            "properties struct<priority string, key long>, "
+            "geometry struct<type string, coordinates array<double>>>",
+        ).alias("f")
+    )
+    return parsed.groupBy(F.col("f.properties.priority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum("f.properties.key").cast("bigint").alias("key_sum"),
+    )
+
+
+@register(
     "multimodal_inventory",
     oracle="""
     WITH b AS (

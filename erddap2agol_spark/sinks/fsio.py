@@ -33,9 +33,15 @@ Executor-side resolution: sink code that runs INSIDE tasks (the GeoJSON
 part spool, raster tile writes) calls :func:`for_path` in the Python
 worker process — plain paths and fsspec schemes resolve there natively
 (fsspec must be installed cluster-wide, as any object-store client
-must); the in-process ``register_filesystem`` registry is
-driver-local by nature, so registered custom schemes serve driver-side
-I/O (snapshot manifests) and tests.
+must).  The in-process ``register_filesystem`` registry is driver-local
+by nature, so sink code that fans out to executors captures
+:func:`snapshot_registry` on the DRIVER and ships it in the task
+closure (``for_path(path, registry=snapshot)``) — registered
+filesystems must therefore be PICKLABLE to serve executor-side paths
+(:class:`ObjectStoreDirFS` is; :class:`MemoryFS` pickles but each
+worker gets an independent copy of the dict, so it stays a driver-side
+/ single-process test double).  An unresolvable scheme raises a
+dedicated error naming this boundary (ADVICE r6).
 """
 
 from __future__ import annotations
@@ -292,28 +298,130 @@ class FsspecFS(FileSystem):
         return sorted(self._fs.glob(pattern))
 
 
+class ObjectStoreDirFS(FileSystem):
+    """Object-store EMULATOR over a local directory: every operation
+    follows the non-POSIX contract real stores expose through fsspec —
+    ``rename`` is copy+delete (NOT atomic), ``write_atomic`` is a plain
+    per-key PUT (atomic per object only because a full rewrite replaces
+    the key), ``create_exclusive`` is check-and-put (the same race
+    window as S3 without a conditional-put backend), directories are
+    implicit.  Fs-native paths are store KEYS relative to ``root``.
+
+    Picklable by construction (state = the root string), so a registry
+    snapshot carrying it resolves identically inside executor Python
+    workers — in local mode all workers share the backing directory,
+    which is exactly what makes the sinks' manifest-last commit
+    protocol testable end to end under object-store semantics without
+    an fsspec dependency.  NOT a production store client: deployments
+    use :class:`FsspecFS`; this class pins the same contract in tests
+    and sandboxes."""
+
+    def __init__(self, root: str) -> None:
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _p(self, key: str) -> str:
+        return os.path.join(self.root, key.lstrip("/"))
+
+    def open(self, path: str, mode: str = "r"):
+        p = self._p(path)
+        if "r" not in mode:
+            os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        return open(p, mode)
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        # check-and-put, NOT O_EXCL: deliberately reproduces the object
+        # store race window the callers must tolerate
+        p = self._p(path)
+        if os.path.exists(p):
+            raise FileExistsError(path)
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        with open(p, "w") as f:
+            f.write(data)
+
+    def write_atomic(self, path: str, data: str) -> None:
+        p = self._p(path)
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        with open(p, "w") as f:
+            f.write(data)  # plain PUT — per-key replace is the atom
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._p(path))
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(self._p(path))
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self._p(path), exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        os.remove(self._p(path))
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(self._p(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        # copy+delete, never os.replace: object stores have no rename
+        s, d = self._p(src), self._p(dst)
+        os.makedirs(os.path.dirname(d) or ".", exist_ok=True)
+        shutil.copyfile(s, d)
+        os.remove(s)
+
+    def getmtime(self, path: str) -> float:
+        return os.path.getmtime(self._p(path))
+
+    def glob(self, pattern: str) -> list[str]:
+        pref = self.root + os.sep
+        return sorted(
+            p[len(pref):] for p in _glob(os.path.join(self.root, pattern))
+        )
+
+
 _REGISTRY: dict[str, FileSystem] = {}
 
 
 def register_filesystem(scheme: str, fs: FileSystem) -> None:
     """Register an implementation for ``scheme://`` paths (tests plug
-    MemoryFS; deployments can pin configured FsspecFS instances)."""
+    MemoryFS/ObjectStoreDirFS; deployments can pin configured FsspecFS
+    instances).  Registration is PER-PROCESS: executor Python workers
+    never see the driver's registry, so sink code that resolves paths
+    inside tasks must capture :func:`snapshot_registry` on the driver
+    and pass it to :func:`for_path` (the registered instances are then
+    pickled into the task closure)."""
     _REGISTRY[scheme] = fs
 
 
-def for_path(path: str) -> tuple[FileSystem, str]:
-    """Resolve ``path`` to ``(filesystem, fs-native path)``."""
+def snapshot_registry() -> dict[str, FileSystem]:
+    """Driver-side copy of the scheme registry for shipping into task
+    closures — the registered FileSystem objects must be picklable."""
+    return dict(_REGISTRY)
+
+
+def for_path(
+    path: str, registry: dict[str, FileSystem] | None = None
+) -> tuple[FileSystem, str]:
+    """Resolve ``path`` to ``(filesystem, fs-native path)``.
+
+    ``registry`` overlays the process-global scheme registry — pass a
+    driver-captured :func:`snapshot_registry` from code running inside
+    executor tasks, where the global registry is empty."""
     if "://" in path:
         scheme, rest = path.split("://", 1)
         if scheme == "file":
             return LocalFS(), "/" + rest.lstrip("/")
+        if registry is not None and scheme in registry:
+            return registry[scheme], rest
         if scheme in _REGISTRY:
             return _REGISTRY[scheme], rest
         try:
             return FsspecFS(scheme), path
         except ImportError as e:
             raise ImportError(
-                f"no filesystem for scheme {scheme!r}: install fsspec or "
-                "register one via fsio.register_filesystem"
+                f"no filesystem for scheme {scheme!r} in this process: "
+                "install fsspec cluster-wide, or register one via "
+                "fsio.register_filesystem — and note registrations are "
+                "per-process (driver-only): code running inside executor "
+                "tasks must receive a driver-captured snapshot_registry() "
+                "through for_path(path, registry=...)"
             ) from e
     return LocalFS(), path

@@ -28,14 +28,19 @@ Filesystem seam (VERDICT r5 #4): ALL part-spool and manifest I/O goes
 through :mod:`.fsio` — resolve a scheme to an object-store client
 (fsspec) or a registered implementation and no shared MOUNT is needed;
 tasks and driver each talk to the store through the client.  The
-``spool_path`` option separates where tasks spool parts from where the
-committed artifacts land (distinct roots: e.g. a staging prefix vs the
-published prefix); at commit, parts are copied through the filesystem
-clients into the final root, so the committed directory is always
-self-contained.  With plain local paths and no spool option the
-behavior is the old one: one directory, rename-committed parts.  The
-committer still verifies every reported part is readable before
-committing and raises instead of publishing a partial manifest.
+writer captures :func:`fsio.snapshot_registry` at construction (on the
+driver) and ships it in the task closure, so registered schemes
+resolve inside executor Python workers too (ADVICE r6).  The
+``spool_path`` option separates where tasks stage in-progress bytes
+from where the committed artifacts land (e.g. a staging prefix vs the
+published prefix); each TASK publishes its completed part into the
+final root itself — the publish bandwidth is executor-parallel, never
+funneled through the driver (ADVICE r6) — and the driver's commit only
+verifies part reachability and writes the manifest.  With plain local
+paths and no spool option the behavior is the old one: one directory,
+rename-committed parts.  ``assemble`` mode's single-document concat is
+inherently sequential driver I/O — turn it off for large sinks; the
+part files are the scalable output.
 
 The part files ARE the scalable output — and the MANIFEST, not a
 directory listing, is the reader's source of truth: retried or
@@ -60,7 +65,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from .fsio import for_path
+from .fsio import for_path, snapshot_registry
 
 HEADER = '{"type":"FeatureCollection","features":['
 FOOTER = "]}"
@@ -75,7 +80,16 @@ class _PartMessage(WriterCommitMessage):
 
 class GeoJSONDataSource(DataSource):
     """``format("geojson_fc")``: input must be a single STRING column of
-    rendered Feature JSON (build it with ``sinks.geojson.features_df``)."""
+    rendered Feature JSON (build it with ``sinks.geojson.features_df``).
+
+    ``_FSREG`` is the fsio registry snapshot baked in by
+    :func:`register` — EVERY stage of a Python DataSource (including
+    ``writer()`` itself) runs in Spark-managed Python workers, never in
+    the user's driver process, so the per-process scheme registry is
+    invisible here unless it travels inside the pickled class.  The
+    base class ships an empty snapshot (plain/fsspec paths only)."""
+
+    _FSREG: dict = {}
 
     @classmethod
     def name(cls) -> str:
@@ -93,6 +107,7 @@ class GeoJSONDataSource(DataSource):
             overwrite=overwrite,
             assemble=str(self.options.get("assemble", "true")).lower() == "true",
             spool=self.options.get("spool_path"),
+            fsreg=self._FSREG,
         )
 
 
@@ -104,11 +119,18 @@ class GeoJSONWriter(DataSourceWriter):
         overwrite: bool,
         assemble: bool,
         spool: str | None = None,
+        fsreg: dict | None = None,
     ):
         self.path = path
         self.column = column
         self.overwrite = overwrite
         self.assemble = assemble
+        # registered schemes travel to every worker in this writer's
+        # pickled state (fsio registries are per-process): the snapshot
+        # handed down from register() plus whatever THIS process has —
+        # covers both the DataSource path (planner worker, empty local
+        # registry) and direct construction in a user process
+        self._fsreg = {**(fsreg or {}), **snapshot_registry()}
         if spool and spool != path:
             # a UNIQUE job-owned subdirectory under the caller's spool
             # prefix: concurrent writers sharing one staging prefix can
@@ -117,11 +139,11 @@ class GeoJSONWriter(DataSourceWriter):
             # (review r6)
             # joined at the URL level so the scheme survives re-resolution
             self.spool = spool.rstrip("/") + f"/.spool-{uuid.uuid4().hex}"
-            sfs, sp = for_path(self.spool)
+            sfs, sp = for_path(self.spool, registry=self._fsreg)
             sfs.makedirs(sp)
         else:
             self.spool = path
-        fs, p = for_path(self.path)
+        fs, p = for_path(self.path, registry=self._fsreg)
         if fs.exists(p):
             if overwrite:
                 fs.rmtree(p)
@@ -139,7 +161,7 @@ class GeoJSONWriter(DataSourceWriter):
         index = ctx.partitionId() if ctx is not None else 0
         fname = f"part-{index:05d}-{uuid.uuid4().hex}.ndjson"
         n = 0
-        fs, sp = for_path(self.spool)
+        fs, sp = for_path(self.spool, registry=self._fsreg)
         fs.makedirs(sp)
         tmp = fs.join(sp, f".{fname}.inprogress")
         with fs.open(tmp, "w") as f:
@@ -147,65 +169,69 @@ class GeoJSONWriter(DataSourceWriter):
                 f.write(row[self.column])
                 f.write("\n")
                 n += 1
-        fs.rename(tmp, fs.join(sp, fname))
+        if self.spool == self.path:
+            fs.rename(tmp, fs.join(sp, fname))
+        else:
+            # distinct staging/commit roots: THIS TASK publishes its
+            # completed part into the final root (chunked streaming
+            # through both clients) — executor-parallel bandwidth, the
+            # driver only ever commits metadata (ADVICE r6: the old
+            # commit-time copy funneled every byte through the driver).
+            # A stray from a failed attempt is invisible to readers:
+            # the manifest, not a listing, is the source of truth.
+            dfs, dp = for_path(self.path, registry=self._fsreg)
+            with fs.open(tmp, "rb") as src, dfs.open(
+                dfs.join(dp, fname), "wb"
+            ) as dst:
+                while True:
+                    chunk = src.read(1 << 20)
+                    if not chunk:
+                        break
+                    dst.write(chunk)
+            fs.remove(tmp)
         return _PartMessage(index=index, filename=fname, n_features=n)
 
-    # runs on the DRIVER after every task succeeded
+    # runs on the DRIVER after every task succeeded — metadata only:
+    # every part byte was already published by its writing task
     def commit(self, messages) -> None:
-        sfs, sp = for_path(self.spool)
-        dfs, dp = for_path(self.path)
+        sfs, sp = for_path(self.spool, registry=self._fsreg)
+        dfs, dp = for_path(self.path, registry=self._fsreg)
         parts = sorted(
             (m for m in messages if m is not None), key=lambda m: m.index
         )
         # reachability guard: a part an executor reported but the driver
-        # cannot read through the spool filesystem means the spool is
-        # misconfigured (e.g. executor-local path without a client) —
-        # fail loudly instead of committing a partial manifest/collection
+        # cannot see in the FINAL root means the roots are misconfigured
+        # (e.g. executor-local path without a client) — fail loudly
+        # instead of committing a partial manifest/collection
         missing = [
             m.filename
             for m in parts
-            if not sfs.exists(sfs.join(sp, m.filename))
+            if not dfs.exists(dfs.join(dp, m.filename))
         ]
         if missing:
             raise FileNotFoundError(
                 f"{len(missing)} committed part(s) not readable from the "
-                f"driver (e.g. {missing[0]}): the spool root must be "
+                f"driver (e.g. {missing[0]}): the output root must be "
                 "reachable through its filesystem client (fsio.for_path)"
             )
-        if self.spool != self.path:
-            # distinct spool/commit roots: publish parts into the final
-            # root through the clients, so the committed directory is
-            # self-contained and the spool can be garbage-collected.
-            # Chunked streaming — a part is never slurped whole into
-            # driver memory (review r6)
-            for m in parts:
-                with sfs.open(sfs.join(sp, m.filename), "rb") as src, dfs.open(
-                    dfs.join(dp, m.filename), "wb"
-                ) as dst:
-                    while True:
-                        chunk = src.read(1 << 20)
-                        if not chunk:
-                            break
-                        dst.write(chunk)
         manifest = {
             "parts": [
                 {"file": m.filename, "n_features": m.n_features} for m in parts
             ],
             "n_features": sum(m.n_features for m in parts),
         }
-        if self.spool == self.path:
-            # best-effort sweep of retry/speculation strays (a zombie
-            # attempt finishing after this sweep is why readers must use
-            # the manifest)
-            referenced = {m.filename for m in parts}
-            for f in sfs.listdir(sp):
-                if f.endswith(".inprogress") or (
-                    f.endswith(".ndjson") and f not in referenced
-                ):
-                    try:
-                        sfs.remove(sfs.join(sp, f))
-                    except OSError:
-                        pass
+        # best-effort sweep of retry/speculation strays in the final
+        # root (a zombie attempt finishing after this sweep is why
+        # readers must use the manifest)
+        referenced = {m.filename for m in parts}
+        for f in dfs.listdir(dp):
+            if f.endswith(".inprogress") or (
+                f.endswith(".ndjson") and f not in referenced
+            ):
+                try:
+                    dfs.remove(dfs.join(dp, f))
+                except OSError:
+                    pass
         if self.assemble:
             out = dfs.join(dp, "collection.geojson")
             with dfs.open(out, "w") as dst:
@@ -233,12 +259,22 @@ class GeoJSONWriter(DataSourceWriter):
                 pass
 
     def abort(self, messages) -> None:
-        fs, sp = for_path(self.spool)
+        fs, sp = for_path(self.spool, registry=self._fsreg)
         if self.spool != self.path:
             try:
                 fs.rmtree(sp)  # job-owned staging dir
             except OSError:
                 pass
+            # successful tasks already published into the final root —
+            # remove what the messages name (failed tasks' strays are
+            # uuid-named and invisible to manifest readers)
+            dfs, dp = for_path(self.path, registry=self._fsreg)
+            for m in messages:
+                if m is not None:
+                    try:
+                        dfs.remove(dfs.join(dp, m.filename))
+                    except OSError:
+                        pass
             return
         for m in messages:
             if m is not None:
@@ -249,4 +285,15 @@ class GeoJSONWriter(DataSourceWriter):
 
 
 def register(spark) -> None:
-    spark.dataSource.register(GeoJSONDataSource)
+    """Register ``format("geojson_fc")`` for this session, baking the
+    CURRENT fsio scheme registry into the shipped class (a dynamic
+    subclass — cloudpickle serializes it by value, snapshot included).
+    Schemes registered with fsio AFTER this call do not travel: call
+    register() again to refresh the snapshot."""
+    snap = snapshot_registry()
+    cls = (
+        type("GeoJSONDataSourceWithRegistry", (GeoJSONDataSource,), {"_FSREG": snap})
+        if snap
+        else GeoJSONDataSource
+    )
+    spark.dataSource.register(cls)

@@ -37,7 +37,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .fsio import for_path
+from .fsio import for_path, snapshot_registry
 
 WKID = 4326  # the reference pins WGS84 (agol_wrangler.py copy_raster)
 _META = "_raster_meta.json"
@@ -195,6 +195,9 @@ def write_raster_tiles(
     )
 
     th, tw, nd, root_str = tile_h, tile_w, nodata, root
+    # driver-side capture: registered schemes resolve inside the
+    # executor Python workers through the task closure (ADVICE r6)
+    fsreg = snapshot_registry()
 
     def build_tile(pdf):
         import pandas as pd
@@ -208,7 +211,7 @@ def write_raster_tiles(
         vals = pdf["v"].to_numpy(dtype=np.float64)
         vals = np.where(np.isnan(vals), nd, vals)
         block[ry, rx] = vals
-        fs, r = for_path(root_str)
+        fs, r = for_path(root_str, registry=fsreg)
         vdir, sdir = _path_slug(str(var)), _path_slug(sl)
         d = fs.join(r, vdir, sdir)
         fs.makedirs(d)
@@ -300,6 +303,7 @@ def read_raster_tiles(spark: SparkSession, root: str) -> DataFrame:
     dlat, dlon = meta["dlat"], meta["dlon"]
     n_lat, n_lon = meta["n_lat"], meta["n_lon"]
     nd, root_str = meta["nodata"], root
+    fsreg = snapshot_registry()
     # noisy/irregular lattices carry the exact axis values; index->coord
     # is then an array lookup instead of origin+step arithmetic
     lat_axis = np.asarray(meta["lats"]) if "lats" in meta else None
@@ -308,7 +312,7 @@ def read_raster_tiles(spark: SparkSession, root: str) -> DataFrame:
     def decode(batches):
         import pandas as pd
 
-        fs, r = for_path(root_str)
+        fs, r = for_path(root_str, registry=fsreg)
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
