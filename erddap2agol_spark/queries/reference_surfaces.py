@@ -1017,3 +1017,82 @@ def glider_workflow_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_segments bigint, n_published bigint, n_raw_rows bigint, "
         "n_clean_points bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# ST1's Structured Streaming SOURCE, driver-graded (VERDICT r6 #7)
+# ---------------------------------------------------------------------------
+
+_SUBSEC_P2 = os.path.join(_FIXTURES, "csvp", "subsec_phase2.csvp")
+
+_STREAM_HWM_ORACLE = f"""
+SELECT "time (UTC)" AS time_iso,
+       "v (m)" AS v,
+       CAST(1 AS BIGINT) AS n_deliveries
+FROM read_csv('{_SUBSEC_P2}', header=true,
+              types={{'time (UTC)': 'VARCHAR', 'v (m)': 'DOUBLE'}})
+"""
+
+
+@register(
+    "streaming_tabledap_hwm",
+    oracle=_STREAM_HWM_ORACLE,
+    doc="ST1's Structured Streaming leg end to end: three availableNow "
+    "micro-batch cycles against the loopback tabledap simulator through "
+    "one checkpoint. Cycle 1 ingests a FRACTIONAL-second dataset (max "
+    "event time 12:00:00.500), the upstream then grows by a row strictly "
+    "inside the whole-second truncation gap (00.750) plus a later row, "
+    "cycle 2 must deliver exactly those two, and cycle 3 (no upstream "
+    "change) must deliver nothing. The committed offset is the "
+    "microsecond-precision ISO high-water mark (ADVICE r5 — a "
+    "whole-second hwm re-delivers the gap row and n_deliveries becomes "
+    "2), and exactly-once comes from Spark's offset log + sink commit, "
+    "not hand-rolled state (sources/erddap_http.py:224; reference NRT "
+    "loop OverwriteFS.py:2137-2231). The oracle is DuckDB over the "
+    "final upstream fixture with every row delivered exactly once.",
+)
+def streaming_tabledap_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources import erddap_http
+    from ..sources.erddap_httpd import ErddapFixtureServer
+
+    p1 = os.path.join(_FIXTURES, "csvp", "subsec_phase1.csvp")
+    srv = ErddapFixtureServer(csvp_fixtures={"subsec": p1})
+    base = srv.start()
+    out = tempfile.mkdtemp(prefix="e2a_streamhwm_sink_")
+    ckpt = tempfile.mkdtemp(prefix="e2a_streamhwm_ckpt_")
+    try:
+        erddap_http.register(spark)
+
+        def run_cycle() -> None:
+            stream = (
+                spark.readStream.format("erddap_csvp_http")
+                .option("stream_url", f"{base}/tabledap/subsec.csvp?time,v")
+                .option("schema_ddl", "time timestamp_ntz, v double")
+                .option("urls", "unused")  # batch-path option, not consumed
+                .option("timeout_s", "30")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_cycle()                                   # phase-1 rows
+        srv.csvp_fixtures["subsec"] = _SUBSEC_P2      # upstream grows
+        run_cycle()                                   # only (hwm, max]
+        run_cycle()                                   # no change: empty
+    finally:
+        srv.stop()
+    sink = spark.read.schema("time timestamp_ntz, v double").parquet(out)
+    return sink.groupBy(
+        F.concat(
+            F.date_format("time", "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("Z")
+        ).alias("time_iso"),
+        F.col("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_deliveries"))
