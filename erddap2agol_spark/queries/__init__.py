@@ -62,6 +62,7 @@ def _load_all() -> None:
     from . import reference_core  # noqa: F401
     from . import similarity_queries  # noqa: F401
     from . import spatial_queries  # noqa: F401
+    from . import surface_fill_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import timeseries_queries  # noqa: F401
     from . import tpch_queries  # noqa: F401
