@@ -418,3 +418,121 @@ def stale_extent_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=("event_type",),
         clamp_end_to="2024-06-01 00:00:00",
     )
+
+
+# ---------------------------------------------------------------------------
+# K7 + K10 + K11 — A/B swap wiring and file-item overwrite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_swap_cycles",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'data_a', (SELECT count(*) FROM region)),
+      (2, 'data_b', (SELECT count(*) FROM nation)),
+      (3, 'data_a', (SELECT count(*) FROM nation WHERE n_regionkey = 0))
+    ) AS t(cycle, side, n_rows)
+    """,
+    doc="K7+K10+K11 composed: three atomic_overwrite cycles publish "
+    "ARBITRARY frames (region, nation, a filtered nation — the "
+    "reference's file-item overwrite takes whatever the converter "
+    "produced, OverwriteFS.py overwrite path) into one A/B sink. The "
+    "pointer sidecar must alternate data_a -> data_b -> data_a (the "
+    "item->data relationship wiring, K10), read_current must resolve "
+    "every cycle's snapshot through the pointer only, and the PREVIOUS "
+    "side must stay intact until its successor commits (readers never "
+    "see a partial write). Counts graded cross-engine per cycle.",
+)
+def ab_swap_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.nrt import atomic_overwrite, current_data_dir, read_current
+
+    sink = tempfile.mkdtemp(prefix="e2a_ab_swap_")
+    frames = [
+        load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"),
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select("n_nationkey", "n_name"),
+    ]
+    rows = []
+    for i, frame in enumerate(frames, start=1):
+        before = current_data_dir(sink)
+        target = atomic_overwrite(frame, sink)
+        side = os.path.basename(target)
+        if before is not None and before == target:
+            raise AssertionError(
+                "atomic_overwrite reused the LIVE side — a reader mid-scan "
+                f"would have seen a partial write ({before})"
+            )
+        n = read_current(spark, sink).count()  # resolves via the pointer
+        rows.append((i, side, n))
+    return spark.createDataFrame(rows, "cycle int, side string, n_rows bigint")
+
+
+# ---------------------------------------------------------------------------
+# F4 + W4 + S5 — time-delta chunk arithmetic, cross-engine
+# ---------------------------------------------------------------------------
+
+_CHUNK_CASES = [
+    # (case_id, start_iso, end_iso, row_count)  chunk_size stays 100k;
+    # durations divide evenly by ceil(rows/100k) so the boundary
+    # arithmetic is exact in both engines' numeric models
+    ("uniform_4", "2024-01-01 00:00:00", "2024-01-11 00:00:00", 350_001),
+    ("single", "2024-03-01 00:00:00", "2024-03-02 00:00:00", 5),
+    ("neg_epoch_7", "1950-01-01 00:00:00", "1950-01-15 00:00:00", 700_000),
+    ("subday_3", "2024-06-01 00:00:00", "2024-06-01 00:00:09", 201_000),
+]
+
+_CHUNK_MATRIX_ORACLE = """
+WITH cases(case_id, s, e, k) AS (VALUES
+  ('uniform_4', TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-01-11 00:00:00', 4),
+  ('single', TIMESTAMP '2024-03-01 00:00:00',
+             TIMESTAMP '2024-03-02 00:00:00', 1),
+  ('neg_epoch_7', TIMESTAMP '1950-01-01 00:00:00',
+                  TIMESTAMP '1950-01-15 00:00:00', 7),
+  ('subday_3', TIMESTAMP '2024-06-01 00:00:00',
+               TIMESTAMP '2024-06-01 00:00:09', 3))
+SELECT case_id, CAST(i AS INT) AS chunk_idx,
+       make_timestamp(epoch_us(s) + (epoch_us(e) - epoch_us(s)) * i // k)
+         AS chunk_start,
+       make_timestamp(epoch_us(s) + (epoch_us(e) - epoch_us(s)) * (i + 1) // k)
+         AS chunk_end
+FROM cases, generate_series(0, 6) AS g(i)
+WHERE i < k
+"""
+
+
+@register(
+    "chunk_delta_matrix",
+    oracle=_CHUNK_MATRIX_ORACLE,
+    doc="F4+W4+S5 composed, graded cross-engine: the sizing probe's "
+    "row_count drives n_chunks (ceil(rows/chunk_size)) and the planner "
+    "cuts equal-duration time slices with timedelta arithmetic "
+    "(plans/chunking.time_slices — the reference's uniform-rate chunk "
+    "plan, data_wrangler.py chunk loop). The oracle recomputes every "
+    "boundary in DuckDB with integer microsecond arithmetic over a "
+    "matrix that includes a pre-1970 (negative-epoch) window, a "
+    "single-chunk case, and a sub-day window; the final slice must "
+    "clamp exactly to the window end.",
+)
+def chunk_delta_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..plans.chunking import time_slices
+
+    rows = []
+    for case_id, s, e, row_count in _CHUNK_CASES:
+        slices = time_slices(
+            datetime.fromisoformat(s), datetime.fromisoformat(e), row_count
+        )
+        for i, sl in enumerate(slices):
+            rows.append((case_id, i, sl.start, sl.end))
+    return spark.createDataFrame(
+        rows,
+        "case_id string, chunk_idx int, chunk_start timestamp, "
+        "chunk_end timestamp",
+    )
