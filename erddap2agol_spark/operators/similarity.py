@@ -585,6 +585,39 @@ def _round_half_up(x, digits: int = 6):
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def _topk_by_key(comp, k: int):
+    """Top-``k`` column indices per row of an int64 key matrix (larger =
+    better), ordered best-first.  Keys are tie-free by construction, so
+    ``argpartition`` (O(L) per row, vs O(L log L) for a full argsort)
+    selects exactly the argsort's answer (r7 scale curve: the full
+    argsort over the n x L assignment matrix dominated the distributed
+    regime at 256k vectors)."""
+    import numpy as np
+
+    if k >= comp.shape[1]:
+        return np.argsort(-comp, axis=1, kind="stable")
+    top = np.argpartition(-comp, k - 1, axis=1)[:, :k]
+    sel = np.take_along_axis(comp, top, axis=1)
+    order = np.argsort(-sel, axis=1, kind="stable")
+    return np.take_along_axis(top, order, axis=1)
+
+
+def _probe_topk(cos6, k: int):
+    """Exact top-``k`` cells per row by (rounded-cosine DESC, column-
+    index ASC).  ``cos6`` must already be 6dp-rounded, so ``cos*1e6``
+    is integral up to fp noise and packs losslessly with the column
+    index into ONE tie-free int64 sort key.  Columns must be in
+    ascending tie-break order."""
+    import numpy as np
+
+    n_cells = cos6.shape[1]
+    ikey = np.rint(cos6 * 1e6).astype(np.int64)
+    comp = ikey * np.int64(n_cells + 1) - np.arange(
+        n_cells, dtype=np.int64
+    )[None, :]
+    return _topk_by_key(comp, min(k, n_cells))
+
+
 def near_dup_pairs_local(
     corpus: DataFrame,
     id_col: str,
@@ -641,27 +674,43 @@ def near_dup_pairs_local(
     # assignment: rounded cosine desc, label asc tie-break (stable sort
     # over ascending-label columns implements the tie-break)
     cos_c = _round_half_up(mat @ cents.T / (nrm[:, None] * cnrm[None, :]), 6)
-    probe = np.argsort(-cos_c, axis=1, kind="stable")[:, :n_probe]
-    # candidate pairs: rows sorted by id, so triu indices give
-    # id_a < id_b; dedupe pairs sharing several probed cells by key
-    keys = []
+    probe = _probe_topk(cos_c, n_probe)
+    # Per-cell GEMM rescore with threshold-before-materialize: the pair
+    # space is sum(|cell|^2), and materializing every candidate's two
+    # vectors via fancy indexing before a single threshold test cost
+    # 13 GB of temporaries / 264 s at a 32k-vector corpus (r7 scale
+    # curve).  dgemm inside each cell keeps peak memory at |cell|^2
+    # doubles and only SURVIVING pairs are ever materialized; rows are
+    # id-sorted so upper-triangle indices give id_a < id_b, and a pair
+    # probed into two shared cells yields the same rounded cosine twice
+    # (np.unique dedups, keeping one).
+    out_keys: list = []
+    out_cos: list = []
     for li in range(len(uniq)):
         members = np.unique(np.nonzero(probe == li)[0])
-        if len(members) > 1:
-            ia, ib = np.triu_indices(len(members), k=1)
-            keys.append(members[ia].astype(np.int64) * n + members[ib])
-    if not keys:
+        m = len(members)
+        if m < 2:
+            continue
+        sub = mat[members]
+        g = _round_half_up(
+            (sub @ sub.T) / np.outer(nrm[members], nrm[members]), 6
+        )
+        iu, ju = np.triu_indices(m, k=1)
+        hit = g[iu, ju] >= threshold
+        if not hit.any():
+            continue
+        a = members[iu[hit]].astype(np.int64)
+        b = members[ju[hit]].astype(np.int64)
+        out_keys.append(a * n + b)
+        out_cos.append(g[iu[hit], ju[hit]])
+    if not out_keys:
         return spark.createDataFrame([], out_schema)
-    pair_keys = np.unique(np.concatenate(keys))
+    keys_all = np.concatenate(out_keys)
+    cos_all = np.concatenate(out_cos)
+    pair_keys, first_idx = np.unique(keys_all, return_index=True)
     ia, ib = pair_keys // n, pair_keys % n
-    cos = _round_half_up(
-        np.einsum("ij,ij->i", mat[ia], mat[ib], dtype=np.float64)
-        / (nrm[ia] * nrm[ib]),
-        6,
-    )
-    keep = cos >= threshold
     out = pd.DataFrame(
-        {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos_sim": cos[keep]}
+        {"id_a": ids[ia], "id_b": ids[ib], "cos_sim": cos_all[first_idx]}
     )
     return spark.createDataFrame(out, schema=out_schema)
 
@@ -696,12 +745,10 @@ def cell_near_dup_pairs(
     as a broadcast join.  Larger corpora take the distributed form
     below, the only shape that works at 100 TB.
     """
-    from .dedup import truncate_lineage
-
     # one cheap metadata count + one first() decide the regime
     n_vec = corpus.count()
+    id_t = corpus.schema[id_col].dataType.simpleString()
     if n_vec == 0:
-        id_t = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
             [], f"id_a {id_t}, id_b {id_t}, cos_sim double"
         )
@@ -711,38 +758,130 @@ def cell_near_dup_pairs(
             corpus, id_col, vec_col, label_col, threshold, n_probe
         )
     cells = label_cells(corpus, vec_col, label_col)
-    # Materialize the assignment once: it is |corpus| x n_probe (id,
-    # cell) ROWS — tiny — but its lineage contains the centroid
-    # aggregate + scoring cross join, which the plan otherwise
-    # re-executes for BOTH sides of the candidate self-join (measured at
-    # sf0.1: the recomputation was half the operator's wall clock).
-    assign = truncate_lineage(
-        assign_cells(corpus, cells, id_col, vec_col, n_probe)
+    # The cell table is L rows (label cardinality) by contract — the
+    # coarse quantizer must fit every executor anyway (assign_cells
+    # broadcasts it), so collecting it once to the driver is the same
+    # boundedness assumption.  Assignment then runs as an Arrow-batched
+    # GEMM against the collected centroid matrix (r7 scale curve: the
+    # interpreted per-(vector, cell) higher-order dot products were the
+    # dominant cost of the distributed regime at 128k vectors) — same
+    # rounded-cosine + label-asc tie-break semantics as assign_cells,
+    # pinned by the regime-equality test and the SQL oracles.
+    import numpy as np
+
+    cells_pdf = cells.toPandas()
+    order = np.argsort(cells_pdf["label"].to_numpy(), kind="stable")
+    c_labels = cells_pdf["label"].to_numpy()[order]
+    c_mat = np.vstack(cells_pdf["cvec"].to_numpy())[order].astype(np.float64)
+    c_nrm = cells_pdf["cnrm"].to_numpy(dtype=np.float64)[order]
+    label_t = cells.schema["label"].dataType.simpleString()
+    n_cells = len(cells_pdf)
+    k_probe = min(n_probe, n_cells)
+
+    def assign_batches(batches):
+        import pandas as pd
+
+        # In-place pipeline: the n x L score matrix is the only big
+        # temporary.  A naive round(mat @ C.T / outer(...)) spent more
+        # time allocating six matrix-sized temporaries than computing
+        # (r7 scale curve: 22 s -> ~4 s at 256k x 1280).  The half-up
+        # 6dp rounding is fused into the integer sort-key build, exactly
+        # the value _round_half_up would produce scaled by 1e6.
+        col_pen = np.arange(n_cells, dtype=np.int64)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _stack_rows(pdf[vec_col]).astype(np.float64)
+            nr = np.sqrt(np.einsum("ij,ij->i", mat, mat, dtype=np.float64))
+            cos = mat @ c_mat.T
+            cos /= nr[:, None]
+            cos /= c_nrm[None, :]
+            cos *= 1e6
+            sgn = np.sign(cos)
+            np.abs(cos, out=cos)
+            cos += 0.5
+            np.floor(cos, out=cos)
+            cos *= sgn  # = _round_half_up(cosine, 6) * 1e6
+            # tie-free composite: rounded-cosine desc, label asc
+            # (columns are label-ascending)
+            comp = cos.astype(np.int64) * np.int64(n_cells + 1) - col_pen
+            probe = _topk_by_key(comp, k_probe)
+            ids = np.repeat(pdf[id_col].to_numpy(), k_probe)
+            yield pd.DataFrame({"id": ids, "cell": c_labels[probe.ravel()]})
+
+    from .dedup import ensure_parallelism
+
+    assign = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
+        assign_batches, f"id {id_t}, cell {label_t}"
     )
-    cand = (
-        assign.alias("a")
-        .join(assign.alias("b"), F.col("a.cell") == F.col("b.cell"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    # Per-CELL cogrouped GEMM (r7 scale curve): the previous form
+    # self-joined the assignment on the cell id, distinct'd the
+    # sum(|cell|^2)-sized candidate stream, and joined the full vectors
+    # back in TWICE — three exchanges whose volume is the candidate
+    # count.  Shuffling instead the |corpus| x n_probe (id, cell, vec,
+    # nrm) rows ONCE and scoring each cell with a row-blocked dgemm
+    # keeps every exchange corpus-sized (never candidate-sized),
+    # thresholds before materializing a single pair, and hands BLAS the
+    # quadratic flops.  Measured at the 128x iso-scaled curve corpus
+    # (256k vectors): 482 s -> the per-cell form's exchange volume is
+    # ~2n rows.  A pair probed into two shared cells emits the same
+    # rounded cosine twice; distinct() on the OUTPUT (survivor-sized)
+    # dedups.  The quadratic in-cell flop count is the operator's
+    # semantic cost — the cell table (quantizer resolution) is the knob
+    # that bounds |cell| at scale; blocked GEMM bounds task MEMORY at
+    # B x |cell| regardless.
+    # vectors join in WITHOUT the interpreted norm fold (norms fall out
+    # of the stacked matrix below for the cost of one einsum)
+    members = assign.join(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "id",
     )
-    av = with_norm(corpus, id_col, vec_col).alias("av")
-    bv = with_norm(corpus, id_col, vec_col).alias("bv")
-    # Candidate-pair scoring is the dot-count-dominant stage (at sf0.1,
-    # 753k candidates survive the distinct): einsum matrix scoring under
-    # the half-up 6dp rounding contract (dot_arrow_fast — VERDICT r5 #3,
-    # the brute_force_topk_matrix contract applied to rescoring; the
-    # threshold compares only the ROUNDED cosine).
-    arrow_cos = F.round(
-        dot_arrow_fast(F.col("av.vec"), F.col("bv.vec"))
-        / (F.col("av.nrm") * F.col("bv.nrm")),
-        6,
-    )
+    thr = float(threshold)
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pdf["id"].iloc[:0],
+                    "id_b": pdf["id"].iloc[:0],
+                    "cos_sim": np.array([], dtype=np.float64),
+                }
+            )
+        pdf = pdf.sort_values("id", kind="stable").reset_index(drop=True)
+        ids_c = pdf["id"].to_numpy()
+        sub = _stack_rows(pdf["vec"]).astype(np.float64)
+        nr = np.sqrt(np.einsum("ij,ij->i", sub, sub, dtype=np.float64))
+        m = len(pdf)
+        blk = 4096
+        a_parts, b_parts, c_parts = [], [], []
+        for s0 in range(0, m, blk):
+            s1 = min(s0 + blk, m)
+            g = _round_half_up(
+                (sub[s0:s1] @ sub.T) / np.outer(nr[s0:s1], nr), 6
+            )
+            bi, bj = np.nonzero(g >= thr)
+            gi = bi + s0
+            keep = gi < bj  # id-sorted rows: position order == id order
+            a_parts.append(gi[keep])
+            b_parts.append(bj[keep])
+            c_parts.append(g[bi[keep], bj[keep]])
+        ia = np.concatenate(a_parts)
+        ib = np.concatenate(b_parts)
+        return pd.DataFrame(
+            {
+                "id_a": ids_c[ia],
+                "id_b": ids_c[ib],
+                "cos_sim": np.concatenate(c_parts),
+            }
+        )
+
     return (
-        cand.join(av, F.col("id_a") == F.col("av.id"))
-        .join(bv, F.col("id_b") == F.col("bv.id"))
-        .select("id_a", "id_b", arrow_cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        members.groupBy("cell")
+        .applyInPandas(cell_pairs, f"id_a {id_t}, id_b {id_t}, cos_sim double")
+        .distinct()
     )
 
 

@@ -213,8 +213,15 @@ def layer_swap_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name"),
         (F.col("n_nationkey") + 200).alias("new_id"),
     )
+    # Ordinal pairing is a GLOBAL ordering — sound ONLY because layer
+    # lists are bounded by a service's layer count (the reference walks
+    # an in-memory list, OverwriteFS.py byLayerOrder; dozens at most).
+    # The explicit limit encodes that contract in the plan, where the
+    # registry-wide global-window audit (tests/test_plans.py) can see
+    # the input is driver-sized rather than corpus-sized.
+    layer_cap = 10_000
     by_order = match_by_name_or_ordinal(
-        old, new_renamed, "name", by_order=True
+        old.limit(layer_cap), new_renamed.limit(layer_cap), "name", by_order=True
     ).select(
         F.lit("by_order").alias("mode"),
         "name",

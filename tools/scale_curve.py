@@ -85,6 +85,13 @@ LINEAR_QUERIES = [
     "langid_confusion",
     # round 5: shuffle-free per-doc character entropy
     "char_entropy_filter",
+    # round 7: tokenizer-design curve (one hash agg + bounded ordered
+    # head + uncapped scalar agg), zero-shuffle linear scorer, and the
+    # join-free per-shingle source-set pair explode (source sets stay
+    # bounded by the 5-source cardinality at any corpus size)
+    "vocab_coverage",
+    "quality_linear_classifier",
+    "source_shingle_overlap",
 ]
 PAIR_QUERIES = [
     "dedup_minhash_lsh",
@@ -96,6 +103,20 @@ PAIR_QUERIES = [
     "tile_dedup_stats",
 ]
 ANN_QUERIES = ["ann_bruteforce_topk"]
+# round 7: embedding near-dup via IVF cells.  Replicated embeddings
+# would be a DEGENERATE corpus for this operator (every copy of a
+# vector is an exact near-dup of its twins -> cross-copy pairs grow
+# m^2 BY CONSTRUCTION, and identical per-copy centroids collapse all
+# copies into shared cells).  The iso corpus instead applies a
+# PER-COPY ISOMETRY (dimension rotation, plus array reversal past one
+# rotation cycle) and per-copy label ids: inner products WITHIN a copy
+# are exactly the base corpus's (so each copy contributes exactly the
+# base pair set), cross-copy cosines are incoherent, and each copy
+# forms its own IVF cells -- true pairs grow exactly linearly in the
+# multiplier.  This also sweeps the operator's REGIME DISPATCH: at
+# 64 dims x 2000 base vectors the broadcast_elems=8M threshold flips
+# from the single-node kernel to the distributed join form beyond 62x.
+EMB_PAIR_QUERIES = ["emb_near_dup_cells"]
 EVENT_QUERIES = [
     "sessionization",
     "resample_daily_locf",
@@ -170,6 +191,34 @@ def _scaled_embeddings(spark, mult: int):
     return out
 
 
+def _scaled_embeddings_iso(spark, mult: int):
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.sources.tables import load_table
+
+    base = load_table(spark, BASE_SF, "embeddings")
+    dim = len(base.select("embedding").first()[0])
+    parts = []
+    for k in range(mult):
+        e = F.col("embedding")
+        if (k // dim) % 2:
+            e = F.reverse(e)
+        rot = k % dim
+        if rot:
+            e = F.concat(F.slice(e, rot + 1, dim - rot), F.slice(e, 1, rot))
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(k * ID_OFFSET)).alias("vec_id"),
+                e.alias("embedding"),
+                (F.col("label") + F.lit(k * 1000)).alias("label"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def _scaled_events(spark, mult: int):
     from pyspark.sql import functions as F
 
@@ -205,6 +254,25 @@ def _scaled_orders(spark, mult: int):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def build_embiso_dir(spark, mult: int) -> str:
+    from erddap2agol_spark.sources.tables import TABLE_NAMES, table_path
+
+    out_dir = os.path.join(WORK, f"x{mult}_embiso")
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLE_NAMES:
+        if name == "embeddings":
+            continue
+        os.symlink(table_path(BASE_SF, name), table_path(out_dir, name))
+    _scaled_embeddings_iso(spark, mult).coalesce(max(1, mult // 2)).write.mode(
+        "overwrite"
+    ).parquet(table_path(out_dir, "embeddings"))
+    open(os.path.join(out_dir, "_DONE"), "w").close()
+    return out_dir
 
 
 def build_events_dir(spark, mult: int) -> str:
@@ -281,6 +349,8 @@ def main() -> None:
         )
     if "events" in families:
         plan += [(q, "events") for q in EVENT_QUERIES]
+    if "embiso" in families:
+        plan += [(q, "embiso") for q in EMB_PAIR_QUERIES]
 
     only = os.environ.get("SCALE_CURVE_QUERIES")
     if only:
@@ -298,6 +368,8 @@ def main() -> None:
             dirs[(m, "scrambled")] = build_dir(spark, m, scrambled=True)
         if "events" in tags:
             dirs[(m, "events")] = build_events_dir(spark, m)
+        if "embiso" in tags:
+            dirs[(m, "embiso")] = build_embiso_dir(spark, m)
 
     results: dict[str, dict[int, tuple[float, int]]] = {}
     for q, tag in plan:
