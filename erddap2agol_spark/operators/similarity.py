@@ -585,6 +585,74 @@ def _round_half_up(x, digits: int = 6):
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def assign_cells_fast(
+    side: DataFrame,
+    cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+) -> DataFrame:
+    """GEMM form of :func:`assign_cells` — identical semantics (top-``n``
+    cells per vector by rounded-cosine DESC, label ASC tie-break; pinned
+    by the regime-equality test and the SQL oracles), Arrow-batched.
+
+    The cell table is L rows (label cardinality) by contract — the
+    coarse quantizer must fit every executor anyway (assign_cells
+    broadcasts it), so collecting it once to the driver is the same
+    boundedness assumption.  Assignment then runs as an in-place GEMM
+    pipeline against the collected centroid matrix: the n x L score
+    matrix is the only big temporary (a naive round(mat @ C.T /
+    outer(...)) spent more time allocating six matrix-sized temporaries
+    than computing — r7 scale curve, 22 s -> ~4 s at 256k x 1280), the
+    half-up 6dp rounding is fused into a tie-free int64 sort key, and
+    ``argpartition`` top-k replaces the interpreted per-(vector, cell)
+    fold + row_number window (the dominant cost of the distributed
+    near-dup regime at 128k vectors).  Map-side only — no shuffle; at
+    cluster scale this is an embarrassingly parallel scan stage."""
+    import numpy as np
+
+    from .dedup import ensure_parallelism
+
+    cells_pdf = cells.toPandas()
+    order = np.argsort(cells_pdf["label"].to_numpy(), kind="stable")
+    c_labels = cells_pdf["label"].to_numpy()[order]
+    c_mat = np.vstack(cells_pdf["cvec"].to_numpy())[order].astype(np.float64)
+    c_nrm = cells_pdf["cnrm"].to_numpy(dtype=np.float64)[order]
+    id_t = side.schema[id_col].dataType.simpleString()
+    label_t = cells.schema["label"].dataType.simpleString()
+    n_cells = len(cells_pdf)
+    k_probe = min(n, n_cells)
+
+    def assign_batches(batches):
+        import pandas as pd
+
+        col_pen = np.arange(n_cells, dtype=np.int64)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _stack_rows(pdf[vec_col]).astype(np.float64)
+            nr = np.sqrt(np.einsum("ij,ij->i", mat, mat, dtype=np.float64))
+            cos = mat @ c_mat.T
+            cos /= nr[:, None]
+            cos /= c_nrm[None, :]
+            cos *= 1e6
+            sgn = np.sign(cos)
+            np.abs(cos, out=cos)
+            cos += 0.5
+            np.floor(cos, out=cos)
+            cos *= sgn  # = _round_half_up(cosine, 6) * 1e6
+            # tie-free composite: rounded-cosine desc, label asc
+            # (columns are label-ascending)
+            comp = cos.astype(np.int64) * np.int64(n_cells + 1) - col_pen
+            probe = _topk_by_key(comp, k_probe)
+            ids = np.repeat(pdf[id_col].to_numpy(), k_probe)
+            yield pd.DataFrame({"id": ids, "cell": c_labels[probe.ravel()]})
+
+    return ensure_parallelism(side.select(id_col, vec_col)).mapInPandas(
+        assign_batches, f"id {id_t}, cell {label_t}"
+    )
+
+
 def _topk_by_key(comp, k: int):
     """Top-``k`` column indices per row of an int64 key matrix (larger =
     better), ordered best-first.  Keys are tie-free by construction, so
@@ -758,62 +826,7 @@ def cell_near_dup_pairs(
             corpus, id_col, vec_col, label_col, threshold, n_probe
         )
     cells = label_cells(corpus, vec_col, label_col)
-    # The cell table is L rows (label cardinality) by contract — the
-    # coarse quantizer must fit every executor anyway (assign_cells
-    # broadcasts it), so collecting it once to the driver is the same
-    # boundedness assumption.  Assignment then runs as an Arrow-batched
-    # GEMM against the collected centroid matrix (r7 scale curve: the
-    # interpreted per-(vector, cell) higher-order dot products were the
-    # dominant cost of the distributed regime at 128k vectors) — same
-    # rounded-cosine + label-asc tie-break semantics as assign_cells,
-    # pinned by the regime-equality test and the SQL oracles.
-    import numpy as np
-
-    cells_pdf = cells.toPandas()
-    order = np.argsort(cells_pdf["label"].to_numpy(), kind="stable")
-    c_labels = cells_pdf["label"].to_numpy()[order]
-    c_mat = np.vstack(cells_pdf["cvec"].to_numpy())[order].astype(np.float64)
-    c_nrm = cells_pdf["cnrm"].to_numpy(dtype=np.float64)[order]
-    label_t = cells.schema["label"].dataType.simpleString()
-    n_cells = len(cells_pdf)
-    k_probe = min(n_probe, n_cells)
-
-    def assign_batches(batches):
-        import pandas as pd
-
-        # In-place pipeline: the n x L score matrix is the only big
-        # temporary.  A naive round(mat @ C.T / outer(...)) spent more
-        # time allocating six matrix-sized temporaries than computing
-        # (r7 scale curve: 22 s -> ~4 s at 256k x 1280).  The half-up
-        # 6dp rounding is fused into the integer sort-key build, exactly
-        # the value _round_half_up would produce scaled by 1e6.
-        col_pen = np.arange(n_cells, dtype=np.int64)[None, :]
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = _stack_rows(pdf[vec_col]).astype(np.float64)
-            nr = np.sqrt(np.einsum("ij,ij->i", mat, mat, dtype=np.float64))
-            cos = mat @ c_mat.T
-            cos /= nr[:, None]
-            cos /= c_nrm[None, :]
-            cos *= 1e6
-            sgn = np.sign(cos)
-            np.abs(cos, out=cos)
-            cos += 0.5
-            np.floor(cos, out=cos)
-            cos *= sgn  # = _round_half_up(cosine, 6) * 1e6
-            # tie-free composite: rounded-cosine desc, label asc
-            # (columns are label-ascending)
-            comp = cos.astype(np.int64) * np.int64(n_cells + 1) - col_pen
-            probe = _topk_by_key(comp, k_probe)
-            ids = np.repeat(pdf[id_col].to_numpy(), k_probe)
-            yield pd.DataFrame({"id": ids, "cell": c_labels[probe.ravel()]})
-
-    from .dedup import ensure_parallelism
-
-    assign = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
-        assign_batches, f"id {id_t}, cell {label_t}"
-    )
+    assign = assign_cells_fast(corpus, cells, id_col, vec_col, n_probe)
     # Per-CELL cogrouped GEMM (r7 scale curve): the previous form
     # self-joined the assignment on the cell id, distinct'd the
     # sum(|cell|^2)-sized candidate stream, and joined the full vectors
@@ -908,7 +921,7 @@ def ivf_topk_deterministic(
     uses rounded cosines with id tie-breaks — engine-portable.
     """
     cells = label_cells(corpus, vec_col, label_col)
-    assign = assign_cells(corpus, cells, id_col, vec_col, 1)
+    assign = assign_cells_fast(corpus, cells, id_col, vec_col, 1)
     # query side: a few probe rows — skip the fan-out repartition
     probes = assign_cells(queries, cells, id_col, vec_col, n_probe, fan_out=False)
     qv = with_norm(queries, id_col, vec_col).alias("q")
