@@ -614,12 +614,18 @@ def assign_cells_fast(
     from .dedup import ensure_parallelism
 
     cells_pdf = cells.toPandas()
+    id_t = side.schema[id_col].dataType.simpleString()
+    label_t = cells.schema["label"].dataType.simpleString()
+    if len(cells_pdf) == 0:
+        # empty corpus -> empty quantizer -> no assignments (zero-row
+        # robustness contract, tests/test_empty_inputs.py)
+        return side.sparkSession.createDataFrame(
+            [], f"id {id_t}, cell {label_t}"
+        )
     order = np.argsort(cells_pdf["label"].to_numpy(), kind="stable")
     c_labels = cells_pdf["label"].to_numpy()[order]
     c_mat = np.vstack(cells_pdf["cvec"].to_numpy())[order].astype(np.float64)
     c_nrm = cells_pdf["cnrm"].to_numpy(dtype=np.float64)[order]
-    id_t = side.schema[id_col].dataType.simpleString()
-    label_t = cells.schema["label"].dataType.simpleString()
     n_cells = len(cells_pdf)
     k_probe = min(n, n_cells)
 

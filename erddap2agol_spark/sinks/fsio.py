@@ -321,7 +321,12 @@ class ObjectStoreDirFS(FileSystem):
         os.makedirs(self.root, exist_ok=True)
 
     def _p(self, key: str) -> str:
-        return os.path.join(self.root, key.lstrip("/"))
+        p = os.path.normpath(os.path.join(self.root, key.lstrip("/")))
+        if p != self.root and not p.startswith(self.root + os.sep):
+            # object-store keys have no parent directory: a '..' that
+            # escapes the bucket root is a caller bug, not a path
+            raise ValueError(f"key escapes the store root: {key!r}")
+        return p
 
     def open(self, path: str, mode: str = "r"):
         p = self._p(path)

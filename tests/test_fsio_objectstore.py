@@ -176,3 +176,12 @@ def test_unregistered_scheme_fails_with_boundary_error(spark, tmp_path):
         feats.write.format("geojson_fc").mode("overwrite").save(
             "nosuchscheme://fc"
         )
+
+
+def test_objectstore_key_cannot_escape_root(tmp_path):
+    fs = fsio.ObjectStoreDirFS(str(tmp_path / "b"))
+    with pytest.raises(ValueError, match="escapes the store root"):
+        fs.open("../outside.txt", "w")
+    # normal nested keys still resolve
+    fs.write_atomic("a/../c.txt", "x")  # normalizes INSIDE the root
+    assert fs.exists("c.txt")

@@ -17,11 +17,11 @@ def _blocks() -> list[str]:
     return re.findall(r"```python\n(.*?)```", text, flags=re.S)
 
 
-def test_usage_doc_has_four_pipelines():
-    assert len(_blocks()) == 4
+def test_usage_doc_has_five_pipelines():
+    assert len(_blocks()) == 5
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2, 3])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4])
 def test_usage_block_runs_verbatim(spark, tmp_path, idx):
     block = _blocks()[idx]
     env = {
@@ -44,7 +44,7 @@ def test_usage_block_runs_verbatim(spark, tmp_path, idx):
         from erddap2agol_spark.streaming import nrt
 
         assert nrt.read_current(spark, env["OUT_DIR"] + "/nrt").count() == 40
-    else:
+    elif idx == 3:
         # multimodal/raster/portal block: the raster store committed
         import json as _json
 
@@ -52,3 +52,12 @@ def test_usage_block_runs_verbatim(spark, tmp_path, idx):
             open(os.path.join(env["OUT_DIR"] + "/tiles", "_raster_meta.json"))
         )
         assert meta["wkid"] == 4326 and meta["tiles"]
+    else:
+        # object-store + streaming block: manifest committed through the
+        # registered scheme; the block's own asserts pin exactly-once
+        import json as _json
+
+        man = _json.load(
+            open(os.path.join(env["OUT_DIR"], "bucket", "published", "_manifest.json"))
+        )
+        assert man["n_features"] == 12
