@@ -543,3 +543,47 @@ def chunk_delta_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "case_id string, chunk_idx int, chunk_start timestamp, "
         "chunk_end timestamp",
     )
+
+
+# ---------------------------------------------------------------------------
+# T1 — deterministic output field order (flatten DFS + disambiguation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flatten_field_order",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 'key'), (1, 'name'), (2, 'inner'), (3, 'name2')
+    ) AS t(ordinal, column_name)
+    """,
+    doc="T1: the converter's OUTPUT FIELD ORDER is part of its contract "
+    "(the reference emits a deterministic field list per document; "
+    "Json2GeoJSON builds its field table in traversal order) — flatten "
+    "walks the schema depth-first, exclusion paths hold their "
+    "position as the preserved struct, and a disambiguated collision "
+    "(name2) sits where the colliding leaf was encountered. The column "
+    "ORDER itself is the graded output (emitted as ordinal rows, since "
+    "the driver's hash compare sorts columns by name and cannot see "
+    "ordering directly).",
+)
+def flatten_field_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.convert import flatten
+
+    r = load_table(spark, sf_dir, "region")
+    nested = r.select(
+        F.col("r_regionkey").alias("key"),
+        F.struct(
+            F.col("r_name").alias("name"),
+            F.struct(
+                F.concat(F.lit("x_"), F.col("r_name")).alias("name")
+            ).alias("inner"),
+        ).alias("a"),
+        F.struct(
+            F.concat(F.lit("c_"), F.col("r_name")).alias("name")
+        ).alias("b"),
+    )
+    flat = flatten(nested, flatten_names=False, exclude=("a.inner",))
+    return spark.createDataFrame(
+        list(enumerate(flat.columns)), "ordinal int, column_name string"
+    )
