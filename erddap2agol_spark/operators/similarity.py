@@ -608,7 +608,14 @@ def assign_cells_fast(
     ``argpartition`` top-k replaces the interpreted per-(vector, cell)
     fold + row_number window (the dominant cost of the distributed
     near-dup regime at 128k vectors).  Map-side only — no shuffle; at
-    cluster scale this is an embarrassingly parallel scan stage."""
+    cluster scale this is an embarrassingly parallel scan stage.
+
+    Numeric contract: the GEMM's SIMD accumulation is not bit-identical
+    to the fold `dot` (same trade as :func:`dot_arrow_fast`, ulp-level
+    drift) — consumers compare only the half-up-6dp ROUNDED cosine, the
+    repo-wide contract the graded corpora hash-match under.  Zero-norm
+    vectors (NaN cosine) rank GREATEST with the label tie-break,
+    matching Spark's NaN ordering in ``assign_cells``."""
     import numpy as np
 
     from .dedup import ensure_parallelism
@@ -639,14 +646,19 @@ def assign_cells_fast(
             mat = _stack_rows(pdf[vec_col]).astype(np.float64)
             nr = np.sqrt(np.einsum("ij,ij->i", mat, mat, dtype=np.float64))
             cos = mat @ c_mat.T
-            cos /= nr[:, None]
-            cos /= c_nrm[None, :]
+            with np.errstate(invalid="ignore"):  # zero norm -> NaN
+                cos /= nr[:, None]
+                cos /= c_nrm[None, :]
             cos *= 1e6
             sgn = np.sign(cos)
             np.abs(cos, out=cos)
             cos += 0.5
             np.floor(cos, out=cos)
             cos *= sgn  # = _round_half_up(cosine, 6) * 1e6
+            # NaN (zero-norm vector) maps above every real cosine:
+            # Spark's DESC sort treats NaN as greatest, and casting NaN
+            # to int64 directly is UB (review r7)
+            np.copyto(cos, 2e6, where=np.isnan(cos))
             # tie-free composite: rounded-cosine desc, label asc
             # (columns are label-ascending)
             comp = cos.astype(np.int64) * np.int64(n_cells + 1) - col_pen
@@ -685,7 +697,12 @@ def _probe_topk(cos6, k: int):
     import numpy as np
 
     n_cells = cos6.shape[1]
-    ikey = np.rint(cos6 * 1e6).astype(np.int64)
+    ikey = np.rint(cos6 * 1e6)
+    # zero-norm vectors make the cosine NaN: Spark's DESC sort treats
+    # NaN as GREATEST, so NaN maps above every real cosine (<= 1e6)
+    # before the int cast — the cast of NaN itself is UB (INT64_MIN +
+    # a RuntimeWarning) and would scramble the composite key
+    ikey = np.where(np.isnan(ikey), 2e6, ikey).astype(np.int64)
     comp = ikey * np.int64(n_cells + 1) - np.arange(
         n_cells, dtype=np.int64
     )[None, :]
@@ -747,7 +764,13 @@ def near_dup_pairs_local(
     cnrm = np.sqrt(np.einsum("ij,ij->i", cents, cents, dtype=np.float64))
     # assignment: rounded cosine desc, label asc tie-break (stable sort
     # over ascending-label columns implements the tie-break)
-    cos_c = _round_half_up(mat @ cents.T / (nrm[:, None] * cnrm[None, :]), 6)
+    # zero-norm rows/centroids produce NaN cosines by design (NaN ranks
+    # greatest in _probe_topk, never clears the threshold below) — the
+    # divide warning is expected, not a defect
+    with np.errstate(invalid="ignore"):
+        cos_c = _round_half_up(
+            mat @ cents.T / (nrm[:, None] * cnrm[None, :]), 6
+        )
     probe = _probe_topk(cos_c, n_probe)
     # Per-cell GEMM rescore with threshold-before-materialize: the pair
     # space is sum(|cell|^2), and materializing every candidate's two
@@ -766,9 +789,10 @@ def near_dup_pairs_local(
         if m < 2:
             continue
         sub = mat[members]
-        g = _round_half_up(
-            (sub @ sub.T) / np.outer(nrm[members], nrm[members]), 6
-        )
+        with np.errstate(invalid="ignore"):  # zero-norm -> NaN -> no pair
+            g = _round_half_up(
+                (sub @ sub.T) / np.outer(nrm[members], nrm[members]), 6
+            )
         iu, ju = np.triu_indices(m, k=1)
         hit = g[iu, ju] >= threshold
         if not hit.any():
@@ -819,15 +843,25 @@ def cell_near_dup_pairs(
     as a broadcast join.  Larger corpora take the distributed form
     below, the only shape that works at 100 TB.
     """
-    # one cheap metadata count + one first() decide the regime
-    n_vec = corpus.count()
+    # BOUNDED regime probe (review r7): a non-null first vector gives
+    # dims, and a limit-capped count decides small-vs-large without
+    # ever scanning past the regime boundary — the old full count()
+    # re-evaluated the whole corpus lineage purely to compare against
+    # broadcast_elems
     id_t = corpus.schema[id_col].dataType.simpleString()
-    if n_vec == 0:
+    # NULL vectors can never clear the threshold (their cosine is NULL
+    # in the SQL form), so they are dropped HERE — the Arrow kernels
+    # downstream stack fixed-width rows and would otherwise crash on a
+    # None row (review r7)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    first_vec = corpus.select(vec_col).first()
+    if first_vec is None:  # empty corpus, or nothing but NULL vectors
         return corpus.sparkSession.createDataFrame(
             [], f"id_a {id_t}, id_b {id_t}, cos_sim double"
         )
-    dims = len(corpus.select(vec_col).first()[0])
-    if n_vec * dims <= broadcast_elems:
+    dims = len(first_vec[0])
+    probe_cap = broadcast_elems // max(dims, 1) + 1
+    if corpus.limit(probe_cap).count() < probe_cap:
         return near_dup_pairs_local(
             corpus, id_col, vec_col, label_col, threshold, n_probe
         )
@@ -843,12 +877,14 @@ def cell_near_dup_pairs(
     # thresholds before materializing a single pair, and hands BLAS the
     # quadratic flops.  Measured at the 128x iso-scaled curve corpus
     # (256k vectors): 482 s -> the per-cell form's exchange volume is
-    # ~2n rows.  A pair probed into two shared cells emits the same
-    # rounded cosine twice; distinct() on the OUTPUT (survivor-sized)
-    # dedups.  The quadratic in-cell flop count is the operator's
-    # semantic cost — the cell table (quantizer resolution) is the knob
-    # that bounds |cell| at scale; blocked GEMM bounds task MEMORY at
-    # B x |cell| regardless.
+    # ~2n rows.  A pair probed into two shared cells is deduped by the
+    # output-sized key aggregate below.  The quadratic in-cell flop
+    # count is the operator's semantic cost, and ONE CELL IS ONE PANDAS
+    # GROUP: the blocked GEMM bounds the score matrix at B x |cell|,
+    # but the group's member vectors must fit the executor Python
+    # worker — the cell-table resolution (quantizer) is the knob that
+    # bounds |cell|; a degenerate quantizer with a corpus-sized hot
+    # cell needs a finer cell table, exactly as real IVF does.
     # vectors join in WITHOUT the interpreted norm fold (norms fall out
     # of the stacked matrix below for the cost of one einsum)
     members = assign.join(
@@ -878,9 +914,10 @@ def cell_near_dup_pairs(
         a_parts, b_parts, c_parts = [], [], []
         for s0 in range(0, m, blk):
             s1 = min(s0 + blk, m)
-            g = _round_half_up(
-                (sub[s0:s1] @ sub.T) / np.outer(nr[s0:s1], nr), 6
-            )
+            with np.errstate(invalid="ignore"):  # zero-norm -> NaN -> no pair
+                g = _round_half_up(
+                    (sub[s0:s1] @ sub.T) / np.outer(nr[s0:s1], nr), 6
+                )
             bi, bj = np.nonzero(g >= thr)
             gi = bi + s0
             keep = gi < bj  # id-sorted rows: position order == id order
@@ -897,10 +934,16 @@ def cell_near_dup_pairs(
             }
         )
 
+    # one row per pair is a CONTRACT, not a hope: a pair probed into two
+    # shared cells is rescored by two different GEMM shapes whose dots
+    # can differ by ulps — if that straddles a 6dp midpoint, distinct()
+    # on (id_a, id_b, cos_sim) would keep both rows (review r7).  The
+    # key-only aggregate is output-sized and deterministic (min).
     return (
         members.groupBy("cell")
         .applyInPandas(cell_pairs, f"id_a {id_t}, id_b {id_t}, cos_sim double")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cos_sim").alias("cos_sim"))
     )
 
 

@@ -102,7 +102,7 @@ _GRADE_PRIORITY: list[str] = [
     "server_list_scan", "date_cache_restore", "layer_swap_match",
     "griddap_measure_vars", "flatten_exclusion_paths",
     "portal_inventory_tags", "stale_extent_clamp", "ab_swap_cycles",
-    "chunk_delta_matrix",
+    "chunk_delta_matrix", "flatten_field_order",
     # (e) refresh the round-6 fixture/wire surfaces so they accumulate a
     # second consecutive green row (stability evidence for the judge)
     "publish_portal_roundtrip", "nrt_gate_cycles", "nrt_http_304",
@@ -112,7 +112,6 @@ _GRADE_PRIORITY: list[str] = [
     "datetime_decode_matrix", "url_compile_goldens", "griddap_stride",
     "glider_workflow_e2e", "csvp_glider_segments_http",
     "griddap_ingest_http", "geojson_sink_roundtrip",
-    "dedup_jaccard_auto",
 ]
 
 

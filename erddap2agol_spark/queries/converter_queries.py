@@ -212,7 +212,7 @@ def fsspec_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"parts hold {len(lines)}"
             )
     finally:
-        fsio._REGISTRY.pop(scheme, None)
+        fsio.unregister_filesystem(scheme)
     parsed = spark.createDataFrame(
         [(ln,) for ln in lines], "feature string"
     ).select(

@@ -396,6 +396,12 @@ def register_filesystem(scheme: str, fs: FileSystem) -> None:
     _REGISTRY[scheme] = fs
 
 
+def unregister_filesystem(scheme: str) -> None:
+    """Remove a registered scheme (no-op when absent) — the public
+    counterpart of :func:`register_filesystem` for test/query cleanup."""
+    _REGISTRY.pop(scheme, None)
+
+
 def snapshot_registry() -> dict[str, FileSystem]:
     """Driver-side copy of the scheme registry for shipping into task
     closures — the registered FileSystem objects must be picklable."""

@@ -174,3 +174,36 @@ def test_cell_near_dup_regimes_agree_and_empty_input(spark, sf_dir):
         )
         assert out.columns == ["id_a", "id_b", "cos_sim"]
         assert out.count() == 0
+
+
+def test_cell_near_dup_null_and_zero_norm_vectors(spark):
+    """Review r7: NULL vectors must be dropped (their cosine is NULL in
+    the SQL form — they can never pair), and an all-zero vector (NaN
+    cosine) must get the deterministic NaN-greatest assignment instead
+    of crashing the int64 key build — in BOTH regimes, which must agree."""
+    from erddap2agol_spark.operators.similarity import cell_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.01, 0.0, 0.0], 0),
+        (3, None, 0),                      # NULL vector
+        (4, [0.0, 0.0, 0.0, 0.0], 1),      # zero norm -> NaN cosine
+        (5, [0.0, 1.0, 0.0, 0.0], 1),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    local = cell_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.9, n_probe=2,
+        broadcast_elems=1 << 30,
+    )
+    dist = cell_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.9, n_probe=2,
+        broadcast_elems=1,
+    )
+    lrows = sorted(tuple(r) for r in local.collect())
+    drows = sorted(tuple(r) for r in dist.collect())
+    assert lrows == drows
+    ids_in_pairs = {i for r in lrows for i in (r[0], r[1])}
+    assert 3 not in ids_in_pairs and 4 not in ids_in_pairs
+    assert (1, 2) in {(r[0], r[1]) for r in lrows}  # the real near-dup

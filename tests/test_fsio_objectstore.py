@@ -27,7 +27,7 @@ def objstore(tmp_path):
     store = fsio.ObjectStoreDirFS(str(tmp_path / "bucket"))
     fsio.register_filesystem(scheme, store)
     yield scheme, store
-    fsio._REGISTRY.pop(scheme, None)
+    fsio.unregister_filesystem(scheme)
 
 
 def test_objectstore_fs_contract(tmp_path):
