@@ -861,7 +861,10 @@ def cell_near_dup_pairs(
         )
     dims = len(first_vec[0])
     probe_cap = broadcast_elems // max(dims, 1) + 1
-    if corpus.limit(probe_cap).count() < probe_cap:
+    # column-pruned: the limit must not materialize the vector column
+    # (a GlobalLimit carries whole rows; counting ids keeps the probe a
+    # skinny scan on any source)
+    if corpus.select(id_col).limit(probe_cap).count() < probe_cap:
         return near_dup_pairs_local(
             corpus, id_col, vec_col, label_col, threshold, n_probe
         )
