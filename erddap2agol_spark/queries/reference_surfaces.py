@@ -829,7 +829,11 @@ SELECT * FROM (VALUES
    (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation)),
   ('reauth_after_expiry', 'ok',
    (SELECT count(*) FROM region),
-   (SELECT CAST(sum(r_regionkey) AS BIGINT) FROM region))
+   (SELECT CAST(sum(r_regionkey) AS BIGINT) FROM region)),
+  ('bad_client_secret', 'denied:400', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('oauth_publish', 'ok',
+   (SELECT count(*) FROM supplier),
+   (SELECT CAST(sum(s_suppkey) AS BIGINT) FROM supplier))
 ) AS t(step, detail, n_rows, key_sum)
 """
 
@@ -844,8 +848,12 @@ SELECT * FROM (VALUES
     "publish succeeds, and after the portal expires every token "
     "(deterministic stand-in for wall-clock expiry) the next overwrite "
     "hits 498 and the client transparently re-authenticates and "
-    "retries — graded by reading both published services back and "
-    "checking counts/key-sums cross-engine.",
+    "retries. The OAuth half of the boundary (the reference's "
+    "GIS(client_id=...) app login) is graded alongside: a bad client "
+    "secret is refused by the client_credentials grant with 400, and "
+    "an app-token publish succeeds through the same write boundary. "
+    "Graded by reading the published services back and checking "
+    "counts/key-sums cross-engine.",
 )
 def agol_rest_auth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks.agol_httpd import AgolFixturePortal
@@ -892,6 +900,31 @@ def agol_rest_auth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), F.sum("r_regionkey").alias("s")
         ).first()
         rows.append(("reauth_after_expiry", "ok", a["n"], a["s"]))
+        try:
+            publish_df(
+                nation,
+                AgolRestClient(
+                    base, client_id="e2a_app", client_secret="nope"
+                ),
+                props,
+            )
+            detail = "unexpectedly-accepted"
+        except AgolHttpError as e:
+            detail = f"denied:{e.code}"
+        rows.append(("bad_client_secret", detail, 0, 0))
+        app = AgolRestClient(
+            base, client_id="e2a_app", client_secret="e2a_secret"
+        )
+        supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+        _, s3 = publish_df(
+            supplier, app,
+            ItemProperties(title="Supplier Index", tags=["e2a_app_layer"]),
+        )
+        back = read_service(spark, app, s3, "s_suppkey long", page_size=7)
+        a = back.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("s_suppkey").alias("s")
+        ).first()
+        rows.append(("oauth_publish", "ok", a["n"], a["s"]))
         return spark.createDataFrame(
             rows,
             "step string, detail string, n_rows bigint, key_sum bigint",

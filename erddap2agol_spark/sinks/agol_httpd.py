@@ -54,6 +54,9 @@ class AgolFixturePortal:
         self.require_auth = require_auth
         #: username -> password accepted by generateToken
         self.users: dict[str, str] = {"e2a": "e2a_pw"}
+        #: client_id -> client_secret accepted by the OAuth
+        #: client_credentials grant (the reference's app-login flow)
+        self.apps: dict[str, str] = {"e2a_app": "e2a_secret"}
         #: live token -> username
         self.tokens: dict[str, str] = {}
         #: tokens that were live once — present 498 (expired), not 499
@@ -166,6 +169,26 @@ class AgolFixturePortal:
             self.tokens[tok] = user
             # logical lifetime; expiry is driven by expire_tokens()
             self._send(h, {"token": tok, "expires": 9_999_999_999_999})
+            return
+
+        if path == "/sharing/rest/oauth2/token":
+            # app login: OAuth client_credentials grant — the other half
+            # of the reference's auth surface (GIS(client_id=...) app
+            # logins).  Access tokens land in the same live-token map,
+            # so the write boundary and expire_tokens() treat user and
+            # app tokens uniformly, exactly like the real portal.
+            cid = form.get("client_id", "")
+            if (
+                form.get("grant_type") != "client_credentials"
+                or self.apps.get(cid) != form.get("client_secret")
+            ):
+                self._send(
+                    h, {"error": {"code": 400, "message": "invalid_client"}}
+                )
+                return
+            tok = f"app{len(self.tokens) + len(self.expired):04d}{uuid.uuid4().hex[:8]}"
+            self.tokens[tok] = f"app:{cid}"
+            self._send(h, {"access_token": tok, "expires_in": 7200})
             return
 
         # content WRITES sit behind the token boundary

@@ -57,17 +57,40 @@ class AgolRestClient:
         user: str = "e2a",
         timeout_s: float = 30.0,
         password: str | None = None,
+        client_id: str | None = None,
+        client_secret: str | None = None,
     ):
         self.base = base_url.rstrip("/")
         self.user = user
         self.timeout_s = timeout_s
         self.password = password
+        self.client_id = client_id
+        self.client_secret = client_secret
         self._token: str | None = None
+
+    @property
+    def _has_credentials(self) -> bool:
+        return self.password is not None or self.client_secret is not None
 
     # -- auth ------------------------------------------------------------
     def login(self) -> str:
-        """Mint a token via generateToken (explicit form of the lazy
-        auth every authenticated request performs)."""
+        """Mint a token — OAuth ``client_credentials`` when app
+        credentials are configured (the reference's
+        ``GIS(client_id=...)`` app login), else ``generateToken``
+        (named-user login).  Explicit form of the lazy auth every
+        authenticated request performs."""
+        if self.client_secret is not None:
+            doc = self._request_raw(
+                "/sharing/rest/oauth2/token",
+                {
+                    "grant_type": "client_credentials",
+                    "client_id": self.client_id or "",
+                    "client_secret": self.client_secret,
+                    "f": "json",
+                },
+            )
+            self._token = doc["access_token"]
+            return self._token
         if self.password is None:
             raise AgolHttpError(499, "no credentials configured")
         doc = self._request_raw(
@@ -103,7 +126,7 @@ class AgolRestClient:
     def _request(self, path: str, form: dict | None = None) -> dict:
         if form is None:  # GET — reads are public on the portal
             return self._request_raw(path)
-        if self._token is None and self.password is not None:
+        if self._token is None and self._has_credentials:
             self.login()
         try:
             attach = {**form, "token": self._token} if self._token else form
@@ -111,7 +134,7 @@ class AgolRestClient:
         except AgolHttpError as e:
             # 498 = token expired/invalid, 499 = token required — both
             # recoverable by (re-)logging in when credentials exist
-            if e.code not in (498, 499) or self.password is None:
+            if e.code not in (498, 499) or not self._has_credentials:
                 raise
             self.login()
             return self._request_raw(path, {**form, "token": self._token})

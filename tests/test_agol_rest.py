@@ -165,3 +165,38 @@ def test_expired_token_without_credentials_raises_498(spark, auth_portal):
     with pytest.raises(AgolHttpError) as e:
         stolen.update_item(iid, payload="{}")
     assert e.value.code == 498
+
+
+def test_oauth_client_credentials_login_and_publish(spark, auth_portal):
+    """The app-login half of the auth boundary: an OAuth
+    client_credentials grant mints an access token accepted by the same
+    write boundary, a bad secret is refused with 400, and expiry
+    re-auths transparently through the OAuth path."""
+    p, base = auth_portal
+    with pytest.raises(AgolHttpError) as e:
+        AgolRestClient(base, client_id="e2a_app", client_secret="nope").login()
+    assert e.value.code == 400
+    app = AgolRestClient(base, client_id="e2a_app", client_secret="e2a_secret")
+    iid = app.add_item(_auth_props(), '{"a": 7}')
+    old = app._token
+    assert old.startswith("app")
+    p.expire_tokens()
+    app.update_item(iid, payload='{"a": 8}')  # 498 -> OAuth re-auth -> retry
+    assert app._token != old
+    sid = app.publish(iid)
+    doc = app._request(f"/rest/services/{sid}/FeatureServer/0/query?f=json")
+    assert [f["attributes"] for f in doc["features"]] == [{"a": 8}]
+
+
+def test_oauth_requires_client_credentials_grant(auth_portal):
+    """A grant_type other than client_credentials is refused, even with
+    valid app credentials (the portal implements only the app flow)."""
+    p, base = auth_portal
+    client = AgolRestClient(base)
+    with pytest.raises(AgolHttpError) as e:
+        client._request_raw(
+            "/sharing/rest/oauth2/token",
+            {"grant_type": "password", "client_id": "e2a_app",
+             "client_secret": "e2a_secret", "f": "json"},
+        )
+    assert e.value.code == 400
