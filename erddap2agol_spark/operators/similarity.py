@@ -805,11 +805,27 @@ def near_dup_pairs_local(
         return spark.createDataFrame([], out_schema)
     keys_all = np.concatenate(out_keys)
     cos_all = np.concatenate(out_cos)
-    pair_keys, first_idx = np.unique(keys_all, return_index=True)
+    # SAME dedup policy as the distributed regime's groupBy(id).min
+    # (ADVICE r7): a pair probed into two shared cells is rescored by
+    # two GEMM shapes whose rounded cosines can straddle a 6dp midpoint
+    # — keep the MIN, not the first probed cell's value, so both
+    # regimes (and the oracle's canonical per-pair dot) agree.
+    order = np.argsort(keys_all, kind="stable")
+    keys_s, cos_s = keys_all[order], cos_all[order]
+    pair_keys, starts = np.unique(keys_s, return_index=True)
+    cos_min = np.minimum.reduceat(cos_s, starts)
     ia, ib = pair_keys // n, pair_keys % n
+    # duplicate ids: position pairs with equal ids are self-pairs under
+    # the a.id < b.id contract — drop them, then collapse the remaining
+    # id-pair multiplicity exactly as the distributed key aggregate does
+    ne = ids[ia] != ids[ib]
     out = pd.DataFrame(
-        {"id_a": ids[ia], "id_b": ids[ib], "cos_sim": cos_all[first_idx]}
+        {"id_a": ids[ia[ne]], "id_b": ids[ib[ne]], "cos_sim": cos_min[ne]}
     )
+    if len(out):
+        out = out.groupby(["id_a", "id_b"], as_index=False, sort=True)[
+            "cos_sim"
+        ].min()
     return spark.createDataFrame(out, schema=out_schema)
 
 
@@ -923,7 +939,11 @@ def cell_near_dup_pairs(
                 )
             bi, bj = np.nonzero(g >= thr)
             gi = bi + s0
-            keep = gi < bj  # id-sorted rows: position order == id order
+            # a.id < b.id, not position order: rows are id-sorted so the
+            # strict ID inequality keeps exactly the upper triangle for
+            # unique ids AND excludes self-pairs when the input carries
+            # duplicate ids (the old SQL join's contract; ADVICE r7)
+            keep = ids_c[gi] < ids_c[bj]
             a_parts.append(gi[keep])
             b_parts.append(bj[keep])
             c_parts.append(g[bi[keep], bj[keep]])
@@ -972,6 +992,12 @@ def ivf_topk_deterministic(
     cell id, so rescoring touches only probed cells' vectors. Ranking
     uses rounded cosines with id tie-breaks — engine-portable.
     """
+    # NULL vectors crash the Arrow stacking kernels downstream
+    # (assign_cells_fast -> _stack_rows/np.vstack) and could never rank
+    # in a top-k anyway; drop them HERE on both sides, matching the
+    # policy in cell_near_dup_pairs / brute_force_topk_matrix (ADVICE r7)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     cells = label_cells(corpus, vec_col, label_col)
     assign = assign_cells_fast(corpus, cells, id_col, vec_col, 1)
     # query side: a few probe rows — skip the fan-out repartition

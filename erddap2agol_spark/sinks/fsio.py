@@ -376,10 +376,14 @@ class ObjectStoreDirFS(FileSystem):
         return os.path.getmtime(self._p(path))
 
     def glob(self, pattern: str) -> list[str]:
+        # same root-escape guard as _p (ADVICE r7): a pattern with '..'
+        # must not glob outside the store root.  normpath is safe on
+        # glob metacharacters (it only folds separators and dot parts).
+        base = os.path.normpath(os.path.join(self.root, pattern.lstrip("/")))
+        if base != self.root and not base.startswith(self.root + os.sep):
+            raise ValueError(f"pattern escapes the store root: {pattern!r}")
         pref = self.root + os.sep
-        return sorted(
-            p[len(pref):] for p in _glob(os.path.join(self.root, pattern))
-        )
+        return sorted(p[len(pref):] for p in _glob(base))
 
 
 _REGISTRY: dict[str, FileSystem] = {}

@@ -207,3 +207,64 @@ def test_cell_near_dup_null_and_zero_norm_vectors(spark):
     ids_in_pairs = {i for r in lrows for i in (r[0], r[1])}
     assert 3 not in ids_in_pairs and 4 not in ids_in_pairs
     assert (1, 2) in {(r[0], r[1]) for r in lrows}  # the real near-dup
+
+
+def test_cell_near_dup_duplicate_ids_no_self_pairs(spark):
+    """ADVICE r7: on a corpus with DUPLICATE ids, both regimes must obey
+    the old SQL join's a.id < b.id contract — no self-pairs (id_a ==
+    id_b), and the id-pair multiplicity collapses to one min-cosine row
+    — identically in the local kernel and the distributed form."""
+    from erddap2agol_spark.operators.similarity import cell_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.005, 0.0, 0.0], 0),   # duplicate id, near-identical vec
+        (2, [1.0, 0.01, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    local = cell_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.9, n_probe=2,
+        broadcast_elems=1 << 30,
+    )
+    dist = cell_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.9, n_probe=2,
+        broadcast_elems=1,
+    )
+    lrows = sorted(tuple(r) for r in local.collect())
+    drows = sorted(tuple(r) for r in dist.collect())
+    assert lrows == drows
+    assert all(a < b for a, b, _ in lrows)           # no self-pairs, a<b
+    pair_keys = [(a, b) for a, b, _ in lrows]
+    assert len(pair_keys) == len(set(pair_keys))     # one row per id pair
+    assert (1, 2) in set(pair_keys)
+
+
+def test_ivf_topk_deterministic_tolerates_null_vectors(spark):
+    """ADVICE r7 (medium): a NULL embedding row crashed the vectorized
+    assign path (_stack_rows/np.vstack) that ivf_topk_deterministic now
+    feeds the raw corpus into; NULL rows must be dropped on BOTH sides,
+    matching cell_near_dup_pairs / brute_force_topk_matrix."""
+    from erddap2agol_spark.operators.similarity import ivf_topk_deterministic
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, None, 0),            # NULL corpus vector: must not crash
+            (4, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.05], 0), (11, None, 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = ivf_topk_deterministic(
+        queries, corpus, "vec_id", "embedding", k=3, n_probe=2
+    ).collect()
+    assert {r["query_id"] for r in out} == {10}      # NULL query dropped
+    assert 3 not in {r["neighbor_id"] for r in out}  # NULL corpus dropped
+    assert any(r["neighbor_id"] in (1, 2) for r in out)

@@ -185,3 +185,17 @@ def test_objectstore_key_cannot_escape_root(tmp_path):
     # normal nested keys still resolve
     fs.write_atomic("a/../c.txt", "x")  # normalizes INSIDE the root
     assert fs.exists("c.txt")
+
+
+def test_objectstore_glob_cannot_escape_root(tmp_path):
+    """ADVICE r7: glob must apply the same root-escape guard as _p — a
+    pattern with '..' must not enumerate files outside the store root."""
+    outside = tmp_path / "secret.txt"
+    outside.write_text("x")
+    fs = fsio.ObjectStoreDirFS(str(tmp_path / "b"))
+    fs.write_atomic("in.txt", "y")
+    with pytest.raises(ValueError, match="escapes the store root"):
+        fs.glob("../*.txt")
+    # in-root patterns (including dot-folding ones) still work
+    assert fs.glob("*.txt") == ["in.txt"]
+    assert fs.glob("./*.txt") == ["in.txt"]
