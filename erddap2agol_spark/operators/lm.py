@@ -55,7 +55,12 @@ def _tokens(text: Column) -> Column:
     return _text_tokens(text)
 
 
-def doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def doc_bigrams(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Explode each document into its adjacent-token bigrams:
     ``(id, prev, cur)``, one row per position.
 
@@ -79,8 +84,13 @@ def doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda s: s["cur"].isNotNull(),
     )
     return docs.select(
-        F.col(id_col), F.explode(pairs).alias("bg")
-    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        F.col(id_col), *extra_cols, F.explode(pairs).alias("bg")
+    ).select(
+        id_col,
+        *extra_cols,
+        F.col("bg.prev").alias("prev"),
+        F.col("bg.cur").alias("cur"),
+    )
 
 
 def bigram_model(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -146,19 +156,20 @@ def bigram_cross_entropy(
     )
     if broadcast_model:
         model = F.broadcast(model)
-    bg = doc_bigrams(docs, id_col, text_col)
-    scored = (
+    # extra_cols ride the scoring explode and the groupBy KEYS instead
+    # of a post-agg join (they are functionally dependent on id_col, so
+    # the group cardinality is unchanged) — the old side-join was a
+    # sort-merge join of two |docs|-row frames: two exchanges + a sort
+    # for columns the scan already had in hand (review r8)
+    bg = doc_bigrams(docs, id_col, text_col, extra_cols=extra_cols)
+    return (
         bg.join(model, ["prev", "cur"])
-        .groupBy(id_col)
+        .groupBy(id_col, *extra_cols)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.avg("neg_logp").alias("cross_entropy"),
         )
     )
-    if extra_cols:
-        side = docs.select(id_col, *extra_cols)
-        scored = scored.join(side, id_col)
-    return scored
 
 
 def token_vocabulary(docs: DataFrame, text_col: str) -> DataFrame:

@@ -76,42 +76,37 @@ def _load_all() -> None:
 # rows.  Everything else follows in registration order and rotates into the
 # window in later rounds.
 _GRADE_PRIORITY: list[str] = [
-    # ROUND 7 window (driver grades the FIRST 50), maximizing FIRST-TIME
-    # driver CORRECTNESS rows.  After round 6 exactly 16 registry queries
-    # had never had a driver row (union of CORRECTNESS_r1..r6 keys vs
-    # REGISTRY, recomputed 2026-08-15); they lead, per VERDICT r6 #1.
-    # (a) the 16 never-driver-graded queries
-    "quality_linear_classifier", "vocab_coverage", "source_shingle_overlap",
-    "orderby_mean_value", "orderby_sum_value",
-    "q7_volume_shipping", "q9_product_type_profit", "q11_important_stock",
-    "q12_late_priority_counts", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
-    "q19_discounted_revenue", "q20_part_promotion", "q22_idle_rich_customers",
-    # (b) the one red r6 row, re-graded after the root-cause fix
-    # (VERDICT r6 #2: DuckDB HUGEINT-sum hash normalization)
-    "agol_rest_roundtrip",
-    # (c) new round-7 queries: verdict items 3-7 (noisy raster lattice,
-    # REST token auth, streaming source sub-second hwm, near-dup perf
-    # re-grade, non-POSIX scheme sink roundtrip)
-    "raster_noisy_lattice", "agol_rest_auth_roundtrip",
-    "streaming_tabledap_hwm", "emb_near_dup_cells",
-    "fsspec_sink_roundtrip",
-    # (d) new round-7 surface-fill queries: the SURVEY ids that were
-    # pytest-only through r6 (S1, J2, J5, P2, P10/U4/F12, S9/S10/U5,
-    # ST5, K7/K10/K11, F4/W4/S5)
-    "server_list_scan", "date_cache_restore", "layer_swap_match",
-    "griddap_measure_vars", "flatten_exclusion_paths",
-    "portal_inventory_tags", "stale_extent_clamp", "ab_swap_cycles",
-    "chunk_delta_matrix", "flatten_field_order",
-    # (e) refresh the round-6 fixture/wire surfaces so they accumulate a
-    # second consecutive green row (stability evidence for the judge)
-    "publish_portal_roundtrip", "nrt_gate_cycles", "nrt_http_304",
-    "streaming_neardup_replay", "raster_roundtrip", "png_decode_resize",
-    "das_parse_metadata", "das_schema_plan", "feed_items_parse",
-    "feed_geometry_assembly", "json_flatten_types",
-    "datetime_decode_matrix", "url_compile_goldens", "griddap_stride",
-    "glider_workflow_e2e", "csvp_glider_segments_http",
-    "griddap_ingest_http", "geojson_sink_roundtrip",
+    # ROUND 8 window (driver grades the FIRST 50), per VERDICT r7 #1:
+    # after r7 every registry query has at least one green driver row,
+    # so the window rotates to STALENESS — 79 queries' most recent
+    # driver row dates to r1-r2 while the code under them has evolved
+    # through 7 rounds.  Order: (a) queries NEW this round (never
+    # driver-graded), then (b) the 39 r1-vintage rows, then (c) the 11
+    # alphabetically-first r2-vintage rows (r9 takes the remaining 29
+    # r2 + the r3 vintage).  Staleness recomputed 2026-08-16 from
+    # CORRECTNESS_r01..r07 keys: histogram r1:39 r2:40 r3:50 r5:50
+    # r6:31 r7:50.
+    # (a) new round-8 queries — first-time driver rows
+    "griddap_e2e_raster",
+    "emb_near_dup_hot_cell",
+    "lm_perplexity_fused",
+    # (b) the 39 queries whose latest driver row is round 1
+    "anti_join_new", "asof_last_purchase", "bbox_filter", "catalog_scan",
+    "catalog_search", "chunk_plan", "coord_cleaning", "corpus_curation",
+    "corpus_keep_list", "cube_revenue", "dedup_embedding_cosine",
+    "dedup_lsh_rescored", "dedup_ngram_jaccard", "distinct_counts",
+    "doc_hash_sample", "doc_hash_split", "docs_quality_weighted_sample",
+    "docs_quota_per_lang", "metadata_projection", "minhash_signatures",
+    "nrt_window", "numeric_prefix_cast", "orders_min_lines", "row_range",
+    "running_revenue", "semi_join_existing", "session_window_agg",
+    "shipping_priority", "simhash_hamming_pairs", "time_filter",
+    "time_steps", "token_histogram", "topk_per_group", "track_segments",
+    "tumbling_daily", "tumbling_month_label", "tumbling_week_label",
+    "value_decile_bands", "value_percentiles",
+    # (c) the alphabetically-first r2-vintage rows, filling the window
+    "ann_bruteforce_matrix", "ann_filtered_topk", "ann_ivf",
+    "ann_ivf_deterministic", "ann_sign_lsh", "array_ops", "bm25_topk",
+    "contamination_check",
 ]
 
 

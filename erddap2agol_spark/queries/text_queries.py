@@ -726,21 +726,29 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive map, so fan it out first (same ensure_parallelism
     # discipline as every dedup operator — measured 4x here)
     docs = dedup.ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # ONE corpus-sized exchange (VERDICT r7 #2): the old form ran a
+    # (source, sh) distinct shuffle AND a groupBy(sh) shuffle, but
+    # collect_set already dedups sources per shingle, and the per-source
+    # distinct-shingle SIZES fall out of the same per_sh relation (the
+    # exchange is reused across both branches).  Measured at sf0.1:
+    # 1.93 s -> 1.26 s steady; at 100 TB this halves the shuffled bytes.
     s = docs.select(
         "source",
         F.explode(dedup.word_shingles(F.col("text"), 3)).alias("sh"),
-    ).distinct()
-    sizes = s.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    )
     per_sh = s.groupBy("sh").agg(F.collect_set("source").alias("srcs"))
+    ex = per_sh.select(F.explode("srcs").alias("source_a"), "srcs")
+    sizes = ex.groupBy("source_a").agg(F.count(F.lit(1)).alias("n"))
     common = (
-        per_sh.select(F.explode("srcs").alias("source_a"), "srcs")
-        .select("source_a", F.explode("srcs").alias("source_b"))
+        ex.select("source_a", F.explode("srcs").alias("source_b"))
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    x = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
-    y = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    x = sizes.select("source_a", F.col("n").alias("na"))
+    y = sizes.select(
+        F.col("source_a").alias("source_b"), F.col("n").alias("nb")
+    )
     return (
         common.join(F.broadcast(x), "source_a")
         .join(F.broadcast(y), "source_b")
