@@ -837,6 +837,7 @@ def cell_near_dup_pairs(
     threshold: float = 0.9,
     n_probe: int = 2,
     broadcast_elems: int = 8_000_000,
+    max_cell_elems: int = 64_000_000,
 ) -> DataFrame:
     """Embedding near-dup pairs via IVF cells — the 100 TB scale path for
     embedding-cosine dedup: vectors are assigned to their ``n_probe``
@@ -898,12 +899,8 @@ def cell_near_dup_pairs(
     # (256k vectors): 482 s -> the per-cell form's exchange volume is
     # ~2n rows.  A pair probed into two shared cells is deduped by the
     # output-sized key aggregate below.  The quadratic in-cell flop
-    # count is the operator's semantic cost, and ONE CELL IS ONE PANDAS
-    # GROUP: the blocked GEMM bounds the score matrix at B x |cell|,
-    # but the group's member vectors must fit the executor Python
-    # worker — the cell-table resolution (quantizer) is the knob that
-    # bounds |cell|; a degenerate quantizer with a corpus-sized hot
-    # cell needs a finer cell table, exactly as real IVF does.
+    # count is the operator's semantic cost; worker MEMORY is bounded
+    # independently of the quantizer by the hot-cell auto-split below.
     # vectors join in WITHOUT the interpreted norm fold (norms fall out
     # of the stacked matrix below for the cost of one einsum)
     members = assign.join(
@@ -912,41 +909,121 @@ def cell_near_dup_pairs(
     )
     thr = float(threshold)
 
+    # HOT-CELL AUTO-SPLIT (VERDICT r7 #4): one pandas group must fit the
+    # executor Python worker, and relying on the caller's quantizer to
+    # bound |cell| is not a 100 TB contract.  Cells whose member count
+    # exceeds cap (= max_cell_elems / dims vectors) are hash-split into
+    # ceil(m/cap) blocks by xxhash64(id); the group key becomes the
+    # block PAIR (cell, bi<=bj), so any group holds at most two blocks
+    # (<= 2*cap vectors) while every intra-cell pair still meets in
+    # exactly one group: same-id rows share a block, pair (x,y) lands
+    # only in (cell, min(bx,by), max(bx,by)).  The count aggregate is
+    # map-combined to L rows and only oversized cells are collected; a
+    # corpus with no hot cell pays one tiny job and replicates nothing
+    # (nb=1 emits a single (0,0) block pair per member, as before).
+    cap = max(2, max_cell_elems // max(dims, 1))
+    # the count runs on the skinny (id, cell) assignment, not on the
+    # vector-joined members — column pruning aside, there is no reason
+    # to drag vec bytes through the sizing pass
+    hot = (
+        assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .collect()
+    )
+    if hot:
+        cell_t = assign.schema["cell"].dataType.simpleString()
+        nb_df = corpus.sparkSession.createDataFrame(
+            [(r["cell"], -(-r["n"] // cap)) for r in hot],
+            f"cell {cell_t}, nb int",
+        )
+        members = members.join(F.broadcast(nb_df), "cell", "left").fillna(
+            1, subset=["nb"]
+        )
+    else:
+        members = members.withColumn("nb", F.lit(1))
+    members = (
+        members.withColumn(
+            "mb", F.pmod(F.xxhash64(F.col("id")), F.col("nb")).cast("int")
+        )
+        .withColumn("ob", F.explode(F.sequence(F.lit(0), F.col("nb") - 1)))
+        .select(
+            "cell",
+            F.least("mb", "ob").alias("bi"),
+            F.greatest("mb", "ob").alias("bj"),
+            "mb",
+            "id",
+            "vec",
+        )
+    )
+
     def cell_pairs(pdf):
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {
+                "id_a": pdf["id"].iloc[:0],
+                "id_b": pdf["id"].iloc[:0],
+                "cos_sim": np.array([], dtype=np.float64),
+            }
+        )
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {
-                    "id_a": pdf["id"].iloc[:0],
-                    "id_b": pdf["id"].iloc[:0],
-                    "cos_sim": np.array([], dtype=np.float64),
-                }
-            )
+            return empty
         pdf = pdf.sort_values("id", kind="stable").reset_index(drop=True)
+        bi_g, bj_g = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
         ids_c = pdf["id"].to_numpy()
         sub = _stack_rows(pdf["vec"]).astype(np.float64)
         nr = np.sqrt(np.einsum("ij,ij->i", sub, sub, dtype=np.float64))
-        m = len(pdf)
         blk = 4096
         a_parts, b_parts, c_parts = [], [], []
-        for s0 in range(0, m, blk):
-            s1 = min(s0 + blk, m)
-            with np.errstate(invalid="ignore"):  # zero-norm -> NaN -> no pair
-                g = _round_half_up(
-                    (sub[s0:s1] @ sub.T) / np.outer(nr[s0:s1], nr), 6
-                )
-            bi, bj = np.nonzero(g >= thr)
-            gi = bi + s0
-            # a.id < b.id, not position order: rows are id-sorted so the
-            # strict ID inequality keeps exactly the upper triangle for
-            # unique ids AND excludes self-pairs when the input carries
-            # duplicate ids (the old SQL join's contract; ADVICE r7)
-            keep = ids_c[gi] < ids_c[bj]
-            a_parts.append(gi[keep])
-            b_parts.append(bj[keep])
-            c_parts.append(g[bi[keep], bj[keep]])
+        if bi_g == bj_g:
+            # intra-block triangle (the only case for unsplit cells)
+            m = len(pdf)
+            for s0 in range(0, m, blk):
+                s1 = min(s0 + blk, m)
+                with np.errstate(invalid="ignore"):  # zero norm -> NaN
+                    g = _round_half_up(
+                        (sub[s0:s1] @ sub.T) / np.outer(nr[s0:s1], nr), 6
+                    )
+                ri, rj = np.nonzero(g >= thr)
+                gi = ri + s0
+                # a.id < b.id, not position order: rows are id-sorted so
+                # the strict ID inequality keeps exactly the upper
+                # triangle for unique ids AND excludes self-pairs when
+                # the input carries duplicate ids (ADVICE r7)
+                keep = ids_c[gi] < ids_c[rj]
+                a_parts.append(gi[keep])
+                b_parts.append(rj[keep])
+                c_parts.append(g[ri[keep], rj[keep]])
+        else:
+            # cross-block pairs of a split hot cell: same-id rows share
+            # a block (block = hash(id)), so ids differ across blocks;
+            # canonicalize each pair to id order
+            mb = pdf["mb"].to_numpy()
+            ai = np.nonzero(mb == bi_g)[0]
+            bi_rows = np.nonzero(mb == bj_g)[0]
+            if not len(ai) or not len(bi_rows):
+                return empty
+            suba, subb = sub[ai], sub[bi_rows]
+            nra, nrb = nr[ai], nr[bi_rows]
+            for s0 in range(0, len(ai), blk):
+                s1 = min(s0 + blk, len(ai))
+                with np.errstate(invalid="ignore"):
+                    g = _round_half_up(
+                        (suba[s0:s1] @ subb.T) / np.outer(nra[s0:s1], nrb), 6
+                    )
+                ri, rj = np.nonzero(g >= thr)
+                ga = ai[ri + s0]
+                gb = bi_rows[rj]
+                swap = ids_c[ga] > ids_c[gb]
+                ga2 = np.where(swap, gb, ga)
+                gb2 = np.where(swap, ga, gb)
+                a_parts.append(ga2)
+                b_parts.append(gb2)
+                c_parts.append(g[ri, rj])
+        if not a_parts:
+            return empty
         ia = np.concatenate(a_parts)
         ib = np.concatenate(b_parts)
         return pd.DataFrame(
@@ -963,7 +1040,7 @@ def cell_near_dup_pairs(
     # on (id_a, id_b, cos_sim) would keep both rows (review r7).  The
     # key-only aggregate is output-sized and deterministic (min).
     return (
-        members.groupBy("cell")
+        members.groupBy("cell", "bi", "bj")
         .applyInPandas(cell_pairs, f"id_a {id_t}, id_b {id_t}, cos_sim double")
         .groupBy("id_a", "id_b")
         .agg(F.min("cos_sim").alias("cos_sim"))

@@ -228,6 +228,41 @@ def emb_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_near_dup_hot_cell",
+    oracle=f"""
+    WITH {_VEC_CTE}
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6)
+             AS cos_sim
+    FROM v a JOIN v b ON a.id < b.id
+    WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+    doc="DEGENERATE-quantizer stress of the IVF near-dup path (VERDICT "
+    "r7 #4): every vector is forced into ONE cell (constant label), so "
+    "without the hot-cell auto-split a single pandas group would hold "
+    "the whole corpus.  max_cell_elems caps a group at 100 vectors; the "
+    "cell hash-splits into ceil(n/100) blocks scored as block PAIRS and "
+    "re-merged by the min-cosine key aggregate.  With one cell every "
+    "pair meets, so the oracle is the plain all-pairs cosine join — the "
+    "split must be output-invisible.",
+)
+def emb_near_dup_hot_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "one_cell", F.lit(0)
+    )
+    return similarity.cell_near_dup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        label_col="one_cell",
+        threshold=0.4,
+        n_probe=1,
+        broadcast_elems=0,       # force the distributed (split-capable) form
+        max_cell_elems=6400,     # 100 vectors/block at dims=64
+    )
+
+
+@register(
     "ann_ivf_deterministic",
     oracle=f"""
     WITH {_VEC_CTE},

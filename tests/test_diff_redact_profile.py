@@ -268,3 +268,34 @@ def test_ivf_topk_deterministic_tolerates_null_vectors(spark):
     assert {r["query_id"] for r in out} == {10}      # NULL query dropped
     assert 3 not in {r["neighbor_id"] for r in out}  # NULL corpus dropped
     assert any(r["neighbor_id"] in (1, 2) for r in out)
+
+
+def test_cell_near_dup_hot_cell_auto_split(spark, sf_dir):
+    """VERDICT r7 #4: a degenerate quantizer (ONE cell holding the whole
+    corpus) must not concentrate the corpus in a single pandas group —
+    cells over max_cell_elems hash-split into block pairs — and the
+    split must be output-invisible vs the unsplit distributed form and
+    the local kernel."""
+    from erddap2agol_spark.operators.similarity import cell_near_dup_pairs
+    from erddap2agol_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "one_cell", F.lit(0)
+    )
+    split = cell_near_dup_pairs(
+        emb, "vec_id", "embedding", label_col="one_cell", threshold=0.4,
+        n_probe=1, broadcast_elems=0, max_cell_elems=64 * 40,  # 40-vec blocks
+    )
+    unsplit = cell_near_dup_pairs(
+        emb, "vec_id", "embedding", label_col="one_cell", threshold=0.4,
+        n_probe=1, broadcast_elems=0,  # default cap >> corpus: no split
+    )
+    local = cell_near_dup_pairs(
+        emb, "vec_id", "embedding", label_col="one_cell", threshold=0.4,
+        n_probe=1, broadcast_elems=1 << 30,
+    )
+    srows = sorted(tuple(r) for r in split.collect())
+    assert srows == sorted(tuple(r) for r in unsplit.collect())
+    assert srows == sorted(tuple(r) for r in local.collect())
+    assert len(srows) > 0
