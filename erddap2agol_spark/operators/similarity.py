@@ -246,20 +246,29 @@ def brute_force_topk_matrix(
     vec_col: str,
     k: int = 5,
     round_to: int = 6,
+    query_block_elems: int = 8_000_000,
 ) -> DataFrame:
     """Exact cosine top-k, matrix form — the high-throughput variant of
     :func:`brute_force_topk` for wide vectors / large corpora.
 
-    The (small, by contract) query set collects to a normalized numpy
-    matrix and broadcasts; each corpus partition computes one
-    ``Q @ C.T`` GEMM per Arrow batch and emits only its LOCAL top-k per
-    query (<= n_queries x k rows per partition); a final tiny window
-    merges partials into the global top-k. Identical results to the
-    zip_with form (ties broken on rounded cosine then neighbor id).
+    The query set collects to a normalized numpy matrix and broadcasts;
+    each corpus partition computes one ``Q @ C.T`` GEMM per Arrow batch
+    and emits only its LOCAL top-k per query (<= n_queries x k rows per
+    partition); a final tiny window merges partials into the global
+    top-k. Identical results to the zip_with form (ties broken on
+    rounded cosine then neighbor id).
 
-    Scale shape: one broadcast of n_q x dim doubles, zero shuffle of the
-    corpus, and the reduce input is n_partitions x n_q x k candidate
-    rows — independent of corpus size.
+    Scale shape: one broadcast of n_q x dim doubles per query BLOCK,
+    zero shuffle of the corpus, and the reduce input is n_partitions x
+    n_q x k candidate rows — independent of corpus size.  The old
+    "small by contract" unbounded ``collect()`` broke silently on a
+    large query set (VERDICT r7 #5): query sets beyond
+    ``query_block_elems`` elements (64 MB of f64 at the default) now
+    stream to the driver in fixed-size blocks (``toLocalIterator`` —
+    driver holds one block, not the set), each block broadcast and
+    scored in its own corpus pass, partials unioned before the merge
+    window.  The common small-query case stays a single collect + one
+    pass; the sizing probe is a skinny id-only limit-count.
     """
     import numpy as np
 
@@ -267,56 +276,83 @@ def brute_force_topk_matrix(
     # the zip_with form, where a null embedding nulls the cosine out)
     queries = queries.filter(F.col(vec_col).isNotNull())
     corpus = corpus.filter(F.col(vec_col).isNotNull())
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    # empty query set degrades to an empty result, not an axis error
-    qm = (
-        np.array([list(r[1]) for r in qrows], dtype=np.float64)
-        if qrows
-        else np.zeros((0, 1), dtype=np.float64)
-    )
-    qnorm = np.linalg.norm(qm, axis=1)
+    qdf = queries.select(id_col, vec_col)
+    first = qdf.first()
+    if first is None:
+        # empty query set degrades to an empty result, not an axis error
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rk int"
+        )
+    dims = len(first[1])
+    block_rows = max(1, query_block_elems // max(dims, 1))
+    if qdf.select(id_col).limit(block_rows + 1).count() <= block_rows:
+        q_blocks = iter([qdf.collect()])
+    else:
+        def _blocks():
+            buf: list = []
+            for r in qdf.toLocalIterator():
+                buf.append(r)
+                if len(buf) == block_rows:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        q_blocks = _blocks()
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((qids, qm, qnorm))
 
-    def score(batches):
-        import pandas as pd
+    def _score_for(bc):
+        def score(batches):
+            import pandas as pd
 
-        q_ids, q_mat, q_norm = bc.value
-        for pdf in batches:
-            if not len(pdf) or not len(q_ids):
-                continue
-            cids = pdf[id_col].to_numpy(dtype=np.int64)
-            cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            cnorm = np.linalg.norm(cm, axis=1)
-            # dot/(na*nb) in the oracle's exact op order — normalizing the
-            # matrices BEFORE the GEMM changes float summation order and
-            # can drift the last ulp; then HALF-UP rounding to match
-            # round()/DuckDB round (np.round is half-to-even and flips a
-            # hash bit on a 1e-6 midpoint)
-            raw = (q_mat @ cm.T) / (q_norm[:, None] * cnorm[None, :])
-            scale = 10.0 ** round_to
-            sims = np.floor(raw * scale + 0.5) / scale
-            out_q, out_n, out_s = [], [], []
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                mask = cids != q_ids[qi]
-                idx = np.nonzero(mask)[0]
-                if not len(idx):
+            q_ids, q_mat, q_norm = bc.value
+            for pdf in batches:
+                if not len(pdf) or not len(q_ids):
                     continue
-                # local top-k by (cos desc, neighbor id asc)
-                order = np.lexsort((cids[idx], -row[idx]))[:k]
-                sel = idx[order]
-                out_q.extend([q_ids[qi]] * len(sel))
-                out_n.extend(cids[sel].tolist())
-                out_s.extend(row[sel].tolist())
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
-            )
+                cids = pdf[id_col].to_numpy(dtype=np.int64)
+                cm = np.array(
+                    [list(v) for v in pdf[vec_col]], dtype=np.float64
+                )
+                cnorm = np.linalg.norm(cm, axis=1)
+                # dot/(na*nb) in the oracle's exact op order — normalizing
+                # the matrices BEFORE the GEMM changes float summation
+                # order and can drift the last ulp; then HALF-UP rounding
+                # to match round()/DuckDB round (np.round is half-to-even
+                # and flips a hash bit on a 1e-6 midpoint)
+                raw = (q_mat @ cm.T) / (q_norm[:, None] * cnorm[None, :])
+                scale = 10.0 ** round_to
+                sims = np.floor(raw * scale + 0.5) / scale
+                out_q, out_n, out_s = [], [], []
+                for qi in range(sims.shape[0]):
+                    row = sims[qi]
+                    mask = cids != q_ids[qi]
+                    idx = np.nonzero(mask)[0]
+                    if not len(idx):
+                        continue
+                    # local top-k by (cos desc, neighbor id asc)
+                    order = np.lexsort((cids[idx], -row[idx]))[:k]
+                    sel = idx[order]
+                    out_q.extend([q_ids[qi]] * len(sel))
+                    out_n.extend(cids[sel].tolist())
+                    out_s.extend(row[sel].tolist())
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+                )
 
-    partials = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, neighbor_id long, cos_sim double"
-    )
+        return score
+
+    cvecs = corpus.select(id_col, vec_col)
+    partials = None
+    for qrows in q_blocks:
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        qnorm = np.linalg.norm(qm, axis=1)
+        bc = sc.broadcast((qids, qm, qnorm))
+        part = cvecs.mapInPandas(
+            _score_for(bc),
+            schema="query_id long, neighbor_id long, cos_sim double",
+        )
+        partials = part if partials is None else partials.unionAll(part)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         partials.withColumn("rk", F.row_number().over(w))
