@@ -137,12 +137,25 @@ def main() -> None:
     if errors:
         diag["errors"] = errors
     print(json.dumps(diag, separators=(",", ":")))
+    # run-count histogram: {"3": 40, "2": 4} means 40 queries took all 3
+    # steady-state runs, 4 converged after 2 (per-query counts are on
+    # the diag line above)
+    runs_hist: dict[str, int] = {}
+    for r in n_runs.values():
+        runs_hist[str(r)] = runs_hist.get(str(r), 0) + 1
     out = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # load context IN the parsed artifact (VERDICT r7 #6): cross-
+        # round totals on this co-tenant VM drift up to 2x with loadavg;
+        # a reader must be able to rule environment in or out without
+        # the diag line (which the driver's stdout window can truncate)
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "steady_runs_hist": runs_hist,
     }
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # never outgrow the capture window again
