@@ -70,6 +70,11 @@ HEADLINE = [
     "vocab_coverage",
     "source_shingle_overlap",
     "quality_linear_classifier",
+    # round 8: the griddap workflow spine (wire DAS -> hyperslab ->
+    # decode -> sigma-t -> raster roundtrip) and the degenerate-
+    # quantizer near-dup stress (hot-cell auto-split engaged)
+    "griddap_e2e_raster",
+    "emb_near_dup_hot_cell",
 ]
 
 

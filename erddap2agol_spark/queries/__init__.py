@@ -86,10 +86,13 @@ _GRADE_PRIORITY: list[str] = [
     # r2 + the r3 vintage).  Staleness recomputed 2026-08-16 from
     # CORRECTNESS_r01..r07 keys: histogram r1:39 r2:40 r3:50 r5:50
     # r6:31 r7:50.
-    # (a) new round-8 queries — first-time driver rows
+    # (a) new round-8 queries (first-time driver rows) + the two
+    # queries whose plans were rewritten this round (VERDICT r7 #2/#3 —
+    # their r7 rows grade the OLD plan shape)
     "griddap_e2e_raster",
     "emb_near_dup_hot_cell",
-    "lm_perplexity_fused",
+    "source_shingle_overlap",
+    "lm_perplexity",
     # (b) the 39 queries whose latest driver row is round 1
     "anti_join_new", "asof_last_purchase", "bbox_filter", "catalog_scan",
     "catalog_search", "chunk_plan", "coord_cleaning", "corpus_curation",
@@ -106,7 +109,6 @@ _GRADE_PRIORITY: list[str] = [
     # (c) the alphabetically-first r2-vintage rows, filling the window
     "ann_bruteforce_matrix", "ann_filtered_topk", "ann_ivf",
     "ann_ivf_deterministic", "ann_sign_lsh", "array_ops", "bm25_topk",
-    "contamination_check",
 ]
 
 

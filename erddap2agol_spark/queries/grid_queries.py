@@ -238,8 +238,29 @@ def _fixture_base_url() -> str:
             f"/griddap/{os.path.basename(p)}": p
             for p in sorted(glob.glob(os.path.join(nc_dir, "*.nc")))
         }
+        # the dataset's wire DAS document (griddap_e2e_raster's step 1)
+        raw["/griddap/tempsal_grid.das"] = os.path.join(
+            FIXTURE_ROOT, "tempsal_grid.das"
+        )
         srv = ErddapFixtureServer(
-            csvp_fixtures={"glider_track": _CSVP}, raw_fixtures=raw
+            csvp_fixtures={"glider_track": _CSVP},
+            raw_fixtures=raw,
+            # time-division dispatch for hyperslab GETs: file 1 holds
+            # hours 0-18 (record layout), file 2 hours 24-30 (fixed dims)
+            grid_fixtures={
+                "tempsal_grid": [
+                    (
+                        "2024-03-01T00:00:00Z",
+                        "2024-03-01T18:00:00Z",
+                        os.path.join(nc_dir, "tempsal_grid.nc"),
+                    ),
+                    (
+                        "2024-03-02T00:00:00Z",
+                        "2024-03-02T06:00:00Z",
+                        os.path.join(nc_dir, "tempsal_grid_subset_2.nc"),
+                    ),
+                ]
+            },
         )
         base = srv.start()
         _FIXTURE_SERVER = (srv, base)
@@ -471,6 +492,149 @@ def grid_sigma_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lat",
         "lon",
         F.round(sigma_t(F.col("t"), F.col("s")), 6).alias("sigma_t"),
+    )
+
+
+def _griddap_e2e_oracle() -> str:
+    from ..functions.seawater import sigma_t_sql
+
+    return f"""
+    WITH wide AS (
+      SELECT time, lat, lon,
+             max(CASE WHEN var = 'water_temp' AND altitude = 0.0
+                      THEN value END) AS t,
+             max(CASE WHEN var = 'salinity' THEN value END) AS s
+      FROM read_parquet('{_TRUTH}')
+      GROUP BY time, lat, lon
+    ),
+    sg AS (
+      SELECT time, lat, lon,
+             CASE WHEN t IS NOT NULL AND s IS NOT NULL
+                  THEN round({sigma_t_sql("t", "s")}, 6) END AS sigma
+      FROM wide
+    )
+    SELECT time, count(*) AS n_cells, count(sigma) AS n_valid,
+           round(avg(sigma), 6) AS avg_sigma,
+           round(min(sigma), 6) AS min_sigma,
+           round(max(sigma), 6) AS max_sigma
+    FROM sg GROUP BY time
+    """
+
+
+@register(
+    "griddap_e2e_raster",
+    oracle=_griddap_e2e_oracle(),
+    doc="SURVEY §3.1 + K5 — the reference's GRIDDAP workflow traced end "
+    "to end over real transports in one graded plan (VERDICT r7 #7, the "
+    "second workflow spine next to glider_workflow_e2e): (1) the "
+    "dataset's .das document fetched over the wire and parsed "
+    "(das_client metadata probe), (2) measure variables + time extent + "
+    "geographic range derived FROM that metadata — the hyperslab URLs "
+    "use nothing hardcoded but the spool's division plan, (3) "
+    "griddap_url compiles one time-division hyperslab URL per chunk "
+    "(altitude [0] first-slice, north-first latitude selector flipped, "
+    "data_wrangler.py:389-551), (4) the loopback ERDDAP serves each "
+    "division's NetCDF bytes, decoded task-side (one URL per scan "
+    "task), (5) the EOS-80 sigma-t surface layer derives via ONE "
+    "conditional pivot (shared Spark/DuckDB expression builder), (6) "
+    "written to the chunked raster tile store and (7) read BACK "
+    "tile-by-tile (agol_wrangler.py:263-472) — the returned per-time "
+    "stats come from the READBACK, so the hash grades DAS -> projection "
+    "-> URL -> wire -> decode -> physics -> tile scatter -> tile gather "
+    "against stats DuckDB derives from the independent truth parquet.",
+)
+def griddap_e2e_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import tempfile
+
+    from ..functions.seawater import sigma_t
+    from ..sinks import raster
+    from ..sources import das
+    from ..sources.erddap_url import GridSelector, TimeRange, griddap_url
+    from ..sources.netcdf import read_griddap_netcdf_http
+
+    base = _fixture_base_url()
+    # (1) wire DAS parse
+    meta, failures = das.das_from_urls(
+        spark, {"tempsal_grid": f"{base}/griddap/tempsal_grid.das"}
+    )
+    if failures:
+        raise RuntimeError(f"DAS fetch failed: {failures}")
+    # (2) metadata-driven projection: measure vars + extents
+    mv = sorted(
+        r["variable"] for r in das.grid_measure_variables(meta).collect()
+    )
+    assert mv == ["salinity", "water_temp"], mv
+    ext = das.time_extent_from_meta(meta).first()
+    geo = das.geographic_range_from_meta(meta).first()
+    start, end = ext["start_time"], ext["end_time"]
+    # (3) division plan (the sizing probe's output for this spool: two
+    # divisions, hours 0-18 and 24-30) -> one hyperslab URL per division
+    divisions = [
+        TimeRange(start, start + dt.timedelta(hours=18)),
+        TimeRange(start + dt.timedelta(hours=24), end),
+    ]
+    urls = [
+        griddap_url(
+            base,
+            "tempsal_grid",
+            mv,
+            GridSelector(
+                time_range=tr,
+                lat_range=(geo["lat_min"], geo["lat_max"]),
+                lon_range=(geo["lon_min"], geo["lon_max"]),
+                has_altitude=True,       # [0] first-slice: surface layer
+                lat_order_desc=True,     # grid stored north->south
+            ),
+        )
+        for tr in divisions
+    ]
+    # (4) wire fetch + task-side decode
+    cells = read_griddap_netcdf_http(spark, urls)
+    # (5) derived surface sigma-t layer (server serves whole divisions;
+    # the altitude[0] pushdown is re-applied here, exactly as Spark
+    # re-applies pushed filters above a best-effort source)
+    v = F.when(F.isnan("value"), None).otherwise(F.col("value"))
+    wide = (
+        cells.withColumn("value", v)
+        .filter(
+            (F.col("var") == "salinity")
+            | ((F.col("var") == "water_temp") & (F.col("altitude") == 0.0))
+        )
+        .groupBy("time", "lat", "lon")
+        .agg(
+            F.max(
+                F.when(F.col("var") == "water_temp", F.col("value"))
+            ).alias("t"),
+            F.max(F.when(F.col("var") == "salinity", F.col("value"))).alias(
+                "s"
+            ),
+        )
+        .filter(F.col("t").isNotNull() & F.col("s").isNotNull())
+    )
+    layer = wide.select(
+        F.lit("sigma_t").alias("var"),
+        "time",
+        "lat",
+        "lon",
+        F.round(sigma_t(F.col("t"), F.col("s")), 6).alias("value"),
+    )
+    # (6) raster tile store + (7) readback
+    root = tempfile.mkdtemp(prefix="e2a_griddap_e2e_")
+    raster.write_raster_tiles(
+        layer, root, slice_cols=("time",), tile_h=4, tile_w=4
+    )
+    back = raster.read_raster_tiles(spark, root)
+    return (
+        back.withColumn("time", F.to_timestamp(F.col("slice")))
+        .groupBy("time")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count("value").alias("n_valid"),
+            F.round(F.avg("value"), 6).alias("avg_sigma"),
+            F.round(F.min("value"), 6).alias("min_sigma"),
+            F.round(F.max("value"), 6).alias("max_sigma"),
+        )
     )
 
 

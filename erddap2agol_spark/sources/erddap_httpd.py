@@ -25,6 +25,7 @@ the engine consumes.
 
 from __future__ import annotations
 
+import re
 import threading
 import time
 import urllib.parse
@@ -82,9 +83,17 @@ class ErddapFixtureServer:
         self,
         csvp_fixtures: dict[str, str] | None = None,
         raw_fixtures: dict[str, str] | None = None,
+        grid_fixtures: dict[str, list[tuple[str, str, str]]] | None = None,
     ):
         self.csvp_fixtures = dict(csvp_fixtures or {})
         self.raw_fixtures = dict(raw_fixtures or {})
+        # griddap hyperslab dispatch: dataset_id -> [(iso_start, iso_end,
+        # nc_path)] time divisions.  A GET /griddap/{id}.nc?var[(t0):s:(t1)]…
+        # serves the UNIQUE division fully contained in [t0, t1] — the
+        # time-sliced protocol the reference's chunked griddap downloads
+        # speak (one division per URL, data_wrangler.py:592-604); a slab
+        # matching zero or several divisions is a caller bug -> 404.
+        self.grid_fixtures = dict(grid_fixtures or {})
         self._fail: list[dict] = []  # {"match": str, "left": int, "status": int}
         self._delay: list[dict] = []  # {"match": str, "seconds": float}
         self.request_log: list[str] = []
@@ -179,6 +188,34 @@ class ErddapFixtureServer:
             h.end_headers()
             h.wfile.write(body)
             return
+        if path.startswith("/griddap/") and path.endswith(".nc"):
+            dataset_id = path[len("/griddap/") : -len(".nc")]
+            divisions = self.grid_fixtures.get(dataset_id)
+            m = re.search(
+                r"\[\(([^)]+)\):\d+:\(([^)]+)\)\]",
+                urllib.parse.unquote(query),
+            )
+            # no hyperslab in the query -> fall through to raw_fixtures
+            # (whole-file spool GETs share the path with slab requests)
+            if divisions is not None and m is not None:
+                hits = [
+                    p
+                    for (t0, t1, p) in divisions
+                    if m.group(1) <= t0 and t1 <= m.group(2)
+                ]
+                if len(hits) != 1:
+                    h.send_response(404)
+                    h.end_headers()
+                    return
+                with open(hits[0], "rb") as f:
+                    body = f.read()
+                h.send_response(200)
+                h.send_header("Content-Type", "application/x-netcdf")
+                h.send_header("Content-Length", str(len(body)))
+                h.send_header("Last-Modified", self.last_modified)
+                h.end_headers()
+                h.wfile.write(body)
+                return
         raw = self.raw_fixtures.get(path)
         if raw is not None:
             with open(raw, "rb") as f:
