@@ -708,3 +708,48 @@ def test_streaming_source_requires_stream_url_and_ddl(spark):
             .start()
             .awaitTermination()
         )
+
+
+def test_grid_fixture_division_dispatch(tmp_path):
+    """r8 griddap protocol surface: a hyperslab GET serves the UNIQUE
+    time division fully contained in the requested [t0, t1]; a slab
+    matching zero or several divisions is a caller bug (404); a
+    query-less GET falls through to the raw whole-file fixture."""
+    import urllib.error
+    import urllib.request
+
+    f1 = tmp_path / "d1.nc"
+    f2 = tmp_path / "d2.nc"
+    f1.write_bytes(b"DIV1")
+    f2.write_bytes(b"DIV2")
+    s = ErddapFixtureServer(
+        raw_fixtures={"/griddap/ds.nc": str(f1)},
+        grid_fixtures={
+            "ds": [
+                ("2024-03-01T00:00:00Z", "2024-03-01T18:00:00Z", str(f1)),
+                ("2024-03-02T00:00:00Z", "2024-03-02T06:00:00Z", str(f2)),
+            ]
+        },
+    )
+    base = s.start()
+    try:
+        def get(url):
+            with urllib.request.urlopen(url) as r:
+                return r.read()
+
+        slab = "%5B(2024-03-02T00:00:00Z):1:(2024-03-02T06:00:00Z)%5D"
+        assert get(f"{base}/griddap/ds.nc?var{slab}") == b"DIV2"
+        # whole-file GET (no hyperslab) falls through to raw_fixtures
+        assert get(f"{base}/griddap/ds.nc") == b"DIV1"
+        # slab spanning BOTH divisions: ambiguous -> 404
+        wide = "%5B(2024-03-01T00:00:00Z):1:(2024-03-02T06:00:00Z)%5D"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(f"{base}/griddap/ds.nc?var{wide}")
+        assert e.value.code == 404
+        # slab covering NO division -> 404
+        none = "%5B(2024-03-03T00:00:00Z):1:(2024-03-03T06:00:00Z)%5D"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(f"{base}/griddap/ds.nc?var{none}")
+        assert e.value.code == 404
+    finally:
+        s.stop()
