@@ -958,9 +958,12 @@ def cell_near_dup_pairs(
     # corpus with no hot cell pays one tiny job and replicates nothing
     # (nb=1 emits a single (0,0) block pair per member, as before).
     cap = max(2, max_cell_elems // max(dims, 1))
-    # the count runs on the skinny (id, cell) assignment, not on the
-    # vector-joined members — column pruning aside, there is no reason
-    # to drag vec bytes through the sizing pass
+    # the sizing count would otherwise RE-RUN the GEMM assignment
+    # lineage (the count materializes assign once, the members join a
+    # second time) — persist the skinny (id, cell) relation so the
+    # assignment is computed exactly once; at any scale this is 2 small
+    # columns x n_probe rows, disk-spillable
+    assign = assign.persist()
     hot = (
         assign.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
