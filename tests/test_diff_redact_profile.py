@@ -299,3 +299,45 @@ def test_cell_near_dup_hot_cell_auto_split(spark, sf_dir):
     assert srows == sorted(tuple(r) for r in unsplit.collect())
     assert srows == sorted(tuple(r) for r in local.collect())
     assert len(srows) > 0
+
+
+def test_cell_near_dup_split_consistency_random(spark):
+    """Multi-seed randomized consistency: for random corpora (clustered
+    + uniform vectors, varying dims/labels), the hot-cell SPLIT
+    distributed form, the unsplit distributed form, and the local
+    kernel must agree row-for-row."""
+    import random
+
+    from erddap2agol_spark.operators.similarity import cell_near_dup_pairs
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        dims = rng.choice((4, 8))
+        n_labels = rng.choice((1, 2, 3))
+        rows = []
+        for i in range(rng.randint(30, 60)):
+            base = [rng.uniform(-1, 1) for _ in range(dims)]
+            rows.append((i, base, rng.randrange(n_labels)))
+            if rng.random() < 0.3:  # planted near-dup
+                rows.append(
+                    (
+                        1000 + i,
+                        [x + rng.uniform(-0.01, 0.01) for x in base],
+                        rng.randrange(n_labels),
+                    )
+                )
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        outs = []
+        for kwargs in (
+            {"broadcast_elems": 0, "max_cell_elems": dims * 7},  # split
+            {"broadcast_elems": 0},                              # unsplit
+            {"broadcast_elems": 1 << 30},                        # local
+        ):
+            df = cell_near_dup_pairs(
+                corpus, "vec_id", "embedding", threshold=0.8, n_probe=2,
+                **kwargs,
+            )
+            outs.append(sorted(tuple(r) for r in df.collect()))
+        assert outs[0] == outs[1] == outs[2], f"seed {seed} diverged"
