@@ -173,13 +173,19 @@ def word_ngrams(col: Column, n: int) -> Column:
     — evaluated inside whole-stage codegen, no shuffle."""
     t = tokens(col)
     cnt = F.size(t)
-    return F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(1), cnt - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # arrays_zip of n SLICES, not transform + per-gram slice: one walk
+    # over the token array instead of a fresh n-element array per gram
+    # (measured ~1.6x on the explode stage at sf0.1; same pattern as
+    # dedup.word_shingles, review r8).  The slice length clamps at 0 so
+    # the expression is safe for sub-n-token docs.
+    klen = F.greatest(cnt - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(t, j + 1, klen).alias(f"w{j}") for j in range(n)]
+    )
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)])
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def repetition_profile(df, id_col: str, text_col: str):
