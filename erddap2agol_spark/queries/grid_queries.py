@@ -508,9 +508,13 @@ def _griddap_e2e_oracle() -> str:
       GROUP BY time, lat, lon
     ),
     sg AS (
+      -- RAW sigma, rounded only in the final stats: pre-rounding the
+      -- per-cell value puts the 28-cell average exactly on 0.5e-6
+      -- midpoints (k/28 = m + 1/2 for k = 28m + 14), where cross-engine
+      -- summation-order ulp drift flips the 6dp round (r8 flake)
       SELECT time, lat, lon,
              CASE WHEN t IS NOT NULL AND s IS NOT NULL
-                  THEN round({sigma_t_sql("t", "s")}, 6) END AS sigma
+                  THEN {sigma_t_sql("t", "s")} END AS sigma
       FROM wide
     )
     SELECT time, count(*) AS n_cells, count(sigma) AS n_valid,
@@ -612,12 +616,16 @@ def griddap_e2e_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("t").isNotNull() & F.col("s").isNotNull())
     )
+    # RAW sigma into the tiles (the f64 tile store round-trips it
+    # bit-exactly); stats round once at the end — pre-rounded 6dp cell
+    # values put the per-time average exactly on 0.5e-6 midpoints,
+    # where engine summation order decides the final rounded digit
     layer = wide.select(
         F.lit("sigma_t").alias("var"),
         "time",
         "lat",
         "lon",
-        F.round(sigma_t(F.col("t"), F.col("s")), 6).alias("value"),
+        sigma_t(F.col("t"), F.col("s")).alias("value"),
     )
     # (6) raster tile store + (7) readback
     root = tempfile.mkdtemp(prefix="e2a_griddap_e2e_")
