@@ -70,12 +70,15 @@ HEADLINE = [
     "vocab_coverage",
     "source_shingle_overlap",
     "quality_linear_classifier",
-    # round 8: the griddap workflow spine (wire DAS -> hyperslab ->
-    # decode -> sigma-t -> raster roundtrip) and the degenerate-
-    # quantizer near-dup stress (hot-cell auto-split engaged)
-    "griddap_e2e_raster",
-    "emb_near_dup_hot_cell",
 ]
+# NOT in the headline set (same policy as glider_workflow_e2e): the
+# wire-E2E and stress queries are CORRECTNESS surfaces whose oracles do
+# not perform comparable work (griddap_e2e_raster runs DAS fetch + HTTP
+# NetCDF decode + raster write/readback against an oracle that reads a
+# precomputed truth table; emb_near_dup_hot_cell deliberately forces
+# the degenerate-quantizer split path).  Both are driver-graded via the
+# registry window; timing them here would skew the throughput ratio
+# with fixed wire/fixture costs, not engine speed.
 
 
 def main() -> None:
