@@ -100,14 +100,37 @@ def bigram_model(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame
     second element), not from a second corpus pass — the corpus is read
     once.  ``vocab_size`` is a one-row frame (distinct tokens anywhere
     in the corpus), used as the smoothing denominator term.
+
+    ONE corpus pass builds all three (review r8): the zip keeps every
+    token position as a pair row — the LAST token of each doc (and the
+    only token of a 1-token doc) appears with a NULL ``cur`` — so the
+    (prev, cur) aggregate's distinct ``prev`` values are EXACTLY the
+    vocabulary.  ``vocab_size`` then aggregates the vocabulary²-sized
+    relation through a reused exchange instead of re-exploding the
+    corpus a second time.
     """
-    bg = doc_bigrams(docs, id_col, text_col)
-    cb = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("nb"))
-    cp = cb.groupBy("prev").agg(F.sum("nb").alias("np"))
-    vocab = (
-        docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
-        .agg(F.countDistinct("tok").alias("v"))
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs_all = F.arrays_zip(
+        toks.alias("prev"),
+        # arrays_zip pads the shorter slice with NULL: position i pairs
+        # (t_i, t_{i+1}), the last position pairs (t_n, NULL)
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("cur"),
     )
+    bg_all = docs.select(F.explode(pairs_all).alias("bg")).select(
+        F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    # persisted: the cur-isNotNull filter below is on a GROUPING key, so
+    # Catalyst pushes it beneath the aggregate, the cb and vocab branches'
+    # exchanges stop canonicalizing equal, and ReusedExchange never fires
+    # — without the persist the corpus explode ran once per branch
+    # (verified in the executed plan, review r8).  The relation is
+    # vocabulary²-sized: safe to pin at any corpus scale.
+    cb_all = bg_all.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("nb"))
+    cb_all = cb_all.persist()
+    cb = cb_all.where(F.col("cur").isNotNull())
+    cp = cb.groupBy("prev").agg(F.sum("nb").alias("np"))
+    vocab = cb_all.agg(F.countDistinct("prev").alias("v"))
     return cb, cp, vocab
 
 
