@@ -120,14 +120,20 @@ def bigram_model(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame
     bg_all = docs.select(F.explode(pairs_all).alias("bg")).select(
         F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
     )
-    # persisted: the cur-isNotNull filter below is on a GROUPING key, so
-    # Catalyst pushes it beneath the aggregate, the cb and vocab branches'
-    # exchanges stop canonicalizing equal, and ReusedExchange never fires
-    # — without the persist the corpus explode ran once per branch
-    # (verified in the executed plan, review r8).  The relation is
-    # vocabulary²-sized: safe to pin at any corpus scale.
+    # materialized once: the cur-isNotNull filter below is on a GROUPING
+    # key, so Catalyst pushes it beneath the aggregate, the cb and vocab
+    # branches' exchanges stop canonicalizing equal, and ReusedExchange
+    # never fires — without pinning, the corpus explode ran once per
+    # branch (verified in the executed plan, review r8).
+    # truncate_lineage (checkpoint/localCheckpoint), not persist(): its
+    # blocks are reclaimed by the ContextCleaner when the caller drops
+    # the plan, where a bare persist would accumulate cache entries
+    # across calls with no unpersist hook.  The relation is
+    # vocabulary²-sized either way.
     cb_all = bg_all.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("nb"))
-    cb_all = cb_all.persist()
+    from .dedup import truncate_lineage
+
+    cb_all = truncate_lineage(cb_all)
     cb = cb_all.where(F.col("cur").isNotNull())
     cp = cb.groupBy("prev").agg(F.sum("nb").alias("np"))
     vocab = cb_all.agg(F.countDistinct("prev").alias("v"))

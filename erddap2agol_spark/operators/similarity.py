@@ -960,10 +960,15 @@ def cell_near_dup_pairs(
     cap = max(2, max_cell_elems // max(dims, 1))
     # the sizing count would otherwise RE-RUN the GEMM assignment
     # lineage (the count materializes assign once, the members join a
-    # second time) — persist the skinny (id, cell) relation so the
-    # assignment is computed exactly once; at any scale this is 2 small
-    # columns x n_probe rows, disk-spillable
-    assign = assign.persist()
+    # second time) — materialize the skinny (id, cell) relation once via
+    # truncate_lineage (checkpoint/localCheckpoint), whose blocks the
+    # ContextCleaner RECLAIMS when the caller drops the plan; a plain
+    # persist() here would accumulate corpus-sized cache entries across
+    # repeated operator calls with no unpersist hook (review r8).  At
+    # any scale this is 2 small columns x n_probe rows, disk-spillable.
+    from .dedup import truncate_lineage
+
+    assign = truncate_lineage(assign)
     hot = (
         assign.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
