@@ -81,11 +81,11 @@ _GRADE_PRIORITY: list[str] = [
     # so the window rotates to STALENESS — 79 queries' most recent
     # driver row dates to r1-r2 while the code under them has evolved
     # through 7 rounds.  Order: (a) queries NEW this round (never
-    # driver-graded), then (b) the 39 r1-vintage rows, then (c) the 11
-    # alphabetically-first r2-vintage rows (r9 takes the remaining 29
-    # r2 + the r3 vintage).  Staleness recomputed 2026-08-16 from
-    # CORRECTNESS_r01..r07 keys: histogram r1:39 r2:40 r3:50 r5:50
-    # r6:31 r7:50.
+    # driver-graded) plus the two whose plans were rewritten, then (b)
+    # the 39 r1-vintage rows, then (c) the 7 alphabetically-first
+    # r2-vintage rows (r9 takes the remaining 33 r2 + the r3 vintage).
+    # Staleness recomputed 2026-08-16 from CORRECTNESS_r01..r07 keys:
+    # histogram r1:39 r2:40 r3:50 r5:50 r6:31 r7:50.
     # (a) new round-8 queries (first-time driver rows) + the two
     # queries whose plans were rewritten this round (VERDICT r7 #2/#3 —
     # their r7 rows grade the OLD plan shape)
