@@ -503,15 +503,12 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_bucket
     from ..operators.text import bloom_contamination
 
-    from .pipeline_queries import gopher_quality_flags
+    from .pipeline_queries import gopher_keep_bit
 
     docs = load_table(spark, sf_dir, "documents")
     bench = ("src0", "src1")
     corpus = docs.where(~F.col("source").isin(*bench))
 
-    q = gopher_quality_flags(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("q_keep")
-    )
     probe = bloom_contamination(docs, bench, n=5).select(
         "doc_id",
         F.when(F.col("n_maybe_contaminated") > 0, 1).otherwise(0).alias("dirty"),
@@ -519,9 +516,18 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = corpus.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("keeper")
     )
+    # the gopher gate is a MAP-SIDE bit on the corpus scan itself, not a
+    # |docs|-row join back to the gopher_quality_flags query result (its
+    # old q-join cost two exchanges + a sort for columns the scan had in
+    # hand — review r8); the expressions are shared with the graded
+    # query via pipeline_queries.gopher_keep_bit, so the two gates
+    # cannot drift
     flags = (
-        corpus.select("doc_id", F.md5("text").alias("h"))
-        .join(q, "doc_id")
+        corpus.select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            gopher_keep_bit(F.col("text")).alias("q_keep"),
+        )
         .join(probe, "doc_id", "left")
         .join(canon, "h")
         .select(

@@ -20,6 +20,52 @@ from . import register
 _STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 
 
+def _gopher_metrics(text: F.Column):
+    """The five Gopher metric columns over a text column (map-only)."""
+    t = T.tokens(text)
+    n_words = F.size(t)
+    denom_w = F.greatest(n_words, F.lit(1))
+    mwl = F.round(
+        F.aggregate(t, F.lit(0), lambda a, w: a + F.length(w)) / denom_w, 6
+    )
+    alpha = F.round(
+        F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("double")
+        / denom_w,
+        6,
+    )
+    sym = F.round(
+        F.size(F.regexp_extract_all(text, F.lit(r"[^a-z0-9\s]"), 0))
+        .cast("double")
+        / F.greatest(F.length(text), F.lit(1)),
+        6,
+    )
+    wordset = F.array(*[F.lit(w) for w in T.STOPWORDS])
+    stop_hits = F.size(F.filter(t, lambda w: F.array_contains(wordset, w)))
+    return n_words, mwl, alpha, sym, stop_hits
+
+
+def gopher_keep_bit(text: F.Column) -> F.Column:
+    """The combined Gopher keep decision as ONE map-side 0/1 column —
+    the shareable form for pipelines (corpus_manifest) that need the
+    gate INLINE on their own scan instead of a |docs|-row join back to
+    the gopher_quality_flags query result (review r8: the manifest's
+    q-join was two exchanges + a sort for a bit the scan could compute
+    in place).  Same expressions and thresholds as the graded
+    gopher_quality_flags query — both derive from
+    :func:`_gopher_metrics`, so the two surfaces cannot drift."""
+    n_words, mwl, alpha, sym, stop_hits = _gopher_metrics(text)
+    keep = (
+        (n_words >= 10)
+        & (n_words <= 100000)
+        & (mwl >= 2.0)
+        & (mwl <= 12.0)
+        & (alpha >= 0.8)
+        & (sym <= 0.1)
+        & (stop_hits >= 1)
+    )
+    return F.when(keep, F.lit(1)).otherwise(F.lit(0))
+
+
 @register(
     "gopher_quality_flags",
     oracle=f"""
@@ -65,24 +111,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 )
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = T.tokens(F.col("text"))
-    n_words = F.size(t)
-    denom_w = F.greatest(n_words, F.lit(1))
-    mwl = F.round(
-        F.aggregate(t, F.lit(0), lambda a, w: a + F.length(w)) / denom_w, 6
-    )
-    alpha = F.round(
-        F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("double") / denom_w,
-        6,
-    )
-    sym = F.round(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0))
-        .cast("double")
-        / F.greatest(F.length("text"), F.lit(1)),
-        6,
-    )
-    wordset = F.array(*[F.lit(w) for w in T.STOPWORDS])
-    stop_hits = F.size(F.filter(t, lambda w: F.array_contains(wordset, w)))
+    n_words, mwl, alpha, sym, stop_hits = _gopher_metrics(F.col("text"))
 
     out = docs.select(
         "doc_id",
