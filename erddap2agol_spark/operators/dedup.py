@@ -39,7 +39,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
+def truncate_lineage(df: DataFrame, release: DataFrame | None = None) -> DataFrame:
     """Materialize ``df`` and cut its lineage — the per-round discipline
     for iterative operators (connected components, k-core, pointer
     doubling), where chaining rounds over plain ``persist`` nests the
@@ -52,15 +52,57 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     executor loss.  Without one (local[n], tests) rounds use
     ``localCheckpoint``: executor-local blocks with NO lineage left to
     recompute from, so losing an executor mid-iteration fails the job —
-    acceptable single-node, not at 1000 executors.  Either way, a
-    finished round's blocks/files are released by the ContextCleaner
-    once the next round drops the last reference; worst case a few
-    rounds are in flight at MEMORY_AND_DISK (spill, never silent
-    wrong results)."""
+    acceptable single-node, not at 1000 executors.
+
+    Lifecycle is EXPLICIT, not GC-driven: under PySpark's default
+    pinned-thread mode (``PYSPARK_PIN_THREAD=true``) a dropped
+    checkpointed frame's blocks are NOT reclaimed — the py4j finalizer
+    removes the JVM Dataset binding, but the checkpointed RDD stays
+    strongly rooted JVM-side and ``getPersistentRDDs`` grows by one
+    entry per call until the application exits (measured r9 on Spark
+    4.1; with ``PYSPARK_PIN_THREAD=false`` the ContextCleaner does
+    reclaim).  Iterative operators therefore pass the PREVIOUS round's
+    frame as ``release``: once the new checkpoint has materialized
+    (eager), the previous round's blocks are unpersisted explicitly.
+    Callers holding a terminal checkpointed result free it with
+    :func:`release_checkpoints` when done."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        out = df.checkpoint(eager=True)
+    else:
+        out = df.localCheckpoint(eager=True)
+    if release is not None:
+        release_checkpoints(release)
+    return out
+
+
+def release_checkpoints(df: DataFrame) -> int:
+    """Explicitly unpersist every checkpointed relation embedded in
+    ``df``'s plan; returns how many were released.  Call ONLY when no
+    future action will read the frame — a local checkpoint has no
+    lineage left to recompute from, so a released frame cannot be
+    re-executed.
+
+    Walks the analyzed plan's leaves for ``LogicalRDD`` nodes (exactly
+    what :func:`truncate_lineage` produces) and unpersists each backing
+    RDD — ``unpersist`` on a never-persisted LogicalRDD (e.g. a
+    ``createDataFrame`` relation) is a harmless no-op.  Best-effort:
+    on backends without py4j plan access (Spark Connect) this quietly
+    releases nothing and the blocks live until application exit."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    except Exception:
+        return 0
+    freed = 0
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        try:
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+                freed += 1
+        except Exception:
+            pass
+    return freed
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
@@ -511,6 +553,10 @@ def connected_components(
         n_new = nxt.count()
         # both are distinct sets: equal iff same size and nxt ⊆ e
         converged = n_new == n_e and nxt.exceptAll(e).isEmpty()
+        # the convergence exceptAll was the LAST read of the previous
+        # round — free its blocks explicitly (GC reclamation does not
+        # happen under pinned-thread py4j; see truncate_lineage)
+        release_checkpoints(e)
         e, n_e = nxt, n_new
         if converged:
             break

@@ -176,9 +176,9 @@ def kcore(
     would nest 3^rounds copies of the edge build; ``truncate_lineage``
     cuts it each round (reliable checkpoint when the session has a
     checkpoint dir — set one on a real cluster — else localCheckpoint;
-    see dedup.truncate_lineage).  Checkpoint blocks/files are released
-    by Spark's ContextCleaner when the previous round's frame goes out
-    of scope.
+    see dedup.truncate_lineage).  A finished round's blocks are released
+    EXPLICITLY via ``truncate_lineage(..., release=prev)`` — GC-driven
+    reclamation does not happen under pinned-thread py4j (r9).
     """
     cur = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
@@ -192,7 +192,10 @@ def kcore(
             keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
         )
         if persist_each:
-            nxt = truncate_lineage(nxt)
+            # release the previous round once the new checkpoint has
+            # materialized (explicit — GC never reclaims these under
+            # pinned-thread py4j; see dedup.truncate_lineage)
+            nxt = truncate_lineage(nxt, release=cur)
         cur = nxt
     return cur.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -299,6 +302,7 @@ def pointer_doubling_closure(
             F.col("done").alias("h_done"),
         )
         adv = ~F.col("done") & F.col("h_done").isNotNull()
+        prev = links
         links = (
             links.join(hop, links.anc == hop.h_node, "left")
             .select(
@@ -310,5 +314,7 @@ def pointer_doubling_closure(
                 .alias("done"),
             )
         )
-        links = truncate_lineage(links)
+        # previous round's last read is the join above; the new eager
+        # checkpoint makes its blocks dead — release explicitly
+        links = truncate_lineage(links, release=prev)
     return links.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))

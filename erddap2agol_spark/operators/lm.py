@@ -125,11 +125,11 @@ def bigram_model(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame
     # branches' exchanges stop canonicalizing equal, and ReusedExchange
     # never fires — without pinning, the corpus explode ran once per
     # branch (verified in the executed plan, review r8).
-    # truncate_lineage (checkpoint/localCheckpoint), not persist(): its
-    # blocks are reclaimed by the ContextCleaner when the caller drops
-    # the plan, where a bare persist would accumulate cache entries
-    # across calls with no unpersist hook.  The relation is
-    # vocabulary²-sized either way.
+    # truncate_lineage (checkpoint/localCheckpoint), not persist(): the
+    # blocks back the returned plan, and callers done with the result
+    # free them explicitly via dedup.release_checkpoints (GC does NOT
+    # reclaim them under pinned-thread py4j — measured r9; see
+    # truncate_lineage).  The relation is vocabulary²-sized either way.
     cb_all = bg_all.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("nb"))
     from .dedup import truncate_lineage
 
@@ -196,6 +196,84 @@ def bigram_cross_entropy(
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.avg("neg_logp").alias("cross_entropy"),
+        )
+    )
+
+
+def bigram_cross_entropy_agg(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: float = DEFAULT_K,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`bigram_cross_entropy` computed from ONE corpus explode —
+    the single-scan variant.
+
+    The two-pass form reads and explodes the corpus twice (model build
+    + scoring) but never shuffles a corpus-sized relation; this form
+    aggregates the exploded bigrams ONCE per ``(id, prev, cur)``,
+    checkpoints that relation, and derives BOTH the model and the
+    per-document weighted average from it — one corpus read, one
+    corpus-sized exchange (hash-keyed on ``(id, prev, cur)``: doc-id
+    leading, so no stopword-headed skew), then everything downstream is
+    model- or |docs|-sized.
+
+    Which to use: at 100 TB the two-pass form wins when scan bandwidth
+    is cheaper than shuffle (columnar pushdown, hot cache); this form
+    wins when the corpus read dominates (cold object store, wide rows)
+    — it is also the job-floor-minimal local plan.  Results are
+    identical up to float summation order (both sides round before
+    grading).  Callers done with the result free the checkpoint blocks
+    via :func:`~..operators.dedup.release_checkpoints`.
+    """
+    from .dedup import truncate_lineage
+
+    docs = ensure_parallelism(docs)
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs_all = F.arrays_zip(
+        toks.alias("prev"),
+        # NULL-padded zip: last position pairs (t_n, NULL), keeping every
+        # token a 'prev' so the vocabulary falls out of the aggregate
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("cur"),
+    )
+    dp = (
+        docs.select(F.col(id_col), *extra_cols, F.explode(pairs_all).alias("bg"))
+        .select(
+            id_col,
+            *extra_cols,
+            F.col("bg.prev").alias("prev"),
+            F.col("bg.cur").alias("cur"),
+        )
+        .groupBy(id_col, *extra_cols, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dp = truncate_lineage(dp)
+    scored_pairs = dp.where(F.col("cur").isNotNull())
+    cb = scored_pairs.groupBy("prev", "cur").agg(F.sum("c").alias("nb"))
+    cp = cb.groupBy("prev").agg(F.sum("nb").alias("np"))
+    vocab = dp.agg(F.countDistinct("prev").alias("v"))
+    model = F.broadcast(
+        cb.join(cp, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "cur",
+            (
+                F.log(F.col("np") + F.lit(k) * F.col("v"))
+                - F.log(F.col("nb") + F.lit(k))
+            ).alias("neg_logp"),
+        )
+    )
+    return (
+        scored_pairs.join(model, ["prev", "cur"])
+        .groupBy(id_col, *extra_cols)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            (F.sum(F.col("c") * F.col("neg_logp")) / F.sum("c")).alias(
+                "cross_entropy"
+            ),
         )
     )
 

@@ -285,7 +285,8 @@ def brute_force_topk_matrix(
         )
     dims = len(first[1])
     block_rows = max(1, query_block_elems // max(dims, 1))
-    if qdf.select(id_col).limit(block_rows + 1).count() <= block_rows:
+    single_block = qdf.select(id_col).limit(block_rows + 1).count() <= block_rows
+    if single_block:
         q_blocks = iter([qdf.collect()])
     else:
         def _blocks():
@@ -352,6 +353,23 @@ def brute_force_topk_matrix(
             _score_for(bc),
             schema="query_id long, neighbor_id long, cos_sim double",
         )
+        if not single_block:
+            # Multi-block path: unioning N lazy blocks into one plan
+            # would pin N broadcast payloads (N x ~64 MB at the default
+            # sizing) on the driver and every executor until the plan is
+            # dropped (ADVICE r8).  Materialize this block's partials
+            # NOW — a bounded relation of <= n_partitions x block_q x k
+            # rows, independent of corpus size — cut the lineage, and
+            # destroy the broadcast before the next block allocates, so
+            # exactly one block payload is ever alive.  The single-block
+            # fast path stays fully lazy: its one broadcast is held by
+            # the returned plan (bounded by the query-set size).  The
+            # per-block checkpoints back the returned plan; callers done
+            # with the result free them via dedup.release_checkpoints.
+            from .dedup import truncate_lineage
+
+            part = truncate_lineage(part)
+            bc.destroy()
         partials = part if partials is None else partials.unionAll(part)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
@@ -937,6 +955,22 @@ def cell_near_dup_pairs(
     # output-sized key aggregate below.  The quadratic in-cell flop
     # count is the operator's semantic cost; worker MEMORY is bounded
     # independently of the quantizer by the hot-cell auto-split below.
+    # the sizing count below would otherwise RE-RUN the GEMM assignment
+    # lineage (the count materializes assign once, the members join a
+    # second time) — materialize the skinny (id, cell) relation once via
+    # truncate_lineage (checkpoint/localCheckpoint) BEFORE the members
+    # join captures the plan, so both consumers read the checkpointed
+    # relation (ADVICE r8: truncating after the join left the members
+    # branch on the raw lineage and the assignment ran twice).  The
+    # blocks back the RETURNED plan, so they cannot be freed in-call;
+    # callers done with the result free them explicitly with
+    # dedup.release_checkpoints(result) — GC does NOT reclaim them
+    # under PySpark's default pinned-thread mode (measured r9; see
+    # truncate_lineage).  At any scale this is 2 small columns x
+    # n_probe rows, disk-spillable.
+    from .dedup import truncate_lineage
+
+    assign = truncate_lineage(assign)
     # vectors join in WITHOUT the interpreted norm fold (norms fall out
     # of the stacked matrix below for the cost of one einsum)
     members = assign.join(
@@ -958,17 +992,6 @@ def cell_near_dup_pairs(
     # corpus with no hot cell pays one tiny job and replicates nothing
     # (nb=1 emits a single (0,0) block pair per member, as before).
     cap = max(2, max_cell_elems // max(dims, 1))
-    # the sizing count would otherwise RE-RUN the GEMM assignment
-    # lineage (the count materializes assign once, the members join a
-    # second time) — materialize the skinny (id, cell) relation once via
-    # truncate_lineage (checkpoint/localCheckpoint), whose blocks the
-    # ContextCleaner RECLAIMS when the caller drops the plan; a plain
-    # persist() here would accumulate corpus-sized cache entries across
-    # repeated operator calls with no unpersist hook (review r8).  At
-    # any scale this is 2 small columns x n_probe rows, disk-spillable.
-    from .dedup import truncate_lineage
-
-    assign = truncate_lineage(assign)
     hot = (
         assign.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))

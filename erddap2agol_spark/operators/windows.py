@@ -236,6 +236,7 @@ def grouped_row_number(
     order_cols: Sequence[str],
     name: str = "rowid",
     bounds: list | None = None,
+    max_offset_rows: int = 1_000_000,
 ) -> DataFrame:
     """Per-group row numbering whose parallelism does NOT collapse to
     one task per group — the scale form for FEW, HUGE strata (a plain
@@ -264,11 +265,25 @@ def grouped_row_number(
     counts = stamped.groupBy(group_col, "__pid").agg(
         F.count(F.lit(1)).alias("__n")
     )
+    # DRIVER-SIZE GUARD (VERDICT r8 #4): the offset table is |groups| x
+    # |ranges| rows on the driver — bounded by contract (few strata),
+    # but a caller passing a high-cardinality group_col would OOM the
+    # driver silently.  The limit-capped collect holds at most
+    # max_offset_rows + 1 rows and fails LOUDLY past the cap instead.
+    capped = counts.limit(max_offset_rows + 1).collect()
+    if len(capped) > max_offset_rows:
+        raise ValueError(
+            f"grouped_row_number offset table exceeds {max_offset_rows} "
+            f"(groups x ranges) rows — group_col {group_col!r} must be "
+            "low-cardinality (languages/sources/splits); for "
+            "high-cardinality groups use a plain window partitioned on "
+            "the group, or raise max_offset_rows deliberately"
+        )
     # group values need identity only (a NULL group is a real group, and
     # group types need not be mutually orderable driver-side): bucket
     # per group, order by range id within each
     by_group: dict = {}
-    for r in counts.collect():
+    for r in capped:
         by_group.setdefault(r[group_col], []).append((r["__pid"], r["__n"]))
     offsets = []
     for g, lst in by_group.items():

@@ -56,6 +56,17 @@ class SnapshotConflict(RuntimeError):
     """Another writer committed the same version first; re-read and retry."""
 
 
+class OverwriteBlocked(RuntimeError):
+    """A registered dependent view refuses the overwrite (the reference's
+    OverwriteFS pre-overwrite verification gates, OverwriteFS.py:2041-2106).
+    ``reasons`` lists every refusal, mirroring the reference's outcome
+    item list."""
+
+    def __init__(self, reasons: list[str]):
+        super().__init__("; ".join(reasons))
+        self.reasons = reasons
+
+
 def _spark_path(root: str, rel: str) -> str:
     """Path handed to Spark's own reader/writer (Hadoop FS — speaks
     object stores natively; the fsio seam covers only Python-side I/O)."""
@@ -170,10 +181,116 @@ def append(df: DataFrame, root: str) -> int:
     )
 
 
-def overwrite(df: DataFrame, root: str) -> int:
+def _views_dir(root: str) -> str:
+    fs, r = for_path(root)
+    return fs.join(r, "views")
+
+
+def _view_path(root: str, name: str) -> str:
+    fs, _ = for_path(root)
+    return fs.join(_views_dir(root), f"{name}.json")
+
+
+def register_view(
+    root: str,
+    name: str,
+    kind: str = "view",
+    change_tracking: bool = False,
+) -> dict:
+    """Register a dependent view against the table's CURRENT version —
+    the analog of an AGOL view/WFS layer published off a feature
+    service (reference relationship wiring, OverwriteFS.py Service2Service
+    related items).  ``kind='wfs'`` marks a WFS-style dependent whose
+    existence blocks overwrites outright; ``change_tracking=True`` marks
+    a change-tracking-enabled view (same refusal semantics as
+    ``hasChangeTrackingEnabledViews``, OverwriteFS.py:2095-2100).  A
+    plain view records the head version it has acknowledged
+    (``acked_version``); :func:`overwrite` refuses while any plain view
+    lags the head — call :func:`touch_view` after the view's consumers
+    have absorbed the current data."""
+    fs, _ = for_path(root)
+    fs.makedirs(_views_dir(root))
+    doc = {
+        "name": name,
+        "kind": kind,
+        "change_tracking": bool(change_tracking),
+        "acked_version": current_version(root) or 0,
+    }
+    fs.write_atomic(_view_path(root, name), json.dumps(doc))
+    return doc
+
+
+def touch_view(root: str, name: str) -> dict:
+    """Acknowledge the current head on behalf of a registered view (the
+    reference's touch/time-info update on dependent items): the view's
+    ``acked_version`` advances to the head, unblocking the next
+    overwrite."""
+    fs, _ = for_path(root)
+    with fs.open(_view_path(root, name)) as f:
+        doc = json.load(f)
+    doc["acked_version"] = current_version(root) or 0
+    fs.write_atomic(_view_path(root, name), json.dumps(doc))
+    return doc
+
+
+def unregister_view(root: str, name: str) -> None:
+    fs, _ = for_path(root)
+    fs.remove(_view_path(root, name))
+
+
+def list_views(root: str) -> list[dict]:
+    fs, _ = for_path(root)
+    out = []
+    for p in sorted(fs.glob(fs.join(_views_dir(root), "*.json"))):
+        with fs.open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def verify_overwrite(root: str) -> list[str]:
+    """The pre-overwrite dependency verification (reference:
+    OverwriteFS.py:2041-2106).  Returns the list of refusal reasons —
+    empty means the overwrite may proceed:
+
+    - a dependent WFS-kind view exists → refuse (OverwriteFS.py:2102,
+      'a dependent WFS Service exists');
+    - any view has change tracking enabled → refuse
+      (OverwriteFS.py:2095, 'Change Tracking Enabled');
+    - a plain view has not acknowledged the current head → refuse
+      (the _checkView dependency-status walk, OverwriteFS.py:2064) —
+      replacing data a consumer still points at would break it.
+    """
+    head = current_version(root) or 0
+    reasons = []
+    for v in list_views(root):
+        if v.get("kind") == "wfs":
+            reasons.append(f"view {v['name']!r}: dependent WFS service exists")
+        elif v.get("change_tracking"):
+            reasons.append(f"view {v['name']!r}: change tracking enabled")
+        elif v.get("acked_version", 0) != head:
+            reasons.append(
+                f"view {v['name']!r}: stale at version "
+                f"{v.get('acked_version', 0)} (head {head}) — touch_view first"
+            )
+    return reasons
+
+
+def overwrite(df: DataFrame, root: str, force: bool = False) -> int:
+    """Replace the table contents in one commit — REFUSED with
+    :class:`OverwriteBlocked` while a registered dependent view objects
+    (see :func:`verify_overwrite`), exactly as the reference's
+    OverwriteFS verification gate refuses the swap.  ``force=True``
+    skips the gate (the operator's deliberate override, logged
+    in the manifest)."""
     init(root)
+    reasons = [] if force else verify_overwrite(root)
+    if reasons:
+        raise OverwriteBlocked(reasons)
     files = _write_batch(df, root)
-    return _commit(root, files, "overwrite", parent=current_version(root))
+    extra = {"forced": True} if force else None
+    return _commit(
+        root, files, "overwrite", parent=current_version(root), extra=extra
+    )
 
 
 def read(

@@ -76,39 +76,34 @@ def _load_all() -> None:
 # rows.  Everything else follows in registration order and rotates into the
 # window in later rounds.
 _GRADE_PRIORITY: list[str] = [
-    # ROUND 8 window (driver grades the FIRST 50), per VERDICT r7 #1:
-    # after r7 every registry query has at least one green driver row,
-    # so the window rotates to STALENESS — 79 queries' most recent
-    # driver row dates to r1-r2 while the code under them has evolved
-    # through 7 rounds.  Order: (a) queries NEW this round (never
-    # driver-graded) plus the two whose plans were rewritten, then (b)
-    # the 39 r1-vintage rows, then (c) the 7 alphabetically-first
-    # r2-vintage rows (r9 takes the remaining 33 r2 + the r3 vintage).
-    # Staleness recomputed 2026-08-16 from CORRECTNESS_r01..r07 keys:
-    # histogram r1:39 r2:40 r3:50 r5:50 r6:31 r7:50.
-    # (a) new round-8 queries (first-time driver rows) + the two
-    # queries whose plans were rewritten this round (VERDICT r7 #2/#3 —
-    # their r7 rows grade the OLD plan shape)
-    "griddap_e2e_raster",
-    "emb_near_dup_hot_cell",
-    "source_shingle_overlap",
-    "lm_perplexity",
-    # (b) the 39 queries whose latest driver row is round 1
-    "anti_join_new", "asof_last_purchase", "bbox_filter", "catalog_scan",
-    "catalog_search", "chunk_plan", "coord_cleaning", "corpus_curation",
-    "corpus_keep_list", "cube_revenue", "dedup_embedding_cosine",
-    "dedup_lsh_rescored", "dedup_ngram_jaccard", "distinct_counts",
-    "doc_hash_sample", "doc_hash_split", "docs_quality_weighted_sample",
-    "docs_quota_per_lang", "metadata_projection", "minhash_signatures",
-    "nrt_window", "numeric_prefix_cast", "orders_min_lines", "row_range",
-    "running_revenue", "semi_join_existing", "session_window_agg",
-    "shipping_priority", "simhash_hamming_pairs", "time_filter",
-    "time_steps", "token_histogram", "topk_per_group", "track_segments",
-    "tumbling_daily", "tumbling_month_label", "tumbling_week_label",
-    "value_decile_bands", "value_percentiles",
-    # (c) the alphabetically-first r2-vintage rows, filling the window
-    "ann_bruteforce_matrix", "ann_filtered_topk", "ann_ivf",
-    "ann_ivf_deterministic", "ann_sign_lsh", "array_ops", "bm25_topk",
+    # ROUND 9 window (driver grades the FIRST 50), per VERDICT r8 #1:
+    # continue the staleness rotation.  Vintage histogram recomputed
+    # 2026-08-16 from CORRECTNESS_r01..r08 latest-green rows:
+    # r2:33 r3:50 r5:49 r6:31 r7:49 r8:49.  Order: (a) queries NEW or
+    # rewritten this round (never driver-graded on the current plan),
+    # then (b) the 33 r2-vintage rows, then (c) the alphabetically-first
+    # r3-vintage rows filling the window to 50 (r10 takes the remaining
+    # r3 vintage; after that no row predates r8).
+    # (a) new round-9 queries (first-time driver rows) + rewrites
+    "swap_dependency_gate",
+    "lm_perplexity_agg",
+    "corpus_manifest",  # shard-count now corpus-derived (VERDICT r8 #4)
+    # (b) the 33 queries whose latest driver row is round 2
+    "contamination_check", "corpus_stats", "dedup_cart", "dedup_simhash",
+    "doc_chunking", "doc_fingerprint", "doc_repetition", "duplicate_spans",
+    "emb_label_centroids", "epoch_convert", "except_ids", "extraction_dsl",
+    "funnel_stages", "geo_extent", "grouped_stats", "iso_format",
+    "json_extract", "key_hotness", "multimodal_inventory", "null_tally",
+    "pii_redaction", "pivot_by_type", "retention_cohorts", "rollup_revenue",
+    "sanitize_names", "skewed_agg_salted", "snapshot_diff_events",
+    "span_dedup_stats", "text_langid", "text_quality", "text_tokens",
+    "time_extent", "union_chunks",
+    # (c) the alphabetically-first r3-vintage rows, filling the window
+    "ann_bruteforce_topk", "balance_histogram", "bloom_decontaminate",
+    "char_stats", "climatology_anomaly", "cms_user_counts",
+    "connector_scan", "dedup_clusters", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_capped", "doc_pack_index",
+    "domain_cap_sample",
 ]
 
 

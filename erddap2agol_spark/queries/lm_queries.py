@@ -74,6 +74,45 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_perplexity_agg",
+    oracle=f"""
+    WITH {_BIGRAM_SQL}
+    SELECT bg.doc_id, any_value(tk.lang) AS lang,
+           count(*) AS n_bigrams,
+           round(avg(ln(np + {_K} * v) - ln(nb + {_K})), 4) AS cross_entropy
+    FROM bg
+    JOIN cb ON bg.prev = cb.prev AND bg.cur = cb.cur
+    JOIN cp ON bg.prev = cp.prev
+    JOIN tk ON bg.doc_id = tk.doc_id
+    CROSS JOIN vv
+    GROUP BY bg.doc_id
+    """,
+    doc="lm_perplexity's single-scan twin: the exploded bigrams "
+    "aggregate ONCE per (doc, prev, cur) — one corpus read, one "
+    "corpus-sized exchange hash-keyed on the doc-id-leading triple (no "
+    "stopword-headed skew) — and both the model and the per-document "
+    "weighted average derive from that one materialized relation. The "
+    "two graded plans bracket the 100 TB trade: two cheap scans & zero "
+    "corpus exchanges (lm_perplexity) vs one scan & one well-keyed "
+    "exchange (this). Values identical up to float summation order; "
+    "both round to 4dp before grading.",
+)
+def lm_perplexity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bigram_cross_entropy_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_cross_entropy_agg(
+        docs, "doc_id", "text", k=_K, extra_cols=("lang",)
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+    )
+
+
+@register(
     "bpe_top_merges",
     oracle=f"""
     WITH vocab AS (

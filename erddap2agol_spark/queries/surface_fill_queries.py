@@ -479,6 +479,90 @@ def ab_swap_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "cycle int, side string, n_rows bigint")
 
 
+@register(
+    "swap_dependency_gate",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'overwrite_fresh',            'committed',               1,
+         (SELECT count(*) FROM region)),
+      (2, 'overwrite_view_current',     'committed',               2,
+         (SELECT count(*) FROM nation)),
+      (3, 'overwrite_view_stale',       'refused:view-stale',      2,
+         (SELECT count(*) FROM nation)),
+      (4, 'overwrite_after_touch',      'committed',               3,
+         (SELECT count(*) FROM nation WHERE n_regionkey = 0)),
+      (5, 'overwrite_wfs_dependent',    'refused:wfs-dependent',   3,
+         (SELECT count(*) FROM nation WHERE n_regionkey = 0)),
+      (6, 'overwrite_change_tracking',  'refused:change-tracking', 3,
+         (SELECT count(*) FROM nation WHERE n_regionkey = 0)),
+      (7, 'overwrite_after_unregister', 'committed',               4,
+         (SELECT count(*) FROM supplier))
+    ) AS t(step, action, outcome, head_version, n_rows)
+    """,
+    doc="K6's last uncovered OverwriteFS semantic (VERDICT r8 #8): the "
+    "PRE-OVERWRITE dependency verification gate "
+    "(OverwriteFS.py:2041-2106). A snapshot table takes overwrites "
+    "only while no registered dependent view objects: a plain view "
+    "must have acknowledged (touch_view) the current head, a "
+    "change-tracking-enabled view refuses outright "
+    "(hasChangeTrackingEnabledViews), and a dependent WFS-kind view "
+    "refuses outright. Seven cycles drive every gate arm; after each "
+    "cycle the head version and the CURRENT data's row count are "
+    "graded cross-engine — a refused overwrite must leave both version "
+    "and data untouched.",
+)
+def swap_dependency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..plans import snapshots as snap
+
+    root = tempfile.mkdtemp(prefix="e2a_swap_gate_")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation_r0 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select("n_nationkey", "n_name")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    rows = []
+
+    def record(step: int, action: str, frame) -> None:
+        try:
+            snap.overwrite(frame, root)
+            outcome = "committed"
+        except snap.OverwriteBlocked as e:
+            outcome = "refused:" + (
+                "wfs-dependent"
+                if "WFS" in e.reasons[0]
+                else "change-tracking"
+                if "change tracking" in e.reasons[0]
+                else "view-stale"
+            )
+        head = snap.current_version(root) or 0
+        n = snap.read(spark, root).count()
+        rows.append((step, action, outcome, head, n))
+
+    record(1, "overwrite_fresh", region)               # no views: commits v1
+    snap.register_view(root, "dash")                   # plain view, acked v1
+    record(2, "overwrite_view_current", nation)        # view current: v2
+    record(3, "overwrite_view_stale", nation_r0)       # view lags v2: refused
+    snap.touch_view(root, "dash")                      # view absorbs v2
+    record(4, "overwrite_after_touch", nation_r0)      # commits v3
+    snap.touch_view(root, "dash")
+    snap.register_view(root, "wfs_feed", kind="wfs")
+    record(5, "overwrite_wfs_dependent", supplier)     # WFS dependent: refused
+    snap.unregister_view(root, "wfs_feed")
+    snap.register_view(root, "audit", change_tracking=True)
+    record(6, "overwrite_change_tracking", supplier)   # change tracking: refused
+    snap.unregister_view(root, "audit")
+    record(7, "overwrite_after_unregister", supplier)  # commits v4
+    return spark.createDataFrame(
+        rows, "step int, action string, outcome string, head_version int, n_rows bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # F4 + W4 + S5 — time-delta chunk arithmetic, cross-engine
 # ---------------------------------------------------------------------------

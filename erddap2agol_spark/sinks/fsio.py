@@ -376,12 +376,18 @@ class ObjectStoreDirFS(FileSystem):
         return os.path.getmtime(self._p(path))
 
     def glob(self, pattern: str) -> list[str]:
-        # same root-escape guard as _p (ADVICE r7): a pattern with '..'
-        # must not glob outside the store root.  normpath is safe on
-        # glob metacharacters (it only folds separators and dot parts).
-        base = os.path.normpath(os.path.join(self.root, pattern.lstrip("/")))
-        if base != self.root and not base.startswith(self.root + os.sep):
+        # Root-escape guard (ADVICE r7/r8): reject any pattern with a
+        # '..' component OUTRIGHT instead of normpath-folding it —
+        # normpath folds '..' THROUGH wildcard components ('a/*/../b'
+        # -> 'a/b'), silently changing match semantics for in-root
+        # patterns, while glob itself never wildcard-matches a '..'
+        # entry, so rejection loses nothing legitimate.
+        parts = pattern.replace("\\", "/").split("/")
+        if ".." in parts:
             raise ValueError(f"pattern escapes the store root: {pattern!r}")
+        # fold '.' components only (pure no-ops for glob, unlike '..')
+        clean = "/".join(p for p in parts if p not in ("", "."))
+        base = os.path.join(self.root, clean)
         pref = self.root + os.sep
         return sorted(p[len(pref):] for p in _glob(base))
 

@@ -32,6 +32,26 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+def _parse_iso(ts: str) -> "datetime":
+    """Parse an ISO-8601 timestamp from a hyperslab URL or fixture
+    config to an aware datetime for range comparison.  Accepts a bare
+    'Z' suffix and fractional seconds; raises ValueError (loud, with the
+    offending string) on anything unparseable — a silent 404 on format
+    drift was the old failure mode (ADVICE r8)."""
+    from datetime import datetime, timezone
+
+    s = ts.strip()
+    if s.endswith("Z"):
+        s = s[:-1] + "+00:00"
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError as e:
+        raise ValueError(f"unparseable hyperslab timestamp {ts!r}") from e
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt
+
+
 def _parse_tabledap_query(raw_query: str) -> tuple[list[str], list[tuple[str, str, str]]]:
     """'time%2Clat...&time%3E%3D2024-...' -> (projection, constraints);
     constraints are (col, op, literal) with op in {>=, <=, >, <, =}."""
@@ -198,10 +218,17 @@ class ErddapFixtureServer:
             # no hyperslab in the query -> fall through to raw_fixtures
             # (whole-file spool GETs share the path with slab requests)
             if divisions is not None and m is not None:
+                # Parse both sides to datetime before comparing (ADVICE
+                # r8): raw lexicographic substring comparison silently
+                # 404s every slab on any format drift between the client
+                # URL and the fixture config (missing 'Z', fractional
+                # seconds, padding).  _parse_iso fails LOUDLY on an
+                # unparseable timestamp instead.
+                lo, hi = _parse_iso(m.group(1)), _parse_iso(m.group(2))
                 hits = [
                     p
                     for (t0, t1, p) in divisions
-                    if m.group(1) <= t0 and t1 <= m.group(2)
+                    if lo <= _parse_iso(t0) and _parse_iso(t1) <= hi
                 ]
                 if len(hits) != 1:
                     h.send_response(404)

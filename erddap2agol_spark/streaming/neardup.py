@@ -158,6 +158,11 @@ def ingest_batch(
             id_col,
             "left_semi",
         ).write.mode("overwrite").parquet(f"{out_dir}/{part}")
+        # both writes are done — free the batch's checkpoint blocks
+        # explicitly (one leaked entry PER MICRO-BATCH otherwise: GC
+        # never reclaims these under pinned-thread py4j, see
+        # dedup.truncate_lineage)
+        dedup.release_checkpoints(keep_bands)
         return n_kept
     finally:
         bands.unpersist()

@@ -340,3 +340,36 @@ def test_manifest_io_on_memory_fs():
         assert snapshots.current_version(root) == v3
     finally:
         fsio._REGISTRY.pop("memtest", None)
+
+
+def test_overwrite_dependency_gate(spark, tmp_path):
+    """OverwriteFS-style pre-overwrite verification (VERDICT r8 #8):
+    stale plain views, change-tracking views, and WFS dependents refuse
+    the swap; touch/unregister/force unblock it; a refused overwrite
+    leaves version AND data untouched."""
+    root = str(tmp_path / "tbl")
+    v1 = snap.overwrite(_df(spark, [1, 2]), root)
+    assert v1 == 1
+    snap.register_view(root, "dash")
+    assert snap.list_views(root)[0]["acked_version"] == 1
+    # view current -> allowed
+    v2 = snap.overwrite(_df(spark, [3]), root)
+    assert v2 == 2
+    # view now stale -> refused, state untouched
+    with pytest.raises(snap.OverwriteBlocked, match="stale at version 1"):
+        snap.overwrite(_df(spark, [4]), root)
+    assert snap.current_version(root) == 2
+    assert [r.id for r in snap.read(spark, root).collect()] == [3]
+    # multiple refusals are ALL reported (reference outcome item list)
+    snap.register_view(root, "wfs_feed", kind="wfs")
+    snap.register_view(root, "audit", change_tracking=True)
+    reasons = snap.verify_overwrite(root)
+    assert len(reasons) == 3
+    # force overrides the gate and stamps the manifest
+    v3 = snap.overwrite(_df(spark, [5]), root, force=True)
+    assert v3 == 3 and snap.manifest(root)["forced"] is True
+    # clear the blockers: touch + unregister -> allowed again
+    snap.unregister_view(root, "wfs_feed")
+    snap.unregister_view(root, "audit")
+    snap.touch_view(root, "dash")
+    assert snap.overwrite(_df(spark, [6]), root) == 4

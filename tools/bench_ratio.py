@@ -3,16 +3,55 @@
 Spark plan side by side at $SPARK_GRAFT_SF_DIR and print per-query
 spark_s / duckdb_s ratios, worst-first.  Diagnostic only (not a graded
 artifact); mirrors how VERDICT computes bench_vs_baseline.
+
+PINNED STEADY-STATE PROTOCOL (VERDICT r8 #3 — builder and judge got
+2.0x vs 3.2x on the same code because the measurement protocol was
+unpinned; both parties run THIS):
+
+- Load gate: the sweep records 1-min loadavg at start and refuses to
+  certify (exit code 2, ``"gated": true`` in the JSON line) when it
+  exceeds ``--max-load`` (default 4.0) — co-tenant noise, not signal.
+- Warmup: per query, ONE untimed run on each engine first (plan
+  compile, code cache, file cache), discarded.
+- Measurement: the MEDIAN of ``--runs`` (default 3) timed runs per
+  engine.  Median, not min: min rewards lucky scheduling, mean is
+  tail-sensitive; the median is what a re-run reproduces.
+- loadavg is re-read after the sweep and recorded in the JSON line so
+  an artifact can be rejected after the fact.
+
+Usage: python tools/bench_ratio.py [--only name ...] [--runs N]
+       [--max-load X]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import time
 
 
-def main() -> None:
+def _median_time(fn, runs: int) -> float:
+    fn()  # warmup, discarded
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict to these query names")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="timed runs per engine (median reported)")
+    ap.add_argument("--max-load", type=float, default=4.0,
+                    help="1-min loadavg above this gates the sweep")
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import sys
 
@@ -22,6 +61,13 @@ def main() -> None:
     from erddap2agol_spark.queries import REGISTRY, _load_all
     from erddap2agol_spark.session import get_spark
     from tests.oracle_harness import duckdb_conn
+
+    load_before = os.getloadavg()[0]
+    gated = load_before > args.max_load
+    if gated:
+        print(f"WARNING: loadavg {load_before:.2f} > {args.max_load} — "
+              "sweep will run but is NOT a certifiable steady-state "
+              "measurement (gated=true)")
 
     _load_all()
     spark = get_spark(app_name="bench_ratio")
@@ -33,30 +79,18 @@ def main() -> None:
         load_table(spark, sf_dir, t).schema
     load_table(spark, sf_dir, "region").groupBy("r_name").count().count()
 
+    names = args.only if args.only else HEADLINE
     rows = []
-    for name in HEADLINE:
+    for name in names:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        best_s = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            spec.spark(spark, sf_dir).count()
-            run = time.time() - t0
-            improved = run < best_s * 0.95
-            best_s = min(best_s, run)
-            if not improved:
-                break
-        best_d = None
+        med_s = _median_time(lambda: spec.spark(spark, sf_dir).count(), args.runs)
+        med_d = None
         if spec.oracle:
-            best_d = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                con.execute(spec.oracle).fetchall()
-                best_d = min(best_d, time.time() - t0)
-        # keep the raw float: a sub-ms oracle rounded to 0.0 would read
-        # as "no oracle" downstream and bias the totals
-        rows.append((name, best_s, best_d))
+            med_d = _median_time(lambda: con.execute(spec.oracle).fetchall(),
+                                 args.runs)
+        rows.append((name, med_s, med_d))
 
     rows.sort(key=lambda r: -(r[1] / r[2]) if r[2] else 0)
     tot_s = sum(r[1] for r in rows)
@@ -64,10 +98,18 @@ def main() -> None:
     for name, s, d in rows:
         ratio = f"{s / d:5.1f}x" if d else "    -"
         print(f"{name:32s} spark {s:7.3f}  duckdb {d if d is not None else float('nan'):7.3f}  {ratio}")
-    print(json.dumps({"spark_total": round(tot_s, 2), "duckdb_total": round(tot_d, 2),
-                      "ratio": round(tot_s / tot_d, 3), "n": len(rows)}))
+    load_after = os.getloadavg()[0]
+    print(json.dumps({
+        "spark_total": round(tot_s, 2), "duckdb_total": round(tot_d, 2),
+        "ratio": round(tot_s / tot_d, 3) if tot_d else None, "n": len(rows),
+        "protocol": {"warmups": 1, "runs": args.runs, "stat": "median"},
+        "loadavg_before": round(load_before, 2),
+        "loadavg_after": round(load_after, 2),
+        "max_load": args.max_load, "gated": gated,
+    }))
     spark.stop()
+    return 2 if gated else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
