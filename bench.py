@@ -55,6 +55,7 @@ HEADLINE = [
     "q21_late_sole_suppliers",
     # round 4: corpus-LM scoring (train + apply in one plan) and LPA
     "lm_perplexity",
+    "lm_perplexity_agg",
     "label_prop_communities",
     # round 4 close: the warehouse temporal join (window as-of form —
     # its oracle is the validity-range theta join DuckDB must execute)

@@ -107,3 +107,28 @@ def test_lm_plans_are_scale_shaped(spark, tiny_docs):
     assert "CartesianProduct" not in bpe
     # the only nested-loop joins allowed are the one-row merge scalar
     assert bpe.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_cross_entropy_agg_matches_two_pass(spark, tiny_docs):
+    """The single-scan twin (one corpus-sized exchange, model derived
+    from the per-(doc,pair) aggregate) must produce the SAME scores as
+    the two-pass plan — including the 1-token doc dropping out and the
+    vocabulary counting doc-final-only tokens via the NULL-padded zip."""
+    from erddap2agol_spark.operators.dedup import release_checkpoints
+    from erddap2agol_spark.operators.lm import bigram_cross_entropy_agg
+
+    two = {
+        r.id: (r.n_bigrams, round(r.cross_entropy, 9))
+        for r in bigram_cross_entropy(
+            tiny_docs, "id", "text", extra_cols=("lang",)
+        ).collect()
+    }
+    agg_df = bigram_cross_entropy_agg(
+        tiny_docs, "id", "text", extra_cols=("lang",)
+    )
+    one = {
+        r.id: (r.n_bigrams, round(r.cross_entropy, 9))
+        for r in agg_df.collect()
+    }
+    assert one == two and 3 not in one  # single-token doc emits nothing
+    release_checkpoints(agg_df)

@@ -92,6 +92,9 @@ LINEAR_QUERIES = [
     "vocab_coverage",
     "quality_linear_classifier",
     "source_shingle_overlap",
+    # round 9: the single-scan LM twin (one corpus-sized exchange keyed
+    # on the doc-id-leading triple)
+    "lm_perplexity_agg",
 ]
 PAIR_QUERIES = [
     "dedup_minhash_lsh",
