@@ -18,10 +18,10 @@ def _blocks() -> list[str]:
 
 
 def test_usage_doc_has_five_pipelines():
-    assert len(_blocks()) == 5
+    assert len(_blocks()) == 6
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5])
 def test_usage_block_runs_verbatim(spark, tmp_path, idx):
     block = _blocks()[idx]
     env = {
@@ -52,7 +52,7 @@ def test_usage_block_runs_verbatim(spark, tmp_path, idx):
             open(os.path.join(env["OUT_DIR"] + "/tiles", "_raster_meta.json"))
         )
         assert meta["wkid"] == 4326 and meta["tiles"]
-    else:
+    elif idx == 4:
         # object-store + streaming block: manifest committed through the
         # registered scheme; the block's own asserts pin exactly-once
         import json as _json
@@ -61,3 +61,8 @@ def test_usage_block_runs_verbatim(spark, tmp_path, idx):
             open(os.path.join(env["OUT_DIR"], "bucket", "published", "_manifest.json"))
         )
         assert man["n_features"] == 12
+    else:
+        # snapshot gate + checkpoint lifecycle block: the refusal fired
+        # with a stale-view reason and the explicit release freed blocks
+        assert any("stale" in r for r in env["gate_reasons"])
+        assert env["n_freed"] >= 1
