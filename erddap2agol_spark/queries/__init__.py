@@ -82,8 +82,10 @@ _GRADE_PRIORITY: list[str] = [
     # r2:33 r3:50 r5:49 r6:31 r7:49 r8:49.  Order: (a) queries NEW or
     # rewritten this round (never driver-graded on the current plan),
     # then (b) the 33 r2-vintage rows, then (c) the alphabetically-first
-    # r3-vintage rows filling the window to 50 (r10 takes the remaining
-    # r3 vintage; after that no row predates r8).
+    # r3-vintage rows filling the window to 50.  R10 PLAN: any queries
+    # new/rewritten in r10 first, then the 36 remaining r3-vintage rows
+    # (alphabetically from "emb_quantize" onward), then top up from the
+    # r5 vintage; after r10 no row predates r8.
     # (a) new round-9 queries (first-time driver rows) + rewrites
     "swap_dependency_gate",
     "lm_perplexity_agg",
