@@ -262,9 +262,12 @@ def lsh_candidate_pairs(
         a.join(b, cond)
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
-        .persist()
     )
-    out.count()  # one action: fills out's cache, reading sig's cache twice
+    # eager checkpoint, not persist: one action fills it (reading sig's
+    # cache twice), and unlike a CacheManager-pinned persist the blocks
+    # are releasable (release_checkpoints) instead of leaking per call
+    # (r9 finding; see truncate_lineage)
+    out = truncate_lineage(out)
     sig.unpersist(True)  # blocking, so storage state is deterministic
     return out
 
@@ -471,9 +474,17 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .persist()
     )
-    out.count()  # one action: fills out's cache, reading sh's cache twice
+    # truncate_lineage (eager localCheckpoint), NOT persist: a persist
+    # here is pinned by the CacheManager until an explicit unpersist —
+    # measured r9: a dropped persisted frame is NEVER reclaimed, so the
+    # old `out.persist()` leaked one pair-sized cache entry PER CALL
+    # for the application lifetime.  The checkpoint materializes out in
+    # one action (reading sh's cache twice, as before) and is
+    # releasable: consumers free it with release_checkpoints(result),
+    # and connected_components(release_input=True) frees it as soon as
+    # its first round materializes.
+    out = truncate_lineage(out)
     sh.unpersist(True)
     return out
 
@@ -483,6 +494,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    release_input: bool = False,
 ) -> DataFrame:
     """Connected components over a pair list: (node, component) with the
     component labeled by its minimum node id.
@@ -520,6 +532,12 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    if release_input:
+        # the canonicalized edge set is materialized — the caller's pair
+        # frame (typically a checkpointed ngram_jaccard_pairs result
+        # consumed ONLY by this call) is dead weight from here; opt-in
+        # because a caller may keep reading its own input
+        release_checkpoints(edges)
     n_e = e.count()
     for _ in range(max_iter):
         sym = e.union(e.select("v", "u"))
@@ -790,9 +808,9 @@ def sparse_cosine_pairs(
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
-        .persist()
     )
-    out.count()
+    # eager checkpoint, not persist (releasable; r9 finding)
+    out = truncate_lineage(out)
     tf.unpersist(True)  # blocking, so storage state is deterministic
     return out
 
@@ -918,9 +936,9 @@ def jaccard_prefix_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .persist()
     )
-    out.count()
+    # eager checkpoint, not persist (releasable; r9 finding)
+    out = truncate_lineage(out)
     ordered.unpersist(True)  # blocking, so storage state is deterministic
     return out
 

@@ -142,8 +142,9 @@ def pagerank(
         deg.select(F.col("src").alias("node"), "deg"), "node"
     ).select("node", "deg", "rank")
     if persist_each:
-        out = out.persist()
-        out.count()  # one action; g/deg caches fill on round 1, reuse after
+        # eager checkpoint, not persist (releasable; r9 finding) — one
+        # action; g/deg caches fill on round 1, reuse after
+        out = truncate_lineage(out)
         g.unpersist()
         deg.unpersist()
     return out
@@ -252,8 +253,8 @@ def label_propagation(
             .select("node", F.col("m.label").alias("label"))
         )
     if persist_each:
-        out = labels.persist()
-        out.count()
+        # eager checkpoint, not persist (releasable; r9 finding)
+        out = truncate_lineage(labels)
         sym.unpersist()
         return out
     return labels

@@ -163,8 +163,8 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while the pair result materializes, then release — the returned
     # result is the one cache entry the caller owns
     sh = dedup.simhash16(docs, "doc_id", "text").persist()
-    out = dedup.simhash_near_pairs(sh, max_hamming=2).persist()
-    out.count()
+    # returned frame: eager checkpoint, not persist (releasable; r9)
+    out = dedup.truncate_lineage(dedup.simhash_near_pairs(sh, max_hamming=2))
     sh.unpersist(True)
     return out
 

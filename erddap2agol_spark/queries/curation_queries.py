@@ -173,7 +173,7 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = docs.join(keepers, "doc_id", "left_semi")
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
-    comp = dedup.connected_components(pairs)
+    comp = dedup.connected_components(pairs, release_input=True)
     keep = (
         d.select("doc_id")
         .join(comp, d.doc_id == comp.node, "left")

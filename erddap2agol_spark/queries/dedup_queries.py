@@ -172,7 +172,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
-    comp = dedup.connected_components(pairs)
+    comp = dedup.connected_components(pairs, release_input=True)
     # no broadcast hint: at web scale the label table is every doc that
     # appears in any pair — AQE picks broadcast when it is in fact small
     lab = docs.select("doc_id").join(
@@ -785,4 +785,124 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "ingest_batch int, doc_id long")
     return read_accepted(spark, out).select(
         F.col("ingest_batch").cast("int").alias("ingest_batch"), "doc_id"
+    )
+
+
+_HEXD = "0123456789abcdef"
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+      WHERE round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    root AS (SELECT u AS node, least(min(v), u) AS root FROM reach GROUP BY u),
+    lab AS (
+      SELECT d.doc_id, coalesce(r.root, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN root r ON d.doc_id = r.node
+    ),
+    bk AS (
+      SELECT doc_id, cluster_id,
+             (instr('{_HEXD}', h[1]) - 1) * 4096 + (instr('{_HEXD}', h[2]) - 1) * 256 +
+             (instr('{_HEXD}', h[3]) - 1) * 16   + (instr('{_HEXD}', h[4]) - 1) AS bucket
+      FROM (SELECT doc_id, cluster_id,
+                   md5('split:' || CAST(cluster_id AS VARCHAR)) AS h FROM lab)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 52428 THEN 'train'
+                WHEN bucket < 58982 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bk
+    """,
+    doc="LEAKAGE-SAFE train/val/test split: the 80/10/10 hash-split "
+    "keyed on the near-dup CLUSTER id instead of the doc id, so every "
+    "member of a near-duplicate cluster lands in the SAME split — the "
+    "contamination a naive per-doc split silently creates (train/eval "
+    "siblings that are near-copies) is impossible by construction. "
+    "Composition of two graded operators: Jaccard>=0.5 pairs -> "
+    "O(log n)-round connected components (never a driver union-find) "
+    "-> narrow-map md5 bucket of the cluster label. Stable under "
+    "corpus growth for untouched clusters (same label -> same split); "
+    "a newly-merged cluster adopts one side's assignment rather than "
+    "straddling.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+    comp = dedup.connected_components(pairs, release_input=True)
+    lab = docs.select("doc_id").join(
+        comp, docs.doc_id == comp.node, "left"
+    ).select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+    return sampling.hash_split(
+        lab, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "cluster_id", "split")
+
+
+@register(
+    "dedup_threshold_calibration",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 6) AS j
+      FROM common JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+    )
+    SELECT CAST(least(floor(j * 10), 9) / 10 AS DOUBLE) AS bin_lo,
+           count(*) AS n_pairs
+    FROM jac WHERE j >= 0.3
+    GROUP BY 1
+    """,
+    doc="Dedup THRESHOLD CALIBRATION curve: the jaccard histogram over "
+    "candidate pairs (0.1-wide bins from 0.3 up; exact dups fold into "
+    "the 0.9 bin) — the distribution a curator reads BEFORE picking "
+    "the dedup threshold, instead of cargo-culting 0.8. One extra "
+    "aggregate over the same bounded pair stream the graded dedup "
+    "operators produce (shingle equi-join, df-cap guard available); "
+    "output is |bins| rows at any corpus size.",
+)
+def dedup_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.3
+    )
+    return (
+        pairs.select(
+            (F.least(F.floor(F.col("jaccard") * 10), F.lit(9)) / 10)
+            .cast("double")
+            .alias("bin_lo")
+        )
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

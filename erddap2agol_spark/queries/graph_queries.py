@@ -138,8 +138,11 @@ def sim_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.count()
     sh.unpersist(True)
-    out = triangle_count(edges, a="doc_a", b="doc_b").persist()
-    out.count()
+    # eager checkpoint, not persist, for the returned frame: a persist
+    # is CacheManager-pinned until explicit unpersist (r9 finding) and
+    # would leak one entry per call; the checkpoint is releasable via
+    # dedup.release_checkpoints
+    out = dedup.truncate_lineage(triangle_count(edges, a="doc_a", b="doc_b"))
     edges.unpersist(True)
     return out
 

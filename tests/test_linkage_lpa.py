@@ -106,10 +106,14 @@ def test_lpa_plan_no_window(spark):
 
 
 def test_lpa_unpersists_scaffolding(spark):
+    from erddap2agol_spark.operators.dedup import release_checkpoints
+
     edges = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     out = label_propagation(edges, iterations=2)
-    out.unpersist()
+    # r9: the returned frame is checkpoint-backed (persist would be
+    # CacheManager-pinned and never GC-reclaimed) — release explicitly
+    release_checkpoints(out)
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before
 

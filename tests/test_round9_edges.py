@@ -132,3 +132,30 @@ def test_near_dup_repeated_calls_reclaim_blocks(spark):
     assert peak > base, "expected the checkpointed assignment to persist in-flight"
     assert len(set(rows_per_call)) == 1, "repeated calls diverged"
     gc.collect()  # drop any lingering python-side refs before other tests
+
+
+def test_dedup_pipeline_cache_hygiene(spark):
+    """r9 finding: DataFrame.persist is CacheManager-pinned until an
+    explicit unpersist — never GC-reclaimed — so operator-terminal
+    materializations use releasable checkpoints instead.  A full
+    pairs -> components pipeline with release_input=True plus a final
+    release_checkpoints must leave the CacheManager EMPTY and the
+    persistent-RDD table at its pre-call level."""
+    from erddap2agol_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+        release_checkpoints,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = _persistent_rdd_count(spark)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    comp = connected_components(pairs, release_input=True)
+    assert comp.count() > 0
+    release_checkpoints(comp)
+    assert _persistent_rdd_count(spark) <= base, (
+        f"dedup pipeline leaked storage: {base} -> {_persistent_rdd_count(spark)}"
+    )
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "a CacheManager-pinned persist survived the pipeline"
+    )

@@ -208,13 +208,24 @@ def test_dedup_pair_builders_release_scaffolding(spark):
     def n_persisted():
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
-    base = n_persisted()
+    def rdd_ids():
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    # set-based, not count-based: another test's stale entries may be
+    # reclaimed concurrently; only entries THIS test creates matter
+    base = rdd_ids()
     out = dedup.lsh_candidate_pairs(docs, "doc_id", "text", n_perm=8, rows_per_band=2)
-    assert n_persisted() == base + 1  # result only; signature cache released
-    out.unpersist(True)
-    assert n_persisted() == base
+    assert len(rdd_ids() - base) == 1  # result only; signature cache released
+    # r9: results are checkpoint-backed (releasable), not
+    # CacheManager-pinned persists (never GC-reclaimed)
+    dedup.release_checkpoints(out)
+    assert not (rdd_ids() - base)
 
     out2 = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=100)
-    assert n_persisted() == base + 1  # result only; shingle cache released
-    out2.unpersist(True)
-    assert n_persisted() == base
+    assert len(rdd_ids() - base) == 1  # result only; shingle cache released
+    dedup.release_checkpoints(out2)
+    assert not (rdd_ids() - base)
