@@ -225,7 +225,7 @@ def lsh_candidate_pairs(
     the signature table is persisted only while this call materializes
     the pair result, then released before returning.  The RETURNED
     DataFrame comes back persisted + computed — the one cache entry the
-    caller owns (``result.unpersist()`` when done).
+    caller owns (``release_checkpoints(result)`` when done — the result is checkpoint-backed since r9; a plain ``unpersist`` is a no-op on it).
     """
     if n_perm % rows_per_band:
         raise ValueError("n_perm must be divisible by rows_per_band")
@@ -421,7 +421,7 @@ def ngram_jaccard_pairs(
     Cache lifecycle (VERDICT r3 #3): the shingle explode is persisted
     only while this call materializes the pair result, then released.
     The RETURNED DataFrame comes back persisted + computed — the one
-    cache entry the caller owns (``result.unpersist()`` when done).
+    cache entry the caller owns (``release_checkpoints(result)`` when done — the result is checkpoint-backed since r9; a plain ``unpersist`` is a no-op on it).
     """
     src = ensure_parallelism(df)
     # persisted: the pair self-join scans the shingle explode twice.
@@ -759,7 +759,7 @@ def sparse_cosine_pairs(
     both join sides, norms); it is persisted only while this call
     materializes the pair table, then released blocking.  The RETURNED
     DataFrame comes back persisted + computed — the one cache entry the
-    caller owns (``result.unpersist()`` when done).
+    caller owns (``release_checkpoints(result)`` when done — the result is checkpoint-backed since r9; a plain ``unpersist`` is a no-op on it).
     """
     from .text import word_ngrams
 

@@ -206,6 +206,7 @@ def bigram_cross_entropy_agg(
     text_col: str,
     k: float = DEFAULT_K,
     extra_cols: tuple[str, ...] = (),
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """:func:`bigram_cross_entropy` computed from ONE corpus explode —
     the single-scan variant.
@@ -254,7 +255,7 @@ def bigram_cross_entropy_agg(
     cb = scored_pairs.groupBy("prev", "cur").agg(F.sum("c").alias("nb"))
     cp = cb.groupBy("prev").agg(F.sum("nb").alias("np"))
     vocab = dp.agg(F.countDistinct("prev").alias("v"))
-    model = F.broadcast(
+    model = (
         cb.join(cp, "prev")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -266,6 +267,11 @@ def bigram_cross_entropy_agg(
             ).alias("neg_logp"),
         )
     )
+    # same escape hatch as the two-pass twin: set broadcast_model=False
+    # when the bigram vocabulary exceeds executor memory — the scoring
+    # join then hash-partitions on (prev, cur)
+    if broadcast_model:
+        model = F.broadcast(model)
     return (
         scored_pairs.join(model, ["prev", "cur"])
         .groupBy(id_col, *extra_cols)

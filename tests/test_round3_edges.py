@@ -228,7 +228,6 @@ class TestSparseCosine:
             df, "doc_id", "text", shingle_n=3, threshold=0.0, max_doc_freq=None
         )
         got = {(r.doc_a, r.doc_b): r.cos_sim for r in out.collect()}
-        out.unpersist()
         assert got[(1, 2)] == 1.0  # identical vectors
         # repetition-heavy doc is similar but NOT identical to the base
         assert 0.0 < got[(1, 3)] < 1.0
@@ -246,7 +245,6 @@ class TestSparseCosine:
             df, "doc_id", "text", shingle_n=3, threshold=0.01, max_doc_freq=3
         )
         n = capped.count()
-        capped.unpersist()
         assert n == 0
         uncapped = sparse_cosine_pairs(
             df, "doc_id", "text", shingle_n=3, threshold=0.01, max_doc_freq=None
@@ -258,6 +256,8 @@ class TestSparseCosine:
     def test_no_cache_leak(self, spark):
         from erddap2agol_spark.operators.dedup import sparse_cosine_pairs
 
+        from erddap2agol_spark.operators.dedup import release_checkpoints
+
         before = len(spark.sparkContext._jsc.getPersistentRDDs())
         out = sparse_cosine_pairs(
             spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id int, text string"),
@@ -265,7 +265,9 @@ class TestSparseCosine:
             "text",
             threshold=0.0,
         )
-        out.unpersist()
+        # r9: the result is checkpoint-backed (releasable), not a
+        # CacheManager-pinned persist (which GC never reclaims)
+        release_checkpoints(out)
         after = len(spark.sparkContext._jsc.getPersistentRDDs())
         assert after <= before
 
@@ -308,7 +310,6 @@ class TestJaccardPrefixFilter:
                     "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
                 ).collect()
             }
-            full.unpersist()
             assert got == want, f"t={t}"
 
     def test_planted_pair_found(self, spark):
@@ -368,5 +369,7 @@ def test_simhash_query_releases_scaffolding(spark):
     )
     new_ids = ids() - before
     assert len(new_ids) == 1  # result only; fingerprint table released
-    out.unpersist(True)
+    from erddap2agol_spark.operators.dedup import release_checkpoints
+
+    release_checkpoints(out)  # r9: checkpoint-backed result
     assert not (ids() - before)

@@ -25,9 +25,7 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -85,11 +83,24 @@ def build_dir(mult: int) -> str:
     return out
 
 
-def _median_time(fn, runs: int = 3) -> float:
-    fn()
-    return statistics.median(
-        [(lambda t0: (fn(), time.time() - t0)[1])(time.time()) for _ in range(runs)]
+# ONE definition of the pinned warmup+median protocol — reuse
+# bench_ratio's so the two certified tools cannot drift
+def _load_bench_ratio():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_ratio", os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_ratio.py")
     )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_bench_ratio_median_time = _load_bench_ratio()._median_time
+
+
+def _median_time(fn, runs: int = 3) -> float:
+    return _bench_ratio_median_time(fn, runs)
 
 
 def main() -> None:
