@@ -159,3 +159,39 @@ def test_dedup_pipeline_cache_hygiene(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "a CacheManager-pinned persist survived the pipeline"
     )
+
+
+def test_iterative_ops_shield_caller_input(spark):
+    """The per-round release chain must never free the CALLER's frame:
+    the initial truncate_lineage re-roots the plan on an internal
+    checkpoint, so round 1's release touches only that internal copy.
+    A checkpoint-backed input (the new pair-builder contract) must stay
+    readable after kcore and pointer doubling consume it."""
+    from erddap2agol_spark.operators.dedup import (
+        release_checkpoints,
+        truncate_lineage,
+    )
+    from erddap2agol_spark.operators.graph import (
+        kcore,
+        pointer_doubling_closure,
+    )
+
+    edges = truncate_lineage(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)], "a long, b long")
+    )
+    out = kcore(edges, k=2, iterations=3)
+    assert out.count() > 0
+    assert edges.count() == 4  # input blocks intact
+    release_checkpoints(out)
+
+    nodes = truncate_lineage(
+        spark.createDataFrame(
+            [(1, None), (2, 1), (3, 2)], "node long, parent long"
+        )
+    )
+    closure = pointer_doubling_closure(nodes, rounds=2)
+    assert closure.count() == 3
+    assert nodes.count() == 3  # input blocks intact
+    release_checkpoints(closure)
+    release_checkpoints(edges)
+    release_checkpoints(nodes)
