@@ -311,6 +311,80 @@ def _pair_counts(vocab: DataFrame, tok_col: Column) -> DataFrame:
     )
 
 
+#: second-round merged unit stands in as chr(2) during encoding.
+MERGE_SENTINEL2 = "\x02"
+
+
+def bpe_encode_stats(
+    docs: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """APPLY the first two trained BPE merges to the corpus and report
+    per-``group_col`` tokenizer statistics — the other half of the
+    tokenizer lifecycle (``bpe_merge_rounds`` trains the merge table;
+    this encodes under it), and the number a mixture designer actually
+    budgets with: symbols-per-word under the tokenizer, per source.
+
+    Output: ``(group, n_words, n_chars, n_symbols,
+    avg_symbols_per_word)`` where a symbol is a character or a merged
+    unit (each applied merge is atomic via a sentinel, exactly the
+    ``bpe_merge_rounds`` representation).
+
+    Scale shape: ONE corpus-sized aggregation (the per-(group, word)
+    frequency table, map-side combined to vocabulary x groups
+    cardinality); the merge table derives from that table's own
+    aggregate; encoding applies string ``replace`` on the
+    vocabulary-sized relation, never re-touching the corpus; the two
+    merge constants ride one-row broadcasts (scalar-subquery plan,
+    never a collect).
+    """
+    wf = (
+        ensure_parallelism(docs)
+        .select(F.col(group_col), F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = wf.groupBy("tok").agg(F.sum("c").alias("c"))
+    r1 = _pair_counts(vocab, F.col("tok"))
+    top1 = (
+        r1.orderBy(F.desc("n"), F.asc("pair")).limit(1)
+        .select(F.col("pair").alias("m1"))
+    )
+    vocab2 = vocab.crossJoin(F.broadcast(top1)).select(
+        F.replace(F.col("tok"), F.col("m1"), F.lit(MERGE_SENTINEL)).alias("tok"),
+        "c",
+    )
+    top2 = (
+        _pair_counts(vocab2, F.col("tok"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("m2"))
+    )
+    enc = (
+        wf.crossJoin(F.broadcast(top1))
+        .crossJoin(F.broadcast(top2))
+        .select(
+            group_col,
+            "c",
+            F.length("tok").alias("n_char"),
+            F.length(
+                F.replace(
+                    F.replace(F.col("tok"), F.col("m1"), F.lit(MERGE_SENTINEL)),
+                    F.col("m2"),
+                    F.lit(MERGE_SENTINEL2),
+                )
+            ).alias("n_sym"),
+        )
+    )
+    return enc.groupBy(group_col).agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * F.col("n_char")).alias("n_chars"),
+        F.sum(F.col("c") * F.col("n_sym")).alias("n_symbols"),
+        F.round(
+            F.sum(F.col("c") * F.col("n_sym")) / F.sum("c"), 6
+        ).alias("avg_symbols_per_word"),
+    )
+
+
 def bpe_merge_rounds(docs: DataFrame, text_col: str, top_per_round: int = 10) -> DataFrame:
     """Two rounds of BPE merge-candidate counting.
 

@@ -83,15 +83,16 @@ _GRADE_PRIORITY: list[str] = [
     # rewritten this round (never driver-graded on the current plan),
     # then (b) the 33 r2-vintage rows, then (c) the alphabetically-first
     # r3-vintage rows filling the window to 50.  R10 PLAN: any queries
-    # new/rewritten in r10 first, then the 38 remaining r3-vintage rows
-    # ("doc_pack_index", "domain_cap_sample", then alphabetically from
-    # "emb_quantize" onward), then top up from the r5 vintage; after
-    # r10 no row predates r8.
+    # new/rewritten in r10 first, then the 39 remaining r3-vintage rows
+    # ("dedup_ngram_capped", "doc_pack_index", "domain_cap_sample",
+    # then alphabetically from "emb_quantize" onward), then top up from
+    # the r5 vintage; after r10 no row predates r8.
     # (a) new round-9 queries (first-time driver rows) + rewrites
     "swap_dependency_gate",
     "lm_perplexity_agg",
     "leakage_safe_split",
     "dedup_threshold_calibration",
+    "bpe_encode_stats",
     "corpus_manifest",  # shard-count now corpus-derived (VERDICT r8 #4)
     # (b) the 33 queries whose latest driver row is round 2
     "contamination_check", "corpus_stats", "dedup_cart", "dedup_simhash",
@@ -107,7 +108,7 @@ _GRADE_PRIORITY: list[str] = [
     "ann_bruteforce_topk", "balance_histogram", "bloom_decontaminate",
     "char_stats", "climatology_anomaly", "cms_user_counts",
     "connector_scan", "dedup_clusters", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_ngram_capped",
+    "dedup_minhash_lsh",
 ]
 
 

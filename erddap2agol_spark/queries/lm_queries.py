@@ -215,3 +215,57 @@ def lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cross_entropy") <= F.col("hi"))
         .select("doc_id", "lang", "cross_entropy", "hi")
     )
+
+
+@register(
+    "bpe_encode_stats",
+    oracle="""
+    WITH wf AS (
+      SELECT source, tok, count(*) AS c
+      FROM (SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c FROM wf GROUP BY tok),
+    r1 AS (
+      SELECT substr(tok, i, 2) AS pair, sum(c) AS n
+      FROM vocab, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+      WHERE len(tok) >= 2 GROUP BY pair
+    ),
+    m1 AS (SELECT pair AS m1 FROM r1 ORDER BY n DESC, pair ASC LIMIT 1),
+    vocab2 AS (
+      SELECT replace(tok, m1, chr(1)) AS tok, c FROM vocab CROSS JOIN m1
+    ),
+    r2 AS (
+      SELECT substr(tok, i, 2) AS pair, sum(c) AS n
+      FROM vocab2, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+      WHERE len(tok) >= 2 GROUP BY pair
+    ),
+    m2 AS (SELECT pair AS m2 FROM r2 ORDER BY n DESC, pair ASC LIMIT 1),
+    enc AS (
+      SELECT source, c, len(tok) AS n_char,
+             len(replace(replace(tok, m1, chr(1)), m2, chr(2))) AS n_sym
+      FROM wf CROSS JOIN m1 CROSS JOIN m2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(c * n_char) AS BIGINT) AS n_chars,
+           CAST(sum(c * n_sym) AS BIGINT) AS n_symbols,
+           round(CAST(sum(c * n_sym) AS DOUBLE) / sum(c), 6)
+             AS avg_symbols_per_word
+    FROM enc GROUP BY source
+    """,
+    doc="The ENCODE half of the BPE tokenizer lifecycle: train the "
+    "first two merges (bpe_top_merges' algebra), apply them corpus-wide "
+    "(sentinel-atomic left-to-right replace over the VOCABULARY table, "
+    "never re-touching the corpus), and report per-source words / "
+    "chars / symbols / symbols-per-word — the number a mixture designer "
+    "budgets token counts with. One corpus-sized aggregation total; "
+    "merge constants ride one-row broadcasts. Counts exact integers; "
+    "the single ratio rounds at 6dp on bit-identical int sums.",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bpe_encode_stats as _encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _encode(docs, "text", "source")

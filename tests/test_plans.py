@@ -520,6 +520,7 @@ NESTED_LOOP_JUSTIFIED = {
     "ann_ivf_recall",
     "bm25_topk",  # 1-row corpus-stats scalar (N, avgdl)
     "bpe_top_merges",  # 1-row round-1 winner broadcast
+    "bpe_encode_stats",  # two 1-row merge-constant broadcasts
     "corpus_stats",
     "dedup_embedding_cosine",
     "dsir_lang_lift",  # 1-row feature-total scalars
