@@ -438,3 +438,109 @@ def bpe_merge_rounds(docs: DataFrame, text_col: str, top_per_round: int = 10) ->
         )
 
     return readout(r1, 1, None).unionAll(readout(r2, 2, F.col("m1")))
+
+
+#: base codepoint for generalized-trainer merge sentinels: merge rank k
+#: is atomic as chr(BPE_SENTINEL_BASE + k).  The Unicode Private Use
+#: Area cannot appear in real corpus text, every sentinel is one BMP
+#: character (so 2-char substring pair extraction stays correct at any
+#: round), and both engines compare strings by codepoint (Spark UTF-8
+#: binary, DuckDB UTF-8 binary), so tie-breaks agree.
+BPE_SENTINEL_BASE = 0xE000
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Train a FULL ``n_merges``-row BPE merge table (Sennrich et al.
+    2016) — the generalized form of :func:`bpe_merge_rounds`'s two
+    hardcoded rounds, completing the tokenizer-training lifecycle.
+
+    Per rank ``k``: count adjacent-symbol pairs over the (rewritten)
+    word-frequency vocabulary weighted by word frequency (positional
+    counts, the reference algorithm's ``pairs[s_i, s_i+1] += freq``),
+    take the winner by ``(count desc, pair asc)``, and rewrite the
+    vocabulary with the winner collapsed to a fresh sentinel character
+    (non-overlapping left-to-right ``replace`` — also the reference
+    algorithm's application order).
+
+    Output (one row per learned merge, fewer if the vocabulary runs out
+    of pairs): ``(rank, left_sym, right_sym, merged, n,
+    total_symbols)`` where the symbols are fully expanded back to real
+    strings, ``n`` is the winner's weighted positional pair count, and
+    ``total_symbols`` is the corpus symbol count AFTER applying merges
+    ``1..k`` — the tokenizer's compression curve, the number that
+    decides when to stop adding merges.
+
+    Scale shape: the corpus is touched ONCE (the token-frequency
+    aggregation, map-side combined); every round runs two
+    vocabulary-sized jobs (pair-count top-1, symbol total) — vocabulary
+    cardinality is independent of corpus row count.  The winner row is
+    collected per round: the merge table itself is the operator's
+    bounded driver-sized OUTPUT (same contract as KMeans centroids in
+    ``ann_ivf``), and learning merge ``k+1`` requires merge ``k`` by
+    definition — the collect is the algorithm's sequential dependency,
+    not a missed parallelism.  Replace-chain plan depth is bounded by
+    ``checkpoint_every`` via the ``truncate_lineage`` release chain
+    (kcore's discipline); the input plan is shielded by the initial
+    internal re-root, and the last internal checkpoint is released
+    before return — callers never hold engine-private blocks.
+    """
+    from .dedup import release_checkpoints, truncate_lineage
+
+    spark = docs.sparkSession
+    out_schema = (
+        "rank int, left_sym string, right_sym string, merged string, "
+        "n bigint, total_symbols bigint"
+    )
+    if n_merges <= 0:
+        return spark.createDataFrame([], out_schema)
+    # internal re-root: the release chain below must never free a
+    # caller-owned checkpoint, and all rounds re-execute from this
+    # one materialized corpus aggregate, never the corpus scan
+    vocab = truncate_lineage(token_vocabulary(docs, text_col))
+    cur_ckpt = vocab
+    expand: dict[str, str] = {}
+    rows: list[tuple] = []
+    try:
+        for k in range(1, n_merges + 1):
+            top = (
+                _pair_counts(vocab, F.col("tok"))
+                .orderBy(F.desc("n"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # vocabulary is all single-symbol tokens
+            pair, n = top[0]["pair"], top[0]["n"]
+            sent = chr(BPE_SENTINEL_BASE + k)
+            full = "".join(expand.get(ch, ch) for ch in pair)
+            expand[sent] = full
+            # merge constants are driver literals -> constant-folded
+            # replace, no broadcast join in the rewrite plan
+            vocab = vocab.select(
+                F.replace(F.col("tok"), F.lit(pair), F.lit(sent)).alias("tok"),
+                "c",
+            )
+            if k % checkpoint_every == 0:
+                vocab = truncate_lineage(vocab, release=cur_ckpt)
+                cur_ckpt = vocab
+            total = vocab.agg(
+                F.sum(F.col("c") * F.length("tok")).alias("t")
+            ).collect()[0]["t"]
+            rows.append(
+                (
+                    k,
+                    expand.get(pair[0], pair[0]),
+                    expand.get(pair[1], pair[1]),
+                    full,
+                    int(n),
+                    int(total),
+                )
+            )
+    finally:
+        release_checkpoints(cur_ckpt)
+    return spark.createDataFrame(rows, out_schema)

@@ -269,3 +269,82 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _encode(docs, "text", "source")
+
+
+_BPE_N = 5
+_BPE_BASE = 0xE000  # operators/lm.BPE_SENTINEL_BASE
+
+
+def _bpe_train_oracle(n: int) -> str:
+    """Nested-CTE mirror of operators/lm.bpe_train for ``n`` merges:
+    round k counts positional pairs over vocab_{k-1}, takes the winner
+    by (n desc, pair asc), expands its symbols through the previous
+    winners' full strings, rewrites the vocabulary with sentinel
+    chr(0xE000+k), and reports the post-merge corpus symbol total."""
+    ctes = [
+        """vocab0 AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    )"""
+    ]
+    for k in range(1, n + 1):
+        sent = _BPE_BASE + k
+
+        def _expand(expr: str) -> str:
+            # sentinels 1..k-1 -> their fully-expanded strings
+            for j in range(1, k):
+                expr = f"replace({expr}, chr({_BPE_BASE + j}), f{j}.fullstr)"
+            return expr
+
+        prior = "".join(f" CROSS JOIN f{j}" for j in range(1, k))
+        ctes.append(
+            f"""p{k} AS (
+      SELECT substr(tok, i, 2) AS pair, CAST(sum(c) AS BIGINT) AS n
+      FROM vocab{k - 1}, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+      WHERE len(tok) >= 2 GROUP BY pair
+    ),
+    w{k} AS (SELECT pair, n FROM p{k} ORDER BY n DESC, pair ASC LIMIT 1),
+    f{k} AS (
+      SELECT w{k}.n, {_expand(f"w{k}.pair")} AS fullstr,
+             {_expand(f"substr(w{k}.pair, 1, 1)")} AS lsym,
+             {_expand(f"substr(w{k}.pair, 2, 1)")} AS rsym
+      FROM w{k}{prior}
+    ),
+    vocab{k} AS (
+      SELECT replace(v.tok, w.pair, chr({sent})) AS tok, v.c
+      FROM vocab{k - 1} v CROSS JOIN w{k} w
+    ),
+    t{k} AS (SELECT CAST(sum(c * len(tok)) AS BIGINT) AS total
+             FROM vocab{k})"""
+        )
+    selects = [
+        f"""SELECT CAST({k} AS INT) AS "rank", lsym AS left_sym,
+           rsym AS right_sym, fullstr AS merged, n,
+           total AS total_symbols
+    FROM f{k} CROSS JOIN t{k}"""
+        for k in range(1, n + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "bpe_merge_table",
+    oracle=_bpe_train_oracle(_BPE_N),
+    doc="The FULL tokenizer-training lifecycle: an n-round BPE merge "
+    "table (rank, expanded merge symbols, weighted pair count, and the "
+    "post-merge corpus symbol total — the compression curve that "
+    "decides when to stop adding merges). The corpus is touched ONCE "
+    "(the token-frequency aggregate); each round runs two "
+    "vocabulary-sized jobs, the winner row is the operator's own "
+    "bounded driver-sized output, and replace-chain plan depth is "
+    "bounded by the truncate_lineage release chain. Counts and totals "
+    "are exact integers — bit-stable across engines; the oracle "
+    "unrolls the identical algebra as nested CTEs.",
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=_BPE_N)

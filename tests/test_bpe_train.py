@@ -1,0 +1,161 @@
+"""The generalized BPE trainer (operators/lm.bpe_train): hand-verified
+merge tables against a pure-Python mirror of the reference algorithm
+(Sennrich et al. 2016 — positional pair counts, non-overlapping
+left-to-right merge application), plus the engine-contract edges:
+checkpoint-release hygiene, caller-input shielding, early stop, and the
+zero-row case."""
+
+from __future__ import annotations
+
+from erddap2agol_spark.operators.lm import BPE_SENTINEL_BASE, bpe_train
+
+
+def _py_bpe(word_freq: dict[str, int], n_merges: int):
+    """Pure-Python mirror: tokens as symbol LISTS (the paper's
+    representation) — list-based non-overlapping merging, independent of
+    the engine's string-replace algebra.  Tie-break mirrors the engine's
+    contract: pairs compare as their 2-char sentinel encodings (raw
+    chars stay themselves; merge k encodes as chr(0xE000 + k))."""
+    vocab = {tuple(w): c for w, c in word_freq.items()}
+    enc = {}  # multi-char symbol -> sentinel char
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (l, r), best_n = min(
+            pairs.items(),
+            key=lambda kv: (-kv[1], enc.get(kv[0][0], kv[0][0]) + enc.get(kv[0][1], kv[0][1])),
+        )
+        enc[l + r] = chr(BPE_SENTINEL_BASE + rank)
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+        total = sum(len(s) * c for s, c in vocab.items())
+        out.append((rank, l, r, l + r, best_n, total))
+    return out
+
+
+def test_matches_pure_python_mirror(spark):
+    freq = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    docs = spark.createDataFrame(
+        [(" ".join([w] * c),) for w, c in freq.items()], "text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, "text", n_merges=4).collect()]
+    assert got == _py_bpe(freq, 4)
+
+
+def test_merge_of_merge_expands_symbols(spark):
+    # rank 1 merges ('a','a') -> 'aa'; rank 2 merges ('aa','b'): the
+    # left symbol of rank 2 is itself a merge and must expand fully
+    docs = spark.createDataFrame([("aab " * 9 + "aac",)], "text string")
+    rows = bpe_train(docs, "text", n_merges=2).collect()
+    assert (rows[0]["left_sym"], rows[0]["right_sym"], rows[0]["merged"]) == (
+        "a", "a", "aa",
+    )
+    assert rows[0]["n"] == 10
+    assert (rows[1]["left_sym"], rows[1]["right_sym"], rows[1]["merged"]) == (
+        "aa", "b", "aab",
+    )
+    assert rows[1]["n"] == 9
+    # totals: 10 words x 3 chars = 30 -> after 'aa' each word is 2
+    # symbols (20) -> after 'aab' nine words are 1 symbol (11)
+    assert [r["total_symbols"] for r in rows] == [20, 11]
+    mirror = _py_bpe({"aab": 9, "aac": 1}, 2)
+    assert [tuple(r) for r in rows] == mirror
+
+
+def test_positional_pair_counts(spark):
+    # 'aaa' contributes TWO 'aa' pairs (the paper's count) but the
+    # merge applies left-to-right non-overlapping: 'aaa' -> ('aa','a')
+    docs = spark.createDataFrame([("aaa aaa aaa",)], "text string")
+    rows = bpe_train(docs, "text", n_merges=1).collect()
+    assert rows[0]["n"] == 6  # 3 words x 2 positional pairs
+    assert rows[0]["total_symbols"] == 6  # 3 x ('aa','a')
+    assert [tuple(r) for r in rows] == _py_bpe({"aaa": 3}, 1)
+
+
+def test_early_stop_and_empty(spark):
+    single = spark.createDataFrame([("a b c a",)], "text string")
+    assert bpe_train(single, "text", n_merges=5).count() == 0
+    empty = spark.createDataFrame([], "text string")
+    out = bpe_train(empty, "text", n_merges=3)
+    assert out.count() == 0
+    assert out.columns == [
+        "rank", "left_sym", "right_sym", "merged", "n", "total_symbols",
+    ]
+    assert bpe_train(single, "text", n_merges=0).count() == 0
+
+
+def test_checkpoint_chain_releases_and_matches(spark):
+    """checkpoint_every smaller than n_merges must (a) not change the
+    result and (b) leave ZERO net persistent-RDD blocks behind — the
+    trainer's output is a local relation, so every internal checkpoint
+    is engine-private and must be freed before return."""
+    freq = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "wide": 4}
+    docs = spark.createDataFrame(
+        [(" ".join([w] * c),) for w, c in freq.items()], "text string"
+    )
+    base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    a = [tuple(r) for r in bpe_train(docs, "text", 6, checkpoint_every=2).collect()]
+    b = [tuple(r) for r in bpe_train(docs, "text", 6, checkpoint_every=16).collect()]
+    assert a == b == _py_bpe(freq, 6)
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= base
+
+
+def test_caller_checkpoint_input_survives(spark):
+    """Input-shield contract: a checkpoint-backed caller frame must
+    remain readable after bpe_train's internal release chain runs."""
+    from erddap2agol_spark.operators.dedup import (
+        release_checkpoints,
+        truncate_lineage,
+    )
+
+    docs = truncate_lineage(
+        spark.createDataFrame([("low low lower",)], "text string")
+    )
+    bpe_train(docs, "text", n_merges=3, checkpoint_every=1).collect()
+    assert docs.count() == 1  # still readable
+    release_checkpoints(docs)
+
+
+def test_sentinels_are_private_use_area():
+    # regression pin: generalized-trainer sentinels must never collide
+    # with bpe_merge_rounds' chr(1)/chr(2) or with real text
+    assert BPE_SENTINEL_BASE == 0xE000
+
+
+def test_randomized_corpora_match_mirror(spark):
+    """Seeded random corpora (tiny alphabet so ties and merge-of-merge
+    chains are frequent) must match the list-algebra mirror exactly,
+    including tie-breaks and compression totals."""
+    import random
+
+    rng = random.Random(0xB9E)
+    for trial in range(6):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 12))
+        ]
+        freq: dict[str, int] = {}
+        for w in words:
+            freq[w] = freq.get(w, 0) + rng.randint(1, 5)
+        docs = spark.createDataFrame(
+            [(" ".join([w] * c),) for w, c in freq.items()], "text string"
+        )
+        n = rng.randint(1, 6)
+        got = [tuple(r) for r in bpe_train(docs, "text", n_merges=n).collect()]
+        assert got == _py_bpe(freq, n), (trial, freq, n)
