@@ -489,15 +489,28 @@ def bpe_train(
     internal re-root, and the last internal checkpoint is released
     before return — callers never hold engine-private blocks.
     """
+    rows, _ = _bpe_train_rows(docs, text_col, n_merges, checkpoint_every)
+    return docs.sparkSession.createDataFrame(rows, _BPE_OUT_SCHEMA)
+
+
+_BPE_OUT_SCHEMA = (
+    "rank int, left_sym string, right_sym string, merged string, "
+    "n bigint, total_symbols bigint"
+)
+
+
+def _bpe_train_rows(
+    docs: DataFrame, text_col: str, n_merges: int, checkpoint_every: int
+) -> tuple[list[tuple], list[str]]:
+    """bpe_train's engine: returns (output rows, raw merge pairs) where
+    raw pair k is the 2-char sentinel-encoded winner — the exact
+    constant an encoder's replace chain needs (re-deriving it from the
+    expanded output would be ambiguous if two merges ever shared a
+    surface string)."""
     from .dedup import release_checkpoints, truncate_lineage
 
-    spark = docs.sparkSession
-    out_schema = (
-        "rank int, left_sym string, right_sym string, merged string, "
-        "n bigint, total_symbols bigint"
-    )
     if n_merges <= 0:
-        return spark.createDataFrame([], out_schema)
+        return [], []
     # internal re-root: the release chain below must never free a
     # caller-owned checkpoint, and all rounds re-execute from this
     # one materialized corpus aggregate, never the corpus scan
@@ -505,6 +518,7 @@ def bpe_train(
     cur_ckpt = vocab
     expand: dict[str, str] = {}
     rows: list[tuple] = []
+    raw_pairs: list[str] = []
     try:
         for k in range(1, n_merges + 1):
             top = (
@@ -516,6 +530,7 @@ def bpe_train(
             if not top:
                 break  # vocabulary is all single-symbol tokens
             pair, n = top[0]["pair"], top[0]["n"]
+            raw_pairs.append(pair)
             sent = chr(BPE_SENTINEL_BASE + k)
             full = "".join(expand.get(ch, ch) for ch in pair)
             expand[sent] = full
@@ -543,4 +558,59 @@ def bpe_train(
             )
     finally:
         release_checkpoints(cur_ckpt)
-    return spark.createDataFrame(rows, out_schema)
+    return rows, raw_pairs
+
+
+def bpe_symbol_histogram(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    top: int = 20,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Tokenize the corpus under a freshly trained ``n_merges``-rank BPE
+    merge table and report the ``top`` most frequent SYMBOLS (merged
+    units and residual characters) — the tokenizer's effective
+    vocabulary head, the readout that decides whether the learned merges
+    carry real token mass.
+
+    Output: ``(symbol, n)`` by ``(n desc, symbol asc)``, symbols fully
+    expanded back to real strings.
+
+    Scale shape: training is :func:`bpe_train` (corpus touched once,
+    vocabulary-sized rounds); encoding applies the learned merges as a
+    literal ``replace`` chain over the word-frequency vocabulary —
+    never re-touching the corpus — then explodes the encoded tokens
+    one character per symbol, weighted by word frequency.  The result
+    is a vocabulary-sized aggregate cut to ``top`` rows via top-k
+    (TakeOrderedAndProject), and the merge table itself rides in as
+    driver literals (it is bpe_train's bounded output).
+    """
+    rows, raw_pairs = _bpe_train_rows(docs, text_col, n_merges, checkpoint_every)
+    vocab = token_vocabulary(docs, text_col)
+    enc = F.col("tok")
+    for k, pair in enumerate(raw_pairs, start=1):
+        enc = F.replace(enc, F.lit(pair), F.lit(chr(BPE_SENTINEL_BASE + k)))
+    sym = (
+        vocab.select(F.col("c"), enc.alias("e"))
+        .select(
+            "c",
+            F.explode(
+                F.sequence(F.lit(1), F.length("e"))
+            ).alias("i"),
+            F.col("e"),
+        )
+        .select("c", F.substring(F.col("e"), F.col("i"), 1).alias("s"))
+        .groupBy("s")
+        .agg(F.sum("c").alias("n"))
+    )
+    out = F.col("s")
+    for row in rows:
+        out = F.replace(
+            out, F.lit(chr(BPE_SENTINEL_BASE + row[0])), F.lit(row[3])
+        )
+    return (
+        sym.select(out.alias("symbol"), "n")
+        .orderBy(F.desc("n"), F.asc("symbol"))
+        .limit(top)
+    )

@@ -275,12 +275,12 @@ _BPE_N = 5
 _BPE_BASE = 0xE000  # operators/lm.BPE_SENTINEL_BASE
 
 
-def _bpe_train_oracle(n: int) -> str:
-    """Nested-CTE mirror of operators/lm.bpe_train for ``n`` merges:
-    round k counts positional pairs over vocab_{k-1}, takes the winner
-    by (n desc, pair asc), expands its symbols through the previous
-    winners' full strings, rewrites the vocabulary with sentinel
-    chr(0xE000+k), and reports the post-merge corpus symbol total."""
+def _bpe_ctes(n: int) -> list[str]:
+    """Shared nested-CTE mirror of operators/lm._bpe_train_rows for
+    ``n`` merges: round k counts positional pairs over vocab_{k-1},
+    takes the winner by (n desc, pair asc), expands its symbols through
+    the previous winners' full strings, rewrites the vocabulary with
+    sentinel chr(0xE000+k), and totals the post-merge corpus symbols."""
     ctes = [
         """vocab0 AS (
       SELECT tok, CAST(count(*) AS BIGINT) AS c
@@ -319,6 +319,11 @@ def _bpe_train_oracle(n: int) -> str:
     t{k} AS (SELECT CAST(sum(c * len(tok)) AS BIGINT) AS total
              FROM vocab{k})"""
         )
+    return ctes
+
+
+def _bpe_train_oracle(n: int) -> str:
+    ctes = _bpe_ctes(n)
     selects = [
         f"""SELECT CAST({k} AS INT) AS "rank", lsym AS left_sym,
            rsym AS right_sym, fullstr AS merged, n,
@@ -348,3 +353,51 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, "text", n_merges=_BPE_N)
+
+
+def _bpe_hist_oracle(n: int, top: int) -> str:
+    """Symbol-frequency readout over vocab_n: explode each encoded
+    token one character per symbol weighted by word frequency, expand
+    sentinels back to full strings, top-k by (n desc, symbol asc)."""
+    ctes = _bpe_ctes(n)
+    expand = "s"
+    for j in range(1, n + 1):
+        expand = f"replace({expand}, chr({_BPE_BASE + j}), f{j}.fullstr)"
+    prior = "".join(f" CROSS JOIN f{j}" for j in range(1, n + 1))
+    ctes.append(
+        f"""sym AS (
+      SELECT substr(tok, i, 1) AS s, c
+      FROM vocab{n}, unnest(generate_series(1, len(tok))) AS u(i)
+    ),
+    agg AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM sym GROUP BY s)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT {expand} AS symbol, agg.n AS n
+    FROM agg{prior}
+    ORDER BY agg.n DESC, symbol ASC LIMIT {top}"""
+    )
+
+
+_BPE_TOP = 20
+
+
+@register(
+    "bpe_token_frequencies",
+    oracle=_bpe_hist_oracle(_BPE_N, _BPE_TOP),
+    doc="The tokenizer APPLIED: tokenize the corpus under the freshly "
+    "trained n-rank merge table and report the top token frequencies — "
+    "the effective vocabulary head, i.e. whether the learned merges "
+    "carry real token mass. Training is bpe_merge_table's algebra; "
+    "encoding is a literal replace chain over the VOCABULARY table "
+    "(the corpus is still touched only once), then a one-char-per-"
+    "symbol explode weighted by word frequency, aggregated and cut to "
+    "top-k. Counts exact integers; symbols expand deterministically.",
+)
+def bpe_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bpe_symbol_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_symbol_histogram(docs, "text", n_merges=_BPE_N, top=_BPE_TOP)

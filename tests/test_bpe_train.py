@@ -159,3 +159,72 @@ def test_randomized_corpora_match_mirror(spark):
         n = rng.randint(1, 6)
         got = [tuple(r) for r in bpe_train(docs, "text", n_merges=n).collect()]
         assert got == _py_bpe(freq, n), (trial, freq, n)
+
+
+def test_symbol_histogram_classic(spark):
+    from erddap2agol_spark.operators.lm import bpe_symbol_histogram
+
+    freq = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    docs = spark.createDataFrame(
+        [(" ".join([w] * c),) for w, c in freq.items()], "text string"
+    )
+    # merges learned: es -> est -> lo -> low; hand-derived symbol mass
+    got = {r["symbol"]: r["n"] for r in bpe_symbol_histogram(docs, "text", 4).collect()}
+    assert got == {
+        "est": 9, "w": 9, "e": 8, "low": 7, "n": 6, "d": 3, "i": 3, "r": 2,
+    }
+
+
+def test_symbol_histogram_conserves_mass(spark):
+    """Decode-losslessness in aggregate: the histogram's symbol count
+    equals the trainer's final total_symbols, and its CHARACTER mass
+    (n x expanded length) equals the raw corpus character mass — no
+    symbol is lost or double-counted by the encode/expand chain."""
+    from erddap2agol_spark.operators.lm import bpe_symbol_histogram, bpe_train
+
+    freq = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "wide": 4}
+    docs = spark.createDataFrame(
+        [(" ".join([w] * c),) for w, c in freq.items()], "text string"
+    )
+    hist = bpe_symbol_histogram(docs, "text", 4, top=10_000).collect()
+    trained = bpe_train(docs, "text", 4).collect()
+    assert sum(r["n"] for r in hist) == trained[-1]["total_symbols"]
+    assert sum(r["n"] * len(r["symbol"]) for r in hist) == sum(
+        len(w) * c for w, c in freq.items()
+    )
+
+
+def test_encode_decode_roundtrip_python_mirror():
+    """The sentinel representation is lossless: encoding a word through
+    the raw replace chain and expanding sentinels back reproduces the
+    word exactly (the decode half of the lifecycle)."""
+    import random
+
+    from erddap2agol_spark.operators.lm import BPE_SENTINEL_BASE
+
+    rng = random.Random(7)
+    for _ in range(20):
+        words = {
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 8))): rng.randint(1, 4)
+            for _ in range(rng.randint(2, 8))
+        }
+        mirror = _py_bpe(words, 5)
+        # rebuild the raw replace chain exactly as the engine does
+        expand: dict[str, str] = {}
+        chain: list[tuple[str, str]] = []
+        for rank, l, r, merged, _, _ in mirror:
+            enc_l = next(
+                (s for s, f in expand.items() if f == l), l
+            )
+            enc_r = next(
+                (s for s, f in expand.items() if f == r), r
+            )
+            sent = chr(BPE_SENTINEL_BASE + rank)
+            chain.append((enc_l + enc_r, sent))
+            expand[sent] = merged
+        for w in words:
+            e = w
+            for pat, sent in chain:
+                e = e.replace(pat, sent)
+            d = "".join(expand.get(ch, ch) for ch in e)
+            assert d == w, (w, e, d)
