@@ -17,11 +17,11 @@ def _blocks() -> list[str]:
     return re.findall(r"```python\n(.*?)```", text, flags=re.S)
 
 
-def test_usage_doc_has_five_pipelines():
-    assert len(_blocks()) == 6
+def test_usage_doc_has_seven_pipelines():
+    assert len(_blocks()) == 7
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5, 6])
 def test_usage_block_runs_verbatim(spark, tmp_path, idx):
     block = _blocks()[idx]
     env = {
@@ -61,8 +61,13 @@ def test_usage_block_runs_verbatim(spark, tmp_path, idx):
             open(os.path.join(env["OUT_DIR"], "bucket", "published", "_manifest.json"))
         )
         assert man["n_features"] == 12
-    else:
+    elif idx == 5:
         # snapshot gate + checkpoint lifecycle block: the refusal fired
         # with a stale-view reason and the explicit release freed blocks
         assert any("stale" in r for r in env["gate_reasons"])
         assert env["n_freed"] >= 1
+    else:
+        # tokenizer lifecycle block: eight merges learned, monotone
+        # compression curve, merged units in the vocabulary head
+        assert len(env["merges"]) == 8
+        assert env["curve"] == sorted(env["curve"], reverse=True)

@@ -95,6 +95,13 @@ LINEAR_QUERIES = [
     # round 9: the single-scan LM twin (one corpus-sized exchange keyed
     # on the doc-id-leading triple)
     "lm_perplexity_agg",
+    # round 9: the BPE tokenizer lifecycle — ONE corpus-sized aggregate
+    # (the word-frequency table), then per-round work on the VOCABULARY
+    # only; on the salted linear corpus the vocabulary is ~fixed, so
+    # the curve isolates the corpus-agg term (expected alpha <= 1 with
+    # a large constant floor from the fixed per-round job count)
+    "bpe_merge_table",
+    "bpe_token_frequencies",
 ]
 PAIR_QUERIES = [
     "dedup_minhash_lsh",
