@@ -314,6 +314,40 @@ def _pair_counts(vocab: DataFrame, tok_col: Column) -> DataFrame:
 #: second-round merged unit stands in as chr(2) during encoding.
 MERGE_SENTINEL2 = "\x02"
 
+#: no-op merge constant: a Private-Use-Area pair that cannot occur in
+#: any token, so ``replace(tok, NOOP_PAIR, sentinel)`` is the identity.
+#: Degenerate corpora (no adjacent pairs left) train "no merge" instead
+#: of emptying every downstream statistic through an empty cross join.
+NOOP_PAIR = ""
+
+
+def _winner(counts: DataFrame, alias: str) -> DataFrame:
+    """One-row winning pair by ``(n desc, pair asc)`` — ALWAYS one row:
+    an empty candidate set yields the :data:`NOOP_PAIR` constant, so the
+    merge-independent statistics of degenerate corpora survive the
+    broadcast cross join instead of vanishing with it."""
+    return counts.agg(
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("pair"))).alias("w")
+    ).select(F.coalesce(F.col("w.pair"), F.lit(NOOP_PAIR)).alias(alias))
+
+
+def _first_two_merges(vocab: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared two-round training prelude over a ``(tok, c)``
+    vocabulary: returns ``(r1, top1, r2, top2)`` — round-1 pair counts,
+    the round-1 winner (column ``m1``), round-2 pair counts over the
+    sentinel-rewritten vocabulary, and the round-2 winner (column
+    ``m2``).  Single source of truth for the 2-round tie-break, sentinel
+    and replace semantics shared by :func:`bpe_merge_rounds` and
+    :func:`bpe_encode_stats` (their DuckDB oracles mirror this shape)."""
+    r1 = _pair_counts(vocab, F.col("tok"))
+    top1 = _winner(r1, "m1")
+    vocab2 = vocab.crossJoin(F.broadcast(top1)).select(
+        F.replace(F.col("tok"), F.col("m1"), F.lit(MERGE_SENTINEL)).alias("tok"),
+        "c",
+    )
+    r2 = _pair_counts(vocab2, F.col("tok"))
+    return r1, top1, r2, _winner(r2, "m2")
+
 
 def bpe_encode_stats(
     docs: DataFrame, text_col: str, group_col: str
@@ -344,21 +378,7 @@ def bpe_encode_stats(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     vocab = wf.groupBy("tok").agg(F.sum("c").alias("c"))
-    r1 = _pair_counts(vocab, F.col("tok"))
-    top1 = (
-        r1.orderBy(F.desc("n"), F.asc("pair")).limit(1)
-        .select(F.col("pair").alias("m1"))
-    )
-    vocab2 = vocab.crossJoin(F.broadcast(top1)).select(
-        F.replace(F.col("tok"), F.col("m1"), F.lit(MERGE_SENTINEL)).alias("tok"),
-        "c",
-    )
-    top2 = (
-        _pair_counts(vocab2, F.col("tok"))
-        .orderBy(F.desc("n"), F.asc("pair"))
-        .limit(1)
-        .select(F.col("pair").alias("m2"))
-    )
+    _, top1, _, top2 = _first_two_merges(vocab)
     enc = (
         wf.crossJoin(F.broadcast(top1))
         .crossJoin(F.broadcast(top2))
@@ -403,22 +423,8 @@ def bpe_merge_rounds(docs: DataFrame, text_col: str, top_per_round: int = 10) ->
     (scalar-subquery plan), never a driver collect.
     """
     vocab = token_vocabulary(docs, text_col)
-    r1 = _pair_counts(vocab, F.col("tok"))
-    top1 = (
-        r1.orderBy(F.desc("n"), F.asc("pair"))
-        .limit(1)
-        .select(F.col("pair").alias("m1"))
-    )
-    vocab2 = vocab.crossJoin(F.broadcast(top1)).select(
-        F.replace(F.col("tok"), F.col("m1"), F.lit(MERGE_SENTINEL)).alias("tok"),
-        "c",
-        "m1",
-    )
-    r2 = (
-        _pair_counts(vocab2, F.col("tok"))
-        .crossJoin(F.broadcast(top1))
-        .select("pair", "n", "m1")
-    )
+    r1, top1, r2_counts, _ = _first_two_merges(vocab)
+    r2 = r2_counts.crossJoin(F.broadcast(top1)).select("pair", "n", "m1")
 
     def readout(df: DataFrame, rnd: int, m1: Column | None) -> DataFrame:
         left = F.substring(F.col("pair"), 1, 1)
@@ -489,7 +495,7 @@ def bpe_train(
     internal re-root, and the last internal checkpoint is released
     before return — callers never hold engine-private blocks.
     """
-    rows, _ = _bpe_train_rows(docs, text_col, n_merges, checkpoint_every)
+    rows, _, _ = _bpe_train_rows(docs, text_col, n_merges, checkpoint_every)
     return docs.sparkSession.createDataFrame(rows, _BPE_OUT_SCHEMA)
 
 
@@ -500,22 +506,36 @@ _BPE_OUT_SCHEMA = (
 
 
 def _bpe_train_rows(
-    docs: DataFrame, text_col: str, n_merges: int, checkpoint_every: int
-) -> tuple[list[tuple], list[str]]:
-    """bpe_train's engine: returns (output rows, raw merge pairs) where
-    raw pair k is the 2-char sentinel-encoded winner — the exact
-    constant an encoder's replace chain needs (re-deriving it from the
-    expanded output would be ambiguous if two merges ever shared a
-    surface string)."""
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_every: int,
+    keep_vocab: bool = False,
+) -> tuple[list[tuple], list[str], DataFrame | None]:
+    """bpe_train's engine: returns (output rows, raw merge pairs,
+    vocab).  Raw pair k is the 2-char sentinel-encoded winner — the
+    exact constant an encoder's replace chain needs (re-deriving it from
+    the expanded output would be ambiguous if two merges ever shared a
+    surface string).  With ``keep_vocab`` the initial checkpointed
+    word-frequency table is returned INSTEAD of being released — the one
+    corpus-sized aggregate — so an encoder reuses it rather than paying
+    a second corpus scan; ownership transfers to the caller
+    (``dedup.release_checkpoints`` when done)."""
     from .dedup import release_checkpoints, truncate_lineage
 
     if n_merges <= 0:
-        return [], []
+        vocab0 = (
+            truncate_lineage(token_vocabulary(docs, text_col))
+            if keep_vocab
+            else None
+        )
+        return [], [], vocab0
     # internal re-root: the release chain below must never free a
     # caller-owned checkpoint, and all rounds re-execute from this
     # one materialized corpus aggregate, never the corpus scan
-    vocab = truncate_lineage(token_vocabulary(docs, text_col))
-    cur_ckpt = vocab
+    vocab0 = truncate_lineage(token_vocabulary(docs, text_col))
+    vocab = vocab0
+    cur_ckpt = vocab0
     expand: dict[str, str] = {}
     rows: list[tuple] = []
     raw_pairs: list[str] = []
@@ -541,7 +561,9 @@ def _bpe_train_rows(
                 "c",
             )
             if k % checkpoint_every == 0:
-                vocab = truncate_lineage(vocab, release=cur_ckpt)
+                # a kept vocab0 is caller-owned: never release it here
+                rel = None if (keep_vocab and cur_ckpt is vocab0) else cur_ckpt
+                vocab = truncate_lineage(vocab, release=rel)
                 cur_ckpt = vocab
             total = vocab.agg(
                 F.sum(F.col("c") * F.length("tok")).alias("t")
@@ -557,8 +579,9 @@ def _bpe_train_rows(
                 )
             )
     finally:
-        release_checkpoints(cur_ckpt)
-    return rows, raw_pairs
+        if not (keep_vocab and cur_ckpt is vocab0):
+            release_checkpoints(cur_ckpt)
+    return rows, raw_pairs, (vocab0 if keep_vocab else None)
 
 
 def bpe_symbol_histogram(
@@ -578,21 +601,32 @@ def bpe_symbol_histogram(
     expanded back to real strings.
 
     Scale shape: training is :func:`bpe_train` (corpus touched once,
-    vocabulary-sized rounds); encoding applies the learned merges as a
-    literal ``replace`` chain over the word-frequency vocabulary —
-    never re-touching the corpus — then explodes the encoded tokens
-    one character per symbol, weighted by word frequency.  The result
-    is a vocabulary-sized aggregate cut to ``top`` rows via top-k
+    vocabulary-sized rounds); encoding REUSES the trainer's materialized
+    word-frequency checkpoint — the one corpus-sized aggregate is paid
+    once, not twice — applying the learned merges as a literal
+    ``replace`` chain, then explodes the encoded tokens one character
+    per symbol, weighted by word frequency.  The result is a
+    vocabulary-sized aggregate cut to ``top`` rows via top-k
     (TakeOrderedAndProject), and the merge table itself rides in as
-    driver literals (it is bpe_train's bounded output).
+    driver literals (it is bpe_train's bounded output).  The returned
+    plan is backed by that vocabulary checkpoint: callers done with the
+    result free its blocks via ``dedup.release_checkpoints`` (the same
+    terminal-result contract as the near-dup operators).
     """
-    rows, raw_pairs = _bpe_train_rows(docs, text_col, n_merges, checkpoint_every)
-    vocab = token_vocabulary(docs, text_col)
+    rows, raw_pairs, vocab = _bpe_train_rows(
+        docs, text_col, n_merges, checkpoint_every, keep_vocab=True
+    )
     enc = F.col("tok")
     for k, pair in enumerate(raw_pairs, start=1):
         enc = F.replace(enc, F.lit(pair), F.lit(chr(BPE_SENTINEL_BASE + k)))
     sym = (
-        vocab.select(F.col("c"), enc.alias("e"))
+        # empty tokens (split artifacts of leading/trailing whitespace)
+        # carry zero symbols: without the length guard, sequence(1, 0)
+        # yields [1, 0] and each empty token would mint two phantom ''
+        # symbol rows (the DuckDB mirror's generate_series(1, 0) is
+        # empty, so the guard is also the parity condition)
+        vocab.where(F.length("tok") >= 1)
+        .select(F.col("c"), enc.alias("e"))
         .select(
             "c",
             F.explode(
@@ -613,4 +647,49 @@ def bpe_symbol_histogram(
         sym.select(out.alias("symbol"), "n")
         .orderBy(F.desc("n"), F.asc("symbol"))
         .limit(top)
+    )
+
+
+def bpe_doc_token_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Per-DOCUMENT token counts under a freshly trained
+    ``n_merges``-rank BPE merge table — the corpus-scale tokenization
+    job itself: the number every sequence-packing / token-budget stage
+    downstream consumes.
+
+    Output: ``(id, n_words, n_tokens)`` where ``n_tokens`` is the
+    document's symbol count under the tokenizer (merged units count 1).
+
+    Scale shape: training is :func:`bpe_train`; the encoded length of
+    every word is computed ONCE on the trainer's reused vocabulary
+    checkpoint (a literal ``replace`` chain — the dictionary stays
+    vocabulary-sized), and the corpus is tokenized by ONE equi-join of
+    the exploded corpus against that dictionary on the token key
+    followed by ONE per-document aggregate.  No per-document Python,
+    no window; AQE broadcasts the dictionary when it fits.  The
+    returned plan is backed by the vocabulary checkpoint — callers free
+    it via ``dedup.release_checkpoints`` when done.
+    """
+    _, raw_pairs, vocab = _bpe_train_rows(
+        docs, text_col, n_merges, checkpoint_every, keep_vocab=True
+    )
+    enc = F.col("tok")
+    for k, pair in enumerate(raw_pairs, start=1):
+        enc = F.replace(enc, F.lit(pair), F.lit(chr(BPE_SENTINEL_BASE + k)))
+    dim = vocab.select("tok", F.length(enc).alias("n_sym"))
+    exploded = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    return (
+        exploded.join(dim, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_tokens"),
+        )
     )

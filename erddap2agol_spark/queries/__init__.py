@@ -83,16 +83,16 @@ _GRADE_PRIORITY: list[str] = [
     # rewritten this round (never driver-graded on the current plan),
     # then (b) the 33 r2-vintage rows, then (c) the alphabetically-first
     # r3-vintage rows filling the window to 50.  R10 PLAN: any queries
-    # new/rewritten in r10 first, then the 41 remaining r3-vintage rows
-    # ("dedup_incremental" and "dedup_minhash_lsh" — displaced from
-    # this window by the new "bpe_merge_table"/"bpe_token_frequencies"
-    # — plus "dedup_ngram_capped", "doc_pack_index",
-    # "domain_cap_sample", then alphabetically from "emb_quantize"
-    # onward), then top up from the r5 vintage; after r10 no row
-    # predates r8.
+    # new/rewritten in r10 first, then the 42 remaining r3-vintage rows
+    # ("dedup_exact", "dedup_incremental" and "dedup_minhash_lsh" —
+    # displaced from this window by the three new bpe_* queries — plus
+    # "dedup_ngram_capped", "doc_pack_index", "domain_cap_sample", then
+    # alphabetically from "emb_quantize" onward), then top up from the
+    # r5 vintage; after r10 no row predates r8.
     # (a) new round-9 queries (first-time driver rows) + rewrites
     "bpe_merge_table",
     "bpe_token_frequencies",
+    "bpe_doc_token_counts",
     "swap_dependency_gate",
     "lm_perplexity_agg",
     "leakage_safe_split",
@@ -112,7 +112,7 @@ _GRADE_PRIORITY: list[str] = [
     # (c) the alphabetically-first r3-vintage rows, filling the window
     "ann_bruteforce_topk", "balance_histogram", "bloom_decontaminate",
     "char_stats", "climatology_anomaly", "cms_user_counts",
-    "connector_scan", "dedup_clusters", "dedup_exact",
+    "connector_scan", "dedup_clusters",
 ]
 
 

@@ -232,7 +232,9 @@ def lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM vocab, unnest(generate_series(1, len(tok) - 1)) AS u(i)
       WHERE len(tok) >= 2 GROUP BY pair
     ),
-    m1 AS (SELECT pair AS m1 FROM r1 ORDER BY n DESC, pair ASC LIMIT 1),
+    m1 AS (SELECT coalesce(
+             (SELECT pair FROM r1 ORDER BY n DESC, pair ASC LIMIT 1),
+             chr(57344) || chr(57344)) AS m1),
     vocab2 AS (
       SELECT replace(tok, m1, chr(1)) AS tok, c FROM vocab CROSS JOIN m1
     ),
@@ -241,7 +243,9 @@ def lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM vocab2, unnest(generate_series(1, len(tok) - 1)) AS u(i)
       WHERE len(tok) >= 2 GROUP BY pair
     ),
-    m2 AS (SELECT pair AS m2 FROM r2 ORDER BY n DESC, pair ASC LIMIT 1),
+    m2 AS (SELECT coalesce(
+             (SELECT pair FROM r2 ORDER BY n DESC, pair ASC LIMIT 1),
+             chr(57344) || chr(57344)) AS m2),
     enc AS (
       SELECT source, c, len(tok) AS n_char,
              len(replace(replace(tok, m1, chr(1)), m2, chr(2))) AS n_sym
@@ -261,7 +265,9 @@ def lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never re-touching the corpus), and report per-source words / "
     "chars / symbols / symbols-per-word — the number a mixture designer "
     "budgets token counts with. One corpus-sized aggregation total; "
-    "merge constants ride one-row broadcasts. Counts exact integers; "
+    "merge constants ride one-row broadcasts (ALWAYS one row: a corpus "
+    "with no learnable pair trains a no-op constant, so the merge-"
+    "independent word/char statistics survive). Counts exact integers; "
     "the single ratio rounds at 6dp on bit-identical int sums.",
 )
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,7 +364,14 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_hist_oracle(n: int, top: int) -> str:
     """Symbol-frequency readout over vocab_n: explode each encoded
     token one character per symbol weighted by word frequency, expand
-    sentinels back to full strings, top-k by (n desc, symbol asc)."""
+    sentinels back to full strings, top-k by (n desc, symbol asc).
+
+    PRECONDITION: the corpus must admit >= n merges (true for every
+    graded ``documents`` table at every sf).  On an early-stopping
+    corpus the Spark side returns the real histogram under the merges
+    it could learn, while this static CTE chain empties through the
+    w_k/f_k cross joins — so the oracle is only paired with corpora
+    where n merges exist."""
     ctes = _bpe_ctes(n)
     expand = "s"
     for j in range(1, n + 1):
@@ -401,3 +414,53 @@ def bpe_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_symbol_histogram(docs, "text", n_merges=_BPE_N, top=_BPE_TOP)
+
+
+def _bpe_doc_counts_oracle(n: int) -> str:
+    """Per-document tokenization under the n-merge table: the encoded
+    length of every vocabulary word (the dictionary) joins back to the
+    exploded corpus.  Same early-stop precondition as _bpe_hist_oracle."""
+    ctes = _bpe_ctes(n)
+    enc = "v.tok"
+    for j in range(1, n + 1):
+        enc = f"replace({enc}, w{j}.pair, chr({_BPE_BASE + j}))"
+    joins = "".join(f" CROSS JOIN w{j}" for j in range(1, n + 1))
+    ctes.append(
+        f"""dim AS (
+      SELECT v.tok, len({enc}) AS n_sym
+      FROM vocab0 v{joins}
+    ),
+    tkx AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT tkx.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(d.n_sym) AS BIGINT) AS n_tokens
+    FROM tkx JOIN dim d ON tkx.tok = d.tok
+    GROUP BY tkx.doc_id"""
+    )
+
+
+@register(
+    "bpe_doc_token_counts",
+    oracle=_bpe_doc_counts_oracle(_BPE_N),
+    doc="The corpus-scale tokenization job: per-document token counts "
+    "under the freshly trained n-rank merge table — the number every "
+    "sequence-packing / token-budget stage downstream consumes. The "
+    "encoded length of each word is computed once on the reused "
+    "vocabulary checkpoint (the dictionary stays vocabulary-sized); "
+    "the corpus tokenizes via ONE equi-join of the exploded corpus "
+    "against that dictionary plus ONE per-document aggregate — no "
+    "per-document Python, no window. Counts exact integers.",
+)
+def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bpe_doc_token_counts as _counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _counts(docs, "doc_id", "text", n_merges=_BPE_N)

@@ -228,3 +228,118 @@ def test_encode_decode_roundtrip_python_mirror():
                 e = e.replace(pat, sent)
             d = "".join(expand.get(ch, ch) for ch in e)
             assert d == w, (w, e, d)
+
+
+def test_empty_tokens_mint_no_phantom_symbols(spark):
+    """Split artifacts (leading/trailing whitespace -> '' tokens) must
+    not reach the symbol explode: sequence(1, 0) yields [1, 0] in Spark
+    and would mint two phantom '' rows per empty token (review r9)."""
+    from erddap2agol_spark.operators.lm import bpe_symbol_histogram, bpe_train
+
+    docs = spark.createDataFrame(
+        [("low low ",), (" lower low",)], "text string"
+    )
+    hist = bpe_symbol_histogram(docs, "text", 2, top=100).collect()
+    assert all(r["symbol"] != "" for r in hist)
+    trained = bpe_train(docs, "text", 2).collect()
+    assert sum(r["n"] for r in hist) == trained[-1]["total_symbols"]
+
+
+def test_encode_stats_survives_degenerate_corpora(spark):
+    """A corpus with no learnable round-2 (or round-1) pair must keep
+    its merge-independent per-group statistics — the winners are
+    always-one-row no-op constants, not empty cross joins (review r9)."""
+    from erddap2agol_spark.operators.lm import bpe_encode_stats
+
+    # merge 1 collapses every word to one symbol; round 2 has no pairs
+    one_merge = spark.createDataFrame(
+        [("g1", "ab ab ab")], "src string, text string"
+    )
+    rows = bpe_encode_stats(one_merge, "text", "src").collect()
+    assert len(rows) == 1
+    assert (rows[0]["n_words"], rows[0]["n_chars"], rows[0]["n_symbols"]) == (3, 6, 3)
+    # all single-char words: round 1 already has no pairs
+    no_merge = spark.createDataFrame(
+        [("g1", "a b c"), ("g2", "a a")], "src string, text string"
+    )
+    got = {r["src"]: r for r in bpe_encode_stats(no_merge, "text", "src").collect()}
+    assert got["g1"]["n_symbols"] == got["g1"]["n_chars"] == 3
+    assert got["g2"]["n_words"] == 2
+
+
+def test_histogram_early_stop_returns_chars(spark):
+    """Fewer learnable merges than requested: the histogram degrades to
+    the character distribution instead of erroring or emptying."""
+    from erddap2agol_spark.operators.lm import bpe_symbol_histogram
+
+    docs = spark.createDataFrame([("a b c a",)], "text string")
+    got = {r["symbol"]: r["n"] for r in bpe_symbol_histogram(docs, "text", 5).collect()}
+    assert got == {"a": 2, "b": 1, "c": 1}
+
+
+def test_histogram_single_corpus_scan(spark):
+    """The encode half must REUSE the trainer's vocabulary checkpoint:
+    exactly one corpus-sized token aggregation per call (review r9),
+    and the result's backing checkpoint is caller-releasable."""
+    from erddap2agol_spark.operators.dedup import release_checkpoints
+    from erddap2agol_spark.operators.lm import bpe_symbol_histogram
+
+    base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    docs = spark.createDataFrame([("low lower low",)], "text string")
+    hist = bpe_symbol_histogram(docs, "text", 2, top=50)
+    hist.collect()
+    # exactly the ONE kept vocabulary checkpoint backs the plan
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == base + 1
+    assert release_checkpoints(hist) >= 1
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= base
+
+
+def test_doc_token_counts_match_mirror(spark):
+    """Per-document counts under the trained table: cross-checked
+    against the list-algebra mirror's final vocabulary segmentation,
+    and token mass conserved against the trainer's compression curve."""
+    from erddap2agol_spark.operators.dedup import release_checkpoints
+    from erddap2agol_spark.operators.lm import bpe_doc_token_counts, bpe_train
+
+    texts = {
+        1: "low low low lower",
+        2: "newest newest widest",
+        3: "newest widest low",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    freq: dict[str, int] = {}
+    for t in texts.values():
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+    mirror = _py_bpe(freq, 4)
+    # rebuild the mirror's final segmentation lengths per word
+    seg_len = {w: len(w) for w in freq}
+    enc = {w: list(w) for w in freq}
+    for rank, l, r, merged, _, _ in mirror:
+        for w, syms in enc.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            enc[w] = out
+        seg_len = {w: len(s) for w, s in enc.items()}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_doc_token_counts(docs, "doc_id", "text", 4).collect()
+    }
+    want = {
+        i: (len(t.split()), sum(seg_len[w] for w in t.split()))
+        for i, t in texts.items()
+    }
+    assert got == want
+    counts = bpe_doc_token_counts(docs, "doc_id", "text", 4)
+    total = sum(r["n_tokens"] for r in counts.collect())
+    trained = bpe_train(docs, "text", 4).collect()
+    assert total == trained[-1]["total_symbols"]
+    release_checkpoints(counts)
