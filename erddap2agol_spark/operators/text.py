@@ -486,3 +486,84 @@ def linear_classifier_score(
         out_col,
         F.when(n > 0, F.round(score, round_to)),
     )
+
+
+def segment_array(col: Column, seg_tokens: int) -> Column:
+    """Non-overlapping ``seg_tokens``-token segments of a document as an
+    array of space-joined strings (the last segment may be short).  The
+    flat-token analog of "lines": the unit of corpus-wide boilerplate
+    removal.  Pure array algebra — codegen, no shuffle, no explode."""
+    t = tokens(col)
+    n_seg = F.ceil(F.size(t) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * seg_tokens + 1, seg_tokens)),
+    )
+    # sequence(0, -1) would step DOWNWARD ([0, -1]) — guard the
+    # empty-doc case explicitly.
+    return F.when(n_seg > 0, segs).otherwise(F.array().cast("array<string>"))
+
+
+def boilerplate_hot_segments(docs, id_col: str, text_col: str,
+                             seg_tokens: int = 3, max_df: int = 3):
+    """The corpus-wide boilerplate set: segments appearing in more than
+    ``max_df`` DISTINCT documents (CCNet/RefinedWeb line-dedup rule,
+    Wenzek et al. 2020 / Penedo et al. 2023 — public).  Returns
+    (seg, df) rows.
+
+    Scale shape: distinct-within-doc happens map-side on the segment
+    ARRAY (``array_distinct`` before the explode), so the one shuffle —
+    groupBy(seg) with map-side partial counts — carries each document's
+    distinct segments once and ``count(*)`` IS the distinct-doc count;
+    no count-distinct state. Hot-set size is bounded by
+    total_distinct_segment_occurrences / max_df.
+    """
+    from .dedup import ensure_parallelism
+
+    segs = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(segment_array(F.col(text_col), seg_tokens))).alias("seg"),
+    )
+    return (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+
+
+def boilerplate_removal(docs, id_col: str, text_col: str,
+                        seg_tokens: int = 3, max_df: int = 3):
+    """Corpus-wide boilerplate-segment removal: drop every segment that
+    appears in more than ``max_df`` distinct documents and reassemble
+    each document from its surviving segments in order (the CCNet-style
+    "drop duplicated lines" pass LLM pipelines run before training;
+    the reference engine has no analog — this is LLM-pipeline surface).
+
+    Returns (doc_id, n_segments, n_removed, removed_frac, clean_text).
+
+    Scale shape — NO reassembly shuffle: documents keep their segment
+    ARRAY (never exploded on the rebuild path), the hot set aggregates
+    to a single-row array and broadcasts via crossJoin, and the clean
+    text is an in-row ``filter`` + ``array_join``.  The only corpus
+    shuffle is the hot-set doc-frequency aggregate.  The broadcast is
+    bounded by corpus_segments / max_df; if a corpus pushes that past
+    executor memory, raise max_df or swap the membership probe for the
+    explode → anti-join → groupBy(doc_id) rebuild (one extra shuffle,
+    unbounded hot set).
+    """
+    hot = boilerplate_hot_segments(docs, id_col, text_col, seg_tokens, max_df)
+    hot_arr = hot.agg(F.collect_list("seg").alias("__hot"))
+    seg_col = segment_array(F.col(text_col), seg_tokens)
+    base = docs.select(F.col(id_col).alias("doc_id"), seg_col.alias("__segs"))
+    kept = F.filter(
+        F.col("__segs"), lambda s: ~F.array_contains(F.col("__hot"), s)
+    )
+    n_seg = F.size(F.col("__segs"))
+    n_removed = n_seg - F.size(kept)
+    return base.crossJoin(F.broadcast(hot_arr)).select(
+        "doc_id",
+        n_seg.cast("bigint").alias("n_segments"),
+        n_removed.cast("bigint").alias("n_removed"),
+        F.round(n_removed / n_seg, 6).alias("removed_frac"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -84,12 +84,15 @@ _GRADE_PRIORITY: list[str] = [
     # then (b) the 33 r2-vintage rows, then (c) the alphabetically-first
     # r3-vintage rows filling the window to 50.  R10 PLAN: any queries
     # new/rewritten in r10 first, then the 42 remaining r3-vintage rows
-    # ("dedup_exact", "dedup_incremental" and "dedup_minhash_lsh" —
-    # displaced from this window by the three new bpe_* queries — plus
+    # ("connector_scan", "dedup_clusters", "dedup_exact",
+    # "dedup_incremental" and "dedup_minhash_lsh" — displaced from this
+    # window by the five new bpe_*/boilerplate_* queries — plus
     # "dedup_ngram_capped", "doc_pack_index", "domain_cap_sample", then
     # alphabetically from "emb_quantize" onward), then top up from the
     # r5 vintage; after r10 no row predates r8.
     # (a) new round-9 queries (first-time driver rows) + rewrites
+    "boilerplate_segments",
+    "boilerplate_clean_docs",
     "bpe_merge_table",
     "bpe_token_frequencies",
     "bpe_doc_token_counts",

@@ -762,3 +762,65 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_SEG_CTE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i, array_to_string(t[i*3+1:i*3+3], ' ') AS seg
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(0, CAST(ceil(len(t)/3.0) AS BIGINT) - 1)) AS i
+            FROM toks)
+    ),
+    hot AS (
+      SELECT seg FROM (
+        SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+      ) WHERE df > 3
+    )
+"""
+
+
+@register(
+    "boilerplate_segments",
+    oracle=_SEG_CTE
+    + """
+    SELECT seg, count(DISTINCT doc_id) AS df
+    FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) > 3
+    """,
+    doc="Corpus-wide boilerplate set (CCNet/RefinedWeb line-dedup rule, "
+    "public): 3-token segments present in >3 distinct documents. "
+    "Distinct-within-doc runs map-side on the segment array before the "
+    "explode, so the single groupBy(seg) shuffle counts distinct docs "
+    "with plain count(*) and map-side combine — no count-distinct state.",
+)
+def boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.boilerplate_hot_segments(docs, "doc_id", "text", seg_tokens=3, max_df=3)
+
+
+@register(
+    "boilerplate_clean_docs",
+    oracle=_SEG_CTE
+    + """
+    SELECT s.doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE s.seg IN (SELECT seg FROM hot)) AS n_removed,
+           round(CAST(count(*) FILTER (WHERE s.seg IN (SELECT seg FROM hot)) AS DOUBLE)
+                 / count(*), 6) AS removed_frac,
+           coalesce(string_agg(s.seg, ' ' ORDER BY s.i)
+                      FILTER (WHERE s.seg NOT IN (SELECT seg FROM hot)), '')
+             AS clean_text
+    FROM segs s GROUP BY s.doc_id
+    """,
+    doc="Boilerplate-segment removal with in-place document rebuild: "
+    "drop every 3-token segment shared by >3 distinct docs, reassemble "
+    "each doc from surviving segments in order. Spark plan has NO "
+    "reassembly shuffle: docs keep their segment ARRAY, the hot set "
+    "broadcasts as a one-row array via crossJoin, and clean_text is an "
+    "in-row filter + array_join — only the hot-set aggregate shuffles.",
+)
+def boilerplate_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.boilerplate_removal(docs, "doc_id", "text", seg_tokens=3, max_df=3)

@@ -519,6 +519,7 @@ NESTED_LOOP_JUSTIFIED = {
     "ann_ivf_deterministic",
     "ann_ivf_recall",
     "bm25_topk",  # 1-row corpus-stats scalar (N, avgdl)
+    "boilerplate_clean_docs",  # 1-row hot-segment-array broadcast (bounded by segs/max_df)
     "bpe_top_merges",  # 1-row round-1 winner broadcast
     "bpe_encode_stats",  # two 1-row merge-constant broadcasts
     "corpus_stats",
