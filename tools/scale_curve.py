@@ -111,6 +111,13 @@ PAIR_QUERIES = [
     # must stay linear on the isomorphic-copies corpus
     "dedup_jaccard_auto",
     "tile_dedup_stats",
+    # round 9: boilerplate-segment removal.  On the isomorphic-copies
+    # corpus each copy carries its own (renamed) boilerplate segments,
+    # so the hot set grows exactly linearly in the multiplier — the
+    # realistic regime for the broadcast membership array, and the one
+    # that would expose a super-linear rebuild (the rebuild path must
+    # stay a zero-shuffle in-row filter at every multiplier).
+    "boilerplate_clean_docs",
 ]
 ANN_QUERIES = ["ann_bruteforce_topk"]
 # round 7: embedding near-dup via IVF cells.  Replicated embeddings
