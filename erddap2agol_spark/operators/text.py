@@ -540,6 +540,9 @@ def boilerplate_removal(docs, id_col: str, text_col: str,
     the reference engine has no analog — this is LLM-pipeline surface).
 
     Returns (doc_id, n_segments, n_removed, removed_frac, clean_text).
+    A NULL text yields an empty segment array: the doc is RETAINED with
+    n_segments=0, removed_frac null, clean_text '' (the cleaning pass
+    must never silently drop documents).
 
     Scale shape — NO reassembly shuffle: documents keep their segment
     ARRAY (never exploded on the rebuild path), the hot set aggregates
@@ -564,6 +567,8 @@ def boilerplate_removal(docs, id_col: str, text_col: str,
         "doc_id",
         n_seg.cast("bigint").alias("n_segments"),
         n_removed.cast("bigint").alias("n_removed"),
-        F.round(n_removed / n_seg, 6).alias("removed_frac"),
+        # try_divide: a NULL-text doc has n_seg=0 and must yield NULL,
+        # not an ANSI DIVIDE_BY_ZERO that kills the whole corpus job
+        F.round(F.try_divide(n_removed, n_seg), 6).alias("removed_frac"),
         F.array_join(kept, " ").alias("clean_text"),
     )

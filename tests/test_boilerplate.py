@@ -91,3 +91,12 @@ def test_clean_docs_plan_broadcasts_hot_set_one_corpus_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the bounded 1-row hot array
     shuffles = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(shuffles) <= 2, plan
+
+
+def test_null_text_doc_retained_with_zero_segments(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in T.boilerplate_removal(docs, "doc_id", "text").collect()}
+    assert (out[2].n_segments, out[2].n_removed, out[2].clean_text) == (0, 0, "")
+    assert out[2].removed_frac is None
