@@ -198,17 +198,10 @@ def _pagerank_oracle(iters: int) -> str:
     "float summation-order drift.",
 )
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import pagerank
+    from ..operators.graph import copurchase_edges, pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    x = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    y = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    edges = (
-        x.join(y, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey")
     pr = pagerank(edges, a="pa", b="pb", iterations=_PR_ITERS, damping=_PR_DAMP)
     return (
         pr.select("node", "deg", F.round("rank", 6).alias("pr"))
@@ -258,20 +251,10 @@ def _kcore_oracle(k: int, iters: int) -> str:
     "joins hash on node ids.",
 )
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import kcore
+    from ..operators.graph import copurchase_edges, kcore
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = li.distinct()
-    x = p.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    y = p.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    edges = (
-        x.join(y, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-    )
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey", min_groups=2)
     return kcore(edges, k=_KCORE_K, iterations=_KCORE_ITERS, a="pa", b="pb").orderBy(
         "node"
     )
@@ -328,20 +311,10 @@ def _lpa_oracle(iters: int) -> str:
     "assignment for dedup families is this exact plan over LSH edges.",
 )
 def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import label_propagation
+    from ..operators.graph import copurchase_edges, label_propagation
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = li.distinct()
-    x = p.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    y = p.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    edges = (
-        x.join(y, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-    )
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey", min_groups=2)
     out = label_propagation(edges, iterations=_LPA_ITERS, a="pa", b="pb")
     return out.select("node", F.col("label").alias("community"))
 
