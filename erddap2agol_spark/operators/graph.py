@@ -181,8 +181,9 @@ def pagerank(
         # the avg-degree gate shared with label_propagation — broadcast
         # only buys when the removed per-round edge shuffle dominates
         # the added per-round rank collect+broadcast
-        n_nodes = deg.count()
-        n_sym = (deg.agg(F.sum("deg")).collect()[0][0] or 0)  # = 2|E|, from cache
+        n_nodes, n_sym = deg.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("deg"), F.lit(0))
+        ).collect()[0]  # one probe job; n_sym = 2|E|
         broadcast_ranks = (
             n_nodes <= broadcast_nodes_max and n_sym >= 8 * n_nodes
         )
@@ -327,8 +328,9 @@ def label_propagation(
         # edge-heavy graph (avg degree >= 8; interleaved A/B on the
         # sf0.1 co-purchase graphs: avg-deg ~3 LPA graph is a wash,
         # avg-deg ~120 pagerank graph is 2x) on a broadcastable |V|.
-        n_nodes = base.select("src").distinct().count()
-        n_sym = base.count()  # cached — no edge-build recompute
+        n_nodes, n_sym = base.agg(
+            F.countDistinct("src"), F.count(F.lit(1))
+        ).collect()[0]  # one probe job (also fills base's cache)
         broadcast_labels = (
             n_nodes <= broadcast_nodes_max and n_sym >= 8 * n_nodes
         )
