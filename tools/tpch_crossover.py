@@ -38,6 +38,17 @@ QUERIES = [
     "q10_returned_items",
     "q21_late_sole_suppliers",
 ]
+# Override via env, e.g. the iterative-graph family: key-offset copies
+# are key-DISJOINT, so each copy's co-purchase graph is an isomorphic
+# image of the base graph — nodes/edges/components scale exactly
+# linearly, the iso regime the broadcast-round design must stay linear
+# in (copurchase_edges l_partkey offsets keep copies' parts disjoint).
+if os.environ.get("TPCH_CROSSOVER_QUERIES"):
+    QUERIES = [
+        q.strip()
+        for q in os.environ["TPCH_CROSSOVER_QUERIES"].split(",")
+        if q.strip()
+    ]
 # (table, key columns to offset); everything else symlinks from base
 SCALED = {
     "customer": ["c_custkey"],
