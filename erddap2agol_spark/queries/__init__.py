@@ -83,14 +83,17 @@ _GRADE_PRIORITY: list[str] = [
     # rewritten this round (never driver-graded on the current plan),
     # then (b) the 33 r2-vintage rows, then (c) the alphabetically-first
     # r3-vintage rows filling the window to 50.  R10 PLAN: any queries
-    # new/rewritten in r10 first, then the 42 remaining r3-vintage rows
-    # ("connector_scan", "dedup_clusters", "dedup_exact",
-    # "dedup_incremental" and "dedup_minhash_lsh" — displaced from this
-    # window by the five new bpe_*/boilerplate_* queries — plus
-    # "dedup_ngram_capped", "doc_pack_index", "domain_cap_sample", then
-    # alphabetically from "emb_quantize" onward), then top up from the
-    # r5 vintage; after r10 no row predates r8.
+    # new/rewritten in r10 first, then the 46 remaining r3-vintage rows
+    # ("climatology_anomaly", "cms_user_counts", "connector_scan",
+    # "dedup_clusters", "dedup_exact", "dedup_incremental",
+    # "dedup_minhash_lsh" — displaced from this window by the seven new
+    # bpe_*/boilerplate_*/rss2json_* queries — plus "dedup_ngram_capped",
+    # "doc_pack_index", "domain_cap_sample", then alphabetically from
+    # "emb_quantize" onward), then top up from the r5 vintage; after r10
+    # no row predates r8.
     # (a) new round-9 queries (first-time driver rows) + rewrites
+    "rss2json_legacy_fields",
+    "rss2json_field_tallies",
     "boilerplate_segments",
     "boilerplate_clean_docs",
     "bpe_merge_table",
@@ -114,8 +117,7 @@ _GRADE_PRIORITY: list[str] = [
     "time_extent", "union_chunks",
     # (c) the alphabetically-first r3-vintage rows, filling the window
     "ann_bruteforce_topk", "balance_histogram", "bloom_decontaminate",
-    "char_stats", "climatology_anomaly", "cms_user_counts",
-    "connector_scan", "dedup_clusters",
+    "char_stats",
 ]
 
 

@@ -1129,3 +1129,89 @@ def streaming_tabledap_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("time_iso"),
         F.col("v"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_deliveries"))
+
+
+# ---------------------------------------------------------------------------
+# Legacy Rss2Json converter (deprecated in the reference; distinct
+# semantics kept alive — see sources/rss2json_legacy.py)
+# ---------------------------------------------------------------------------
+
+_RSS2JSON_DIR = os.path.join(_FIXTURES, "rss2json")
+
+
+def _legacy_inputs(spark: SparkSession):
+    from ..sources import rss2json_legacy as lg
+
+    with open(os.path.join(_RSS2JSON_DIR, "legacy_rss.xml")) as f:
+        xml = f.read()
+    with open(os.path.join(_RSS2JSON_DIR, "legacy_rss.ini")) as f:
+        cfg = lg.read_legacy_ini(f.read())
+    feeds = spark.createDataFrame(
+        [("legacy_rss.xml", xml)], "path string, content string"
+    )
+    props = lg.legacy_properties_df(spark, feeds)
+    return xml, cfg, props
+
+
+_RSS2JSON_FIELDS_ORACLE = """
+SELECT * FROM (VALUES
+  ('legacy_rss.xml', 0, 0, 'alert_title', 'Buoy adrift '),
+  ('legacy_rss.xml', 0, 1, 'event_time', '2024/03/05 12:00:00'),
+  ('legacy_rss.xml', 0, 2, 'url', 'example.org/legacy/1'),
+  ('legacy_rss.xml', 0, 3, 'station_id', 'unknown station'),
+  ('legacy_rss.xml', 1, 0, 'alert_title', 'Glider recov'),
+  ('legacy_rss.xml', 1, 1, 'event_time', '2024/03/06 00:30:00'),
+  ('legacy_rss.xml', 1, 2, 'url', 'example.org/legacy/2'),
+  ('legacy_rss.xml', 1, 3, 'station_id', 'unknown station')
+) AS t(source, item_index, field_pos, field_name, value)
+"""
+
+
+@register(
+    "rss2json_legacy_fields",
+    oracle=_RSS2JSON_FIELDS_ORACLE,
+    doc="Legacy Rss2Json converter surface (reference Rss2Json.py:21-118,"
+    " 148-245, 481-628 — the deprecated predecessor of Xml2GeoJSON): INI"
+    " sidecar field config parsed (`col=fieldName [type [Key value]...]`,"
+    " %20 escapes, type-validated defaults), legacy property flatten"
+    " (direct children, prefix_localName, geometry elements consumed),"
+    " then the config-ordered per-field pipeline: fieldName substitution,"
+    " combined Start/Offset/Length/End extraction (link -> text after"
+    " '://'), date re-render through the universal decoder, text Width"
+    " truncation with FIRST-row-only padding, Default substitution for"
+    " the absent `station` column.  Expected rows hand-derived from the"
+    " committed fixture pair.",
+)
+def rss2json_legacy_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import rss2json_legacy as lg
+
+    _, cfg, props = _legacy_inputs(spark)
+    return lg.apply_field_config(props, cfg).orderBy(
+        "source", "item_index", "field_pos"
+    )
+
+
+_RSS2JSON_TALLIES_ORACLE = """
+SELECT * FROM (VALUES
+  ('unavailable', 'station', CAST(2 AS BIGINT)),
+  ('unused', 'category', CAST(1 AS BIGINT)),
+  ('unused', 'source', CAST(1 AS BIGINT))
+) AS t(tally, field, n)
+"""
+
+
+@register(
+    "rss2json_field_tallies",
+    oracle=_RSS2JSON_TALLIES_ORACLE,
+    doc="Legacy Rss2Json end-of-run field report (Rss2Json.py:110-117,"
+    " 673-677): `unavailable` = items missing a CONFIGURED column"
+    " (station, absent from both items), `unused` = properties present"
+    " but unconfigured (category in item 0, source in item 1).  Two"
+    " map-side-combined aggregates over the legacy property relation;"
+    " expected rows hand-derived.",
+)
+def rss2json_field_tallies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import rss2json_legacy as lg
+
+    _, cfg, props = _legacy_inputs(spark)
+    return lg.field_tallies(props, cfg).orderBy("tally", "field")
