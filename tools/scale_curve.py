@@ -134,6 +134,23 @@ ANN_QUERIES = ["ann_bruteforce_topk"]
 # 64 dims x 2000 base vectors the broadcast_elems=8M threshold flips
 # from the single-node kernel to the distributed join form beyond 62x.
 EMB_PAIR_QUERIES = ["emb_near_dup_cells"]
+# round 9 continuation: the iterative co-purchase graph family after the
+# broadcast-regime rework.  Copy k offsets BOTH l_orderkey and l_partkey,
+# so the scaled graph is m disjoint isomorphic images of the base graph:
+# |V| and |E| grow exactly linearly, per-copy structure (degree
+# distribution, community shapes, core numbers) is identical, and the
+# per-round rank/label vector grows linearly against a fixed round
+# count — naive duplication (same partkeys) would instead keep |V|
+# fixed and only inflate edge WEIGHTS, measuring the aggregate, not the
+# graph.  The broadcast regime holds throughout (avg degree invariant,
+# |V| stays under broadcast_nodes_max to x64 at this base), so the
+# curve isolates the claim that the edge list shuffles once for ALL
+# rounds while the per-round broadcast grows with |V|.
+GRAPH_QUERIES = [
+    "pagerank_copurchase",
+    "label_prop_communities",
+    "kcore_copurchase",
+]
 EVENT_QUERIES = [
     "sessionization",
     "resample_daily_locf",
@@ -314,6 +331,43 @@ def build_events_dir(spark, mult: int) -> str:
     return out_dir
 
 
+def _scaled_lineitem(spark, mult: int):
+    from pyspark.sql import functions as F
+
+    from erddap2agol_spark.sources.tables import load_table
+
+    base = load_table(spark, BASE_SF, "lineitem")
+    parts = []
+    for k in range(mult):
+        parts.append(
+            base.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * ID_OFFSET))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * ID_OFFSET))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def build_graph_dir(spark, mult: int) -> str:
+    from erddap2agol_spark.sources.tables import TABLE_NAMES, table_path
+
+    out_dir = os.path.join(WORK, f"x{mult}_graph")
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLE_NAMES:
+        if name == "lineitem":
+            continue
+        os.symlink(table_path(BASE_SF, name), table_path(out_dir, name))
+    _scaled_lineitem(spark, mult).coalesce(max(1, mult // 2)).write.mode(
+        "overwrite"
+    ).parquet(table_path(out_dir, "lineitem"))
+    open(os.path.join(out_dir, "_DONE"), "w").close()
+    return out_dir
+
+
 def build_dir(spark, mult: int, scrambled: bool) -> str:
     from erddap2agol_spark.sources.tables import TABLE_NAMES, table_path
 
@@ -368,6 +422,8 @@ def main() -> None:
         plan += [(q, "events") for q in EVENT_QUERIES]
     if "embiso" in families:
         plan += [(q, "embiso") for q in EMB_PAIR_QUERIES]
+    if "graph" in families:
+        plan += [(q, "graph") for q in GRAPH_QUERIES]
 
     only = os.environ.get("SCALE_CURVE_QUERIES")
     if only:
@@ -387,6 +443,8 @@ def main() -> None:
             dirs[(m, "events")] = build_events_dir(spark, m)
         if "embiso" in tags:
             dirs[(m, "embiso")] = build_embiso_dir(spark, m)
+        if "graph" in tags:
+            dirs[(m, "graph")] = build_graph_dir(spark, m)
 
     results: dict[str, dict[int, tuple[float, int]]] = {}
     for q, tag in plan:
