@@ -17,11 +17,11 @@ def _blocks() -> list[str]:
     return re.findall(r"```python\n(.*?)```", text, flags=re.S)
 
 
-def test_usage_doc_has_eight_pipelines():
-    assert len(_blocks()) == 8
+def test_usage_doc_has_nine_pipelines():
+    assert len(_blocks()) == 9
 
 
-@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5, 6, 7])
+@pytest.mark.parametrize("idx", [0, 1, 2, 3, 4, 5, 6, 7, 8])
 def test_usage_block_runs_verbatim(spark, tmp_path, idx):
     block = _blocks()[idx]
     env = {
@@ -71,7 +71,12 @@ def test_usage_block_runs_verbatim(spark, tmp_path, idx):
         # compression curve, merged units in the vocabulary head
         assert len(env["merges"]) == 8
         assert env["curve"] == sorted(env["curve"], reverse=True)
-    else:
+    elif idx == 7:
         # boilerplate + graph block: its own asserts pin doc retention
         # and the hub ordering; the collect must have materialized
         assert len(env["top"]) == 5
+    else:
+        # legacy Rss2Json block: gate passed, config round-tripped, and
+        # the field pipeline produced all items x configured fields
+        assert len(env["fields"]) == 8
+        assert env["tallies"][("unused", "category")] == 1
