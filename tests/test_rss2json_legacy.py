@@ -115,6 +115,21 @@ def test_legacy_flatten_prefix_and_container():
     assert props["title"] == "second"             # repeated name last-wins
 
 
+def test_legacy_flatten_attribute_fallback():
+    # childless element with no text: unprefixed attribute values stand
+    # in (Rss2Json.py:487-504)
+    xml = (
+        "<rss><channel><item>"
+        '<enclosure url="http://example.org/a.png" length="512"/>'
+        "<title>t</title>"
+        "</item></channel></rss>"
+    )
+    rows = lg.parse_legacy_properties(xml, "s")
+    props = {r["name"]: r["value"] for r in rows}
+    assert props["enclosure"] in ("http://example.org/a.png", "512")
+    assert props["title"] == "t"
+
+
 def test_legacy_extract_start_not_found_yields_default(spark):
     cfg = lg.LegacyConfig(fields=[
         lg.LegacyField(col="v", field_name="out", field_type="text",
