@@ -539,6 +539,7 @@ NESTED_LOOP_JUSTIFIED = {
     "kmv_pair_overlap",  # |groups|^2 cross of the distinct-group dictionary
     "cms_join_size_estimate",  # 1-row exact-size scalar beside the estimate
     "referential_integrity_report",  # 1-row count scalars per FK edge
+    "rss2json_field_tallies",  # 1-row n_items scalar x |configured fields|
     "basket_association_rules",  # 1-row basket-total scalar
     "benford_first_digit",  # 1-row total scalar
     "heavy_hitters_users",  # 1-row non-null-total scalar (exact threshold)
