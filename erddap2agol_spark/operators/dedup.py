@@ -385,6 +385,60 @@ def simhash_near_pairs(
     )
 
 
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Exploded shingle rows ``(doc, n_sh, sh)`` — the shared input of
+    the posting join and the regime probe.
+
+    TWO-STEP projection: materialize the shingle array once, then
+    size/explode the COLUMN — `select(size(expr), explode(expr))`
+    in one step re-evaluates the whole array expression per EXPLODED
+    row (the projection sits above the Generate and rebinds to the
+    original text), measured 36s -> 4.3s for the capped build at
+    sf0.1.
+    """
+    src = ensure_parallelism(df)
+    grams = word_shingles(F.col(text_col), shingle_n)
+    base = src.select(F.col(id_col).alias("doc"), grams.alias("__g"))
+    return base.select(
+        "doc",
+        F.size("__g").alias("n_sh"),
+        F.explode("__g").alias("sh"),
+    )
+
+
+def _posting_pairs_from(sh: DataFrame, threshold: float) -> DataFrame:
+    """The posting self-join + pair aggregate over prebuilt ``(doc,
+    n_sh, sh)`` rows; lazy — caller owns ``sh``'s cache lifecycle."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -423,21 +477,7 @@ def ngram_jaccard_pairs(
     The RETURNED DataFrame comes back persisted + computed — the one
     cache entry the caller owns (``release_checkpoints(result)`` when done — the result is checkpoint-backed since r9; a plain ``unpersist`` is a no-op on it).
     """
-    src = ensure_parallelism(df)
-    # persisted: the pair self-join scans the shingle explode twice.
-    # TWO-STEP projection: materialize the shingle array once, then
-    # size/explode the COLUMN — `select(size(expr), explode(expr))`
-    # in one step re-evaluates the whole array expression per EXPLODED
-    # row (the projection sits above the Generate and rebinds to the
-    # original text), measured 36s -> 4.3s for the capped build at
-    # sf0.1.
-    grams = word_shingles(F.col(text_col), shingle_n)
-    base = src.select(F.col(id_col).alias("doc"), grams.alias("__g"))
-    sh = base.select(
-        "doc",
-        F.size("__g").alias("n_sh"),
-        F.explode("__g").alias("sh"),
-    )
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
     if max_doc_freq is not None:
         rare = (
             sh.groupBy("sh")
@@ -449,32 +489,7 @@ def ngram_jaccard_pairs(
     sh = sh.persist()
     # no eager fill — same shuffle-equi-join reasoning as
     # lsh_candidate_pairs (eager count measured strictly slower)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    out = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc") < F.col("b.doc"))
-            & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * threshold <= F.col("a.n_sh")),
-        )
-        .groupBy(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    out = _posting_pairs_from(sh, threshold)
     # truncate_lineage (eager localCheckpoint), NOT persist: a persist
     # here is pinned by the CacheManager until an explicit unpersist —
     # measured r9: a dropped persisted frame is NEVER reclaimed, so the
@@ -950,6 +965,7 @@ def jaccard_regime_probe(
     shingle_n: int = 3,
     fanout_threshold: float = 64.0,
     sample_rate: float | None = None,
+    _prebuilt_sh: DataFrame | None = None,
 ) -> str:
     """Pick the set-similarity join strategy from the corpus's document-
     frequency profile: ``"posting"`` (``ngram_jaccard_pairs``) or
@@ -980,6 +996,25 @@ def jaccard_regime_probe(
     the sampled ratio by r before comparing. The hash gate (md5 of the
     doc id) is bit-stable across runs and engines.
     """
+    if _prebuilt_sh is not None and sample_rate is None:
+        # shared-explode path (jaccard_pairs_auto): aggregate document
+        # frequency over the caller's cached (doc, n_sh, sh) relation
+        # instead of re-running the corpus shingle explode — the probe
+        # becomes the cache-fill job of the relation the join reads
+        # anyway (guide §2.4: two operations keyed the same way share
+        # one evaluation).
+        row = (
+            _prebuilt_sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.sum(F.col("df")).alias("n"),
+                F.sum(F.col("df") * F.col("df")).alias("p"),
+            )
+            .first()
+        )
+        if not row or not row["n"]:
+            return "posting"
+        return "prefix" if row["p"] / row["n"] > fanout_threshold else "posting"
     src = ensure_parallelism(df)
     eff_rate = None
     if sample_rate is not None:
@@ -1050,7 +1085,29 @@ def jaccard_pairs_auto(
     ``probe_sample_rate`` passes through to the probe — at corpus scale
     set it so the regime decision costs a sampled pass, not a second
     full shingle aggregate on top of the join itself.
+
+    Shared explode (r9): with an EXACT probe (``probe_sample_rate``
+    None) the shingle explode is built once, persisted, aggregated by
+    the probe (filling the cache), and — in the posting regime — fed
+    straight to the pair join, which reads the cache instead of
+    re-exploding the corpus.  With a sampled probe the explode is
+    sample-gated and cannot be reused; the join rebuilds it, exactly
+    as before.
     """
+    if probe_sample_rate is None:
+        sh = _shingle_rows(df, id_col, text_col, shingle_n).persist()
+        regime = jaccard_regime_probe(
+            df, id_col, text_col, shingle_n=shingle_n,
+            fanout_threshold=fanout_threshold, _prebuilt_sh=sh,
+        )
+        if regime == "posting":
+            out = truncate_lineage(_posting_pairs_from(sh, threshold))
+            sh.unpersist(True)
+            return out
+        sh.unpersist(True)
+        return jaccard_prefix_pairs(
+            df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
+        ).select("doc_a", "doc_b", "jaccard")
     regime = jaccard_regime_probe(
         df, id_col, text_col, shingle_n=shingle_n,
         fanout_threshold=fanout_threshold, sample_rate=probe_sample_rate,

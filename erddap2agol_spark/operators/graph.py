@@ -96,7 +96,18 @@ def copurchase_edges(
     corpus with million-item groups needs a per-group item cap first
     (the df-cap pattern of dedup.ngram_jaccard_pairs).
     """
-    sets = df.groupBy(group_col).agg(
+    # Pre-partition BY THE GROUP KEY: collect_set over mostly-distinct
+    # (group, item) rows gets no map-side reduction, so the aggregate's
+    # partial pass is pure overhead — and on a narrow scan (one
+    # unsplittable file locally; one task per 128 MB split at scale) it
+    # serializes the whole build behind few cores.  The keyed exchange
+    # replaces the aggregate's own exchange 1:1 (same distribution, so
+    # Catalyst plans a single complete aggregate, no partial pass):
+    # same shuffle count, full parallelism.  Measured 2.5 s -> 1.3 s on
+    # the sf0.1 co-purchase build (guide §2.5 input skew + §2.3
+    # aggregate-before-shuffle inverted: here the partial aggregate
+    # cannot shrink anything, so it is skipped deliberately).
+    sets = df.repartition(F.col(group_col)).groupBy(group_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("__items")
     )
     items = F.col("__items")
@@ -169,6 +180,16 @@ def pagerank(
     rows ≈ 64 MB default) the co-partitioned equi-join form is kept —
     broadcasting a billion-node rank vector would be the scale bug.
     """
+    if persist_each:
+        # build the edge list ONCE per call: ``sym`` is a union of two
+        # selects of ``edges``, so every evaluation of sym runs the
+        # caller's edge build TWICE — and sym is evaluated by both the
+        # probe job (deg fill) and the g fill, i.e. 4 edge builds per
+        # call when the caller passes an expensive derivation (the
+        # co-purchase build: measured 6.3 s -> 2.x s at sf0.1 from this
+        # persist alone, guide §2.4 "remove shuffles outright" /
+        # duplicated-subtree).  Call-scoped: unpersisted before return.
+        edges = edges.persist()
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
@@ -224,6 +245,7 @@ def pagerank(
         out = truncate_lineage(out)
         g.unpersist()
         deg.unpersist()
+        edges.unpersist()
     return out
 
 
@@ -258,11 +280,16 @@ def kcore(
     EXPLICITLY via ``truncate_lineage(..., release=prev)`` — GC-driven
     reclamation does not happen under pinned-thread py4j (r9).
     """
+    if persist_each:
+        # edge build ONCE inside the round-0 checkpoint job (see
+        # pagerank): the union below reads ``edges`` twice.
+        edges = edges.persist()
     cur = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
     if persist_each:
         cur = truncate_lineage(cur)
+        edges.unpersist()
     for _ in range(iterations):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
@@ -316,6 +343,11 @@ def label_propagation(
     (HashPartitioning(dst) clusters (node, label) and node alike) —
     the edge list shuffles once for all rounds.
     """
+    if persist_each:
+        # edge build ONCE per call (see pagerank): sym's union embeds
+        # the caller's edge derivation twice; without this persist the
+        # probe/cache-fill job runs it twice.  Call-scoped lifecycle.
+        edges = edges.persist()
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
@@ -366,6 +398,7 @@ def label_propagation(
         if sym is not base:
             sym.unpersist()
         base.unpersist()
+        edges.unpersist()
         return out
     return labels
 
