@@ -523,6 +523,7 @@ def build_corpus_manifest(
     """
     from pyspark.sql import Window
 
+    from ..operators.dedup import truncate_lineage
     from ..operators.sampling import hash_bucket
     from ..operators.text import bloom_contamination
 
@@ -565,6 +566,16 @@ def build_corpus_manifest(
             ),
         )
     )
+    # flags feeds BOTH the kept->window branch and the final left join,
+    # so without materialization the whole gate pipeline (corpus scan +
+    # gopher bit + bloom probe + canon aggregate) plans twice — 56
+    # Exchanges, zero static reuse (plans/r09/corpus_manifest_before).
+    # AQE's runtime stage cache recovers most of it locally, but the
+    # checkpoint makes the single evaluation structural (exact at any
+    # scale, halves the plan the driver must optimize) and the relation
+    # is |docs|-row narrow ints — bounded.  Measured ~0.3 s at sf0.1;
+    # releasable via release_checkpoints(result) (r9 lifecycle).
+    flags = truncate_lineage(flags)
     keep = (
         (F.col("q_keep") == 1) & (F.col("clean") == 1) & (F.col("is_canonical") == 1)
     )
