@@ -1,0 +1,90 @@
+"""Optimization round 9: cache-lifecycle pins for the call-scoped
+edge persist in the iterative graph operators and the shared-explode
+probe path in jaccard_pairs_auto.
+
+Each optimization keeps results identical (oracle parity is asserted
+elsewhere); what these tests pin is the LIFECYCLE the optimization
+introduced — a call must leave the CacheManager empty (no leaked
+persist) and the persistent-RDD table at base + 1 (the returned
+checkpoint), returning to base after release_checkpoints."""
+
+from __future__ import annotations
+
+import gc
+
+from pyspark.sql import functions as F
+
+from erddap2agol_spark.operators.dedup import release_checkpoints
+from erddap2agol_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def _edges(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    from erddap2agol_spark.operators.graph import copurchase_edges
+
+    return copurchase_edges(li, "l_orderkey", "l_partkey")
+
+
+def test_pagerank_call_scoped_caches(spark):
+    """The r9 edges/deg/g persists are call-scoped: after the call only
+    the returned checkpoint lives, and releasing it restores base."""
+    from erddap2agol_spark.operators.graph import pagerank
+
+    base = _persistent_rdd_count(spark)
+    out = pagerank(_edges(spark), a="pa", b="pb", iterations=2)
+    assert out.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "pagerank left a CacheManager-pinned persist behind"
+    )
+    assert _persistent_rdd_count(spark) == base + 1, (
+        "expected exactly the returned checkpoint to persist"
+    )
+    release_checkpoints(out)
+    assert _persistent_rdd_count(spark) <= base
+    gc.collect()
+
+
+def test_label_propagation_call_scoped_caches(spark):
+    from erddap2agol_spark.operators.graph import label_propagation
+
+    base = _persistent_rdd_count(spark)
+    out = label_propagation(_edges(spark), iterations=2, a="pa", b="pb")
+    assert out.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "label_propagation left a CacheManager-pinned persist behind"
+    )
+    assert _persistent_rdd_count(spark) == base + 1
+    release_checkpoints(out)
+    assert _persistent_rdd_count(spark) <= base
+    gc.collect()
+
+
+def test_jaccard_auto_shared_probe_matches_posting_join(spark):
+    """The shared-explode dispatch path (exact probe aggregated over
+    the SAME cached shingle relation the join reads) must return
+    exactly ngram_jaccard_pairs' result, with clean cache lifecycle."""
+    from erddap2agol_spark.operators.dedup import (
+        jaccard_pairs_auto,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = _persistent_rdd_count(spark)
+    auto = jaccard_pairs_auto(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    ref = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    a = {tuple(r) for r in auto.collect()}
+    b = {tuple(r) for r in ref.collect()}
+    assert a == b and a, "shared-probe dispatch diverged from the posting join"
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "jaccard_pairs_auto leaked its shared shingle persist"
+    )
+    release_checkpoints(auto)
+    release_checkpoints(ref)
+    assert _persistent_rdd_count(spark) <= base
+    gc.collect()
