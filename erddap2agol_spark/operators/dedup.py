@@ -24,6 +24,59 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: parquet-footer row-group counts, keyed by (path, mtime) — driver-side
+#: metadata reads, same class of work as Spark's own file listing.
+_ROW_GROUP_CACHE: dict[tuple[str, float], int] = {}
+
+
+def _scan_units(df: DataFrame, target: int) -> int | None:
+    """Upper bound on the scan's NON-EMPTY partitions, or None when it
+    cannot be determined cheaply.
+
+    Byte-range splits of a parquet file cannot split a row group (a
+    task reads the row groups whose midpoint falls in its range), so a
+    scan floored to N splits of a file with fewer row groups has empty
+    partitions and ``getNumPartitions()`` overstates real parallelism.
+    Only consulted for narrow scan-rooted plans with fewer files than
+    ``target`` — a shuffle-made partitioning is real, and >= target
+    files give >= target nonempty tasks at any split size.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) >= target:
+        return None
+    # a shuffle/repartition in the plan makes the partitioning real
+    try:
+        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+            return None
+    except Exception:
+        return None
+    units = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[len("file://"):] if uri.startswith("file://") else uri[5:]
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None  # remote store: footers not locally readable
+        try:
+            import os
+
+            key = (path, os.path.getmtime(path))
+            n = _ROW_GROUP_CACHE.get(key)
+            if n is None:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(path).metadata.num_row_groups
+                _ROW_GROUP_CACHE[key] = n
+            units += max(1, n)
+        except Exception:
+            return None
+    return units
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input is under-parallelized.
 
@@ -32,9 +85,21 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     (e.g. one small parquet file -> one task) the whole operator runs on
     one core. At real scale the scan is already wide and this is a no-op
     — the check costs a plan walk, not a job.
+
+    The partition COUNT alone can lie (r9): with the session's
+    scan-parallelism floor (``spark.sql.files.minPartitionNum``) a
+    large single-row-group parquet file splits into >= target
+    byte-ranges of which all but a few are EMPTY — the count passes,
+    the rows still sit on one core, and the fan-out work serializes.
+    For scan-rooted plans with fewer files than the target, the
+    parquet footers' row-group count (:func:`_scan_units`, a cached
+    driver-side metadata read) bounds the real parallelism instead.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    units = _scan_units(df, target)
+    if units is not None and units < target:
         return df.repartition(target)
     return df
 

@@ -65,6 +65,43 @@ def test_label_propagation_call_scoped_caches(spark):
     gc.collect()
 
 
+def test_ensure_parallelism_sees_through_empty_splits(spark, tmp_path):
+    """r9: byte-range splits cannot split a parquet row group, so a
+    single-row-group file floored to N splits has N-1 EMPTY partitions
+    — the partition count passes the old check while every row sits on
+    one core.  ensure_parallelism must consult the footers' row-group
+    count and repartition anyway."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from erddap2agol_spark.operators.dedup import (
+        _scan_units,
+        ensure_parallelism,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 60_000
+    # incompressible text so the file spans several 4 MB split units
+    texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, 180))
+             for _ in range(n)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(n)), "text": pa.array(texts)})
+    path = str(tmp_path / "one_rg.parquet")
+    pq.write_table(tbl, path, row_group_size=n, compression="none")
+    df = spark.read.parquet(str(tmp_path))
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts >= 3, f"fixture too small to split ({n_parts} parts)"
+    nonempty = sum(1 for s in df.rdd.glom().map(len).collect() if s)
+    assert nonempty == 1, "expected the single-row-group empty-split shape"
+    assert _scan_units(df, 3) == 1
+    out = ensure_parallelism(df, min_partitions=3)
+    spread = sum(1 for s in out.rdd.glom().map(len).collect() if s)
+    assert spread >= 3, "ensure_parallelism kept the one-core layout"
+    # a shuffle-made partitioning is REAL: no second repartition
+    wide = df.repartition(3)
+    assert ensure_parallelism(wide, min_partitions=3) is wide
+
+
 def test_jaccard_auto_shared_probe_matches_posting_join(spark):
     """The shared-explode dispatch path (exact probe aggregated over
     the SAME cached shingle relation the join reads) must return
