@@ -24,6 +24,17 @@ def _persistent_rdd_count(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids (not just the count) of persistent RDDs: a prior test's
+    checkpoint may be reclaimed by the async ContextCleaner WHILE this
+    test runs, so count deltas are racy — id sets are not."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keys().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
 def _edges(spark):
     li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
     from erddap2agol_spark.operators.graph import copurchase_edges
@@ -36,32 +47,32 @@ def test_pagerank_call_scoped_caches(spark):
     the returned checkpoint lives, and releasing it restores base."""
     from erddap2agol_spark.operators.graph import pagerank
 
-    base = _persistent_rdd_count(spark)
+    base = _persistent_rdd_ids(spark)
     out = pagerank(_edges(spark), a="pa", b="pb", iterations=2)
     assert out.count() > 0
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "pagerank left a CacheManager-pinned persist behind"
     )
-    assert _persistent_rdd_count(spark) == base + 1, (
+    assert len(_persistent_rdd_ids(spark) - base) == 1, (
         "expected exactly the returned checkpoint to persist"
     )
     release_checkpoints(out)
-    assert _persistent_rdd_count(spark) <= base
+    assert not (_persistent_rdd_ids(spark) - base)
     gc.collect()
 
 
 def test_label_propagation_call_scoped_caches(spark):
     from erddap2agol_spark.operators.graph import label_propagation
 
-    base = _persistent_rdd_count(spark)
+    base = _persistent_rdd_ids(spark)
     out = label_propagation(_edges(spark), iterations=2, a="pa", b="pb")
     assert out.count() > 0
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "label_propagation left a CacheManager-pinned persist behind"
     )
-    assert _persistent_rdd_count(spark) == base + 1
+    assert len(_persistent_rdd_ids(spark) - base) == 1
     release_checkpoints(out)
-    assert _persistent_rdd_count(spark) <= base
+    assert not (_persistent_rdd_ids(spark) - base)
     gc.collect()
 
 
