@@ -77,14 +77,63 @@ def _scan_units(df: DataFrame, target: int) -> int | None:
     return units
 
 
+#: Input bytes (compressed parquet) per fan-out task.  Fan-out operators
+#: multiply input 10-100x (shingles, token bigrams, hash bands) and
+#: parquet decompresses ~4x, so 256 KiB of input is ~10-100 MB of
+#: in-flight rows per task — the guide §2.6 partition sweet spot.  The
+#: derived target is what makes the floor SCALE-ADAPTIVE: a 600 KB local
+#: documents table gets 3 tasks instead of a cluster-width 32 (measured
+#: r9: the 32-way repartition of the 5k-doc sf0.1 corpus cost every
+#: downstream stage 32 near-empty tasks — lm_perplexity 1.34 s -> 0.95 s,
+#: minhash_signatures 0.81 s -> 0.70 s at the derived width), while
+#: anything over ~8 MB ships at full defaultParallelism exactly as
+#: before.
+FANOUT_INPUT_BYTES_PER_TASK = 256 << 10
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total LOCAL file size behind ``df``'s scan, or None when the
+    plan has no file scan / files are remote (driver-side stat only,
+    no job)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os
+
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[len("file://"):] if uri.startswith("file://") else uri[5:]
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition iff the input is under-parallelized.
+    """Repartition iff the input is under-parallelized for fan-out work.
 
     Fan-out operators (explode to shingles/tokens, pair joins) multiply
     work 10-100x per input row; when the scan produced few partitions
     (e.g. one small parquet file -> one task) the whole operator runs on
     one core. At real scale the scan is already wide and this is a no-op
     — the check costs a plan walk, not a job.
+
+    The target is derived from the scan's INPUT SIZE
+    (:data:`FANOUT_INPUT_BYTES_PER_TASK`), capped at
+    ``defaultParallelism`` — not a constant: a tiny corpus must not be
+    exploded across the full cluster width (task-launch floor dominates;
+    see the constant's measurements), and a big one must not be capped
+    below it.  Pass ``min_partitions`` to override with an explicit
+    floor.
 
     The partition COUNT alone can lie (r9): with the session's
     scan-parallelism floor (``spark.sql.files.minPartitionNum``) a
@@ -95,7 +144,15 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     parquet footers' row-group count (:func:`_scan_units`, a cached
     driver-side metadata read) bounds the real parallelism instead.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    target = min_partitions
+    if target is None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        size = _input_bytes(df)
+        if size is not None:
+            by_size = -(-size // FANOUT_INPUT_BYTES_PER_TASK)  # ceil div
+            target = max(1, min(target, by_size))
+    if target <= 1:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     units = _scan_units(df, target)

@@ -113,6 +113,35 @@ def test_ensure_parallelism_sees_through_empty_splits(spark, tmp_path):
     assert ensure_parallelism(wide, min_partitions=3) is wide
 
 
+def test_ensure_parallelism_size_derived_target(spark, tmp_path):
+    """r9: without an explicit floor the target derives from the scan's
+    input BYTES — a tiny file must NOT be exploded to cluster width
+    (task-launch floor dominates fan-out work on small corpora), while
+    a multi-MB file still widens toward defaultParallelism."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from erddap2agol_spark.operators.dedup import (
+        FANOUT_INPUT_BYTES_PER_TASK,
+        _input_bytes,
+        ensure_parallelism,
+    )
+
+    small_dir = tmp_path / "small"
+    small_dir.mkdir()
+    tbl = pa.table({"doc_id": pa.array(range(100)),
+                    "text": pa.array(["alpha beta gamma"] * 100)})
+    pq.write_table(tbl, str(small_dir / "docs.parquet"))
+    small = spark.read.parquet(str(small_dir))
+    size = _input_bytes(small)
+    assert size is not None and size < FANOUT_INPUT_BYTES_PER_TASK
+    out = ensure_parallelism(small)
+    # target computes to 1: the frame passes through un-repartitioned
+    assert out is small
+    # an explicit floor still overrides the size heuristic
+    assert ensure_parallelism(small, min_partitions=2).rdd.getNumPartitions() >= 2
+
+
 def test_jaccard_auto_shared_probe_matches_posting_join(spark):
     """The shared-explode dispatch path (exact probe aggregated over
     the SAME cached shingle relation the join reads) must return
