@@ -398,20 +398,6 @@ def bloom_contamination(docs, bench_sources: tuple[str, ...], n: int = 5):
         .groupBy("w")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    # Materialize the filter ONCE: the probe broadcasts it twice (b0,
-    # b1), and each broadcast build re-evaluated the entire bench-side
-    # explode+distinct+aggregate — a duplicated benchmark-side pass
-    # (interleaved medians at sf0.1: 1.30 s -> 1.16 s).  The relation
-    # is BOUNDED BY CONSTRUCTION — a 2^20-bit filter in 32-bit words is
-    # <= 32768 (word, bits) rows no matter how many benchmark n-grams
-    # went in — and it stays in the returned plan's leaves, so callers
-    # free it with the standard release_checkpoints(result) convention
-    # (a driver-side local copy was measured SLOWER: re-serializing the
-    # 25k-row relation into each broadcast beat re-using the
-    # checkpointed blocks, 1.43 s median).
-    from .dedup import truncate_lineage
-
-    bloom = truncate_lineage(bloom)
     corpus = grams.filter(~F.col("source").isin(*bench_sources)).select(
         "doc_id",
         "g",

@@ -576,12 +576,6 @@ def build_corpus_manifest(
     # is |docs|-row narrow ints — bounded.  Measured ~0.3 s at sf0.1;
     # releasable via release_checkpoints(result) (r9 lifecycle).
     flags = truncate_lineage(flags)
-    # the bloom probe's checkpointed filter (r9, text.bloom_contamination)
-    # was folded into the flags materialization above — release it now;
-    # nothing downstream reads the probe's plan again
-    from ..operators.dedup import release_checkpoints
-
-    release_checkpoints(probe)
     keep = (
         (F.col("q_keep") == 1) & (F.col("clean") == 1) & (F.col("is_canonical") == 1)
     )
