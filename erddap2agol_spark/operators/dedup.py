@@ -118,7 +118,11 @@ def _input_bytes(df: DataFrame) -> int | None:
     return total
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    fanout_weight: int = 1,
+) -> DataFrame:
     """Repartition iff the input is under-parallelized for fan-out work.
 
     Fan-out operators (explode to shingles/tokens, pair joins) multiply
@@ -135,6 +139,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     below it.  Pass ``min_partitions`` to override with an explicit
     floor.
 
+    ``fanout_weight`` scales the size-derived target for operators whose
+    per-input-byte COMPUTE is far above the explode-and-aggregate
+    baseline the constant was sized for: the PPJoin-style posting joins
+    explode C(df_cap, 2) candidate pairs per posting list, so their
+    first stage wants cluster width at input sizes where a plain shingle
+    count is happy on a few cores (fresh-session bench-protocol medians
+    at sf0.1: dedup_ngram_jaccard 1.9 s at weight 1 vs 1.3 s at the
+    restored width).  The weight multiplies the BYTES side, so the
+    target still shrinks for truly tiny inputs and still caps at
+    defaultParallelism.
+
     The partition COUNT alone can lie (r9): with the session's
     scan-parallelism floor (``spark.sql.files.minPartitionNum``) a
     large single-row-group parquet file splits into >= target
@@ -149,7 +164,9 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         target = df.sparkSession.sparkContext.defaultParallelism
         size = _input_bytes(df)
         if size is not None:
-            by_size = -(-size // FANOUT_INPUT_BYTES_PER_TASK)  # ceil div
+            by_size = -(
+                -size * max(1, fanout_weight) // FANOUT_INPUT_BYTES_PER_TASK
+            )  # ceil div
             target = max(1, min(target, by_size))
     if target <= 1:
         return df
@@ -520,7 +537,10 @@ def _shingle_rows(
     original text), measured 36s -> 4.3s for the capped build at
     sf0.1.
     """
-    src = ensure_parallelism(df)
+    # weight 16: the posting join downstream explodes C(df_cap, 2)
+    # candidate pairs per shingle posting list — compute per input byte
+    # is an order of magnitude above the plain-explode baseline
+    src = ensure_parallelism(df, fanout_weight=16)
     grams = word_shingles(F.col(text_col), shingle_n)
     base = src.select(F.col(id_col).alias("doc"), grams.alias("__g"))
     return base.select(
