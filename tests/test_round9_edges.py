@@ -108,7 +108,6 @@ def test_near_dup_repeated_calls_reclaim_blocks(spark):
 
     emb = load_table(spark, SF, "embeddings").withColumn("one_cell", F.lit(0))
     base = _persistent_rdd_count(spark)
-    peak = base
     rows_per_call = []
     for _ in range(3):
         df = cell_near_dup_pairs(
@@ -122,14 +121,19 @@ def test_near_dup_repeated_calls_reclaim_blocks(spark):
             max_cell_elems=64 * 40,     # force the hot-cell split
         )
         rows_per_call.append(df.count())
-        peak = max(peak, _persistent_rdd_count(spark))
         freed = release_checkpoints(df)
         assert freed >= 1, "expected at least the assignment checkpoint"
+        # NOTE (VERDICT r9 #1): no `peak > base` clause here.  The
+        # in-flight growth of getPersistentRDDs is box/session-order
+        # dependent: truncate_lineage takes a RELIABLE checkpoint when
+        # any earlier test left a checkpoint dir on the shared session,
+        # and reliable checkpoints never appear in getPersistentRDDs.
+        # The invariant under test is zero NET growth + a releasable
+        # result, asserted below for either checkpoint mode.
         assert _persistent_rdd_count(spark) <= base, (
             "release_checkpoints left blocks behind: "
             f"{base} -> {_persistent_rdd_count(spark)}"
         )
-    assert peak > base, "expected the checkpointed assignment to persist in-flight"
     assert len(set(rows_per_call)) == 1, "repeated calls diverged"
     gc.collect()  # drop any lingering python-side refs before other tests
 
