@@ -118,6 +118,32 @@ def _input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def fanout_width(df: DataFrame, fanout_weight: int = 1) -> int | None:
+    """Explicit shuffle width for a compute-heavy KEYED repartition, or
+    None to leave the width to the planner.
+
+    AQE's partition coalescing sizes post-shuffle partitions by BYTES
+    (advisoryPartitionSizeInBytes), which under-provisions stages whose
+    per-byte compute is far above the scan baseline — the quadratic
+    in-row pair explode of ``graph.copurchase_edges`` ran on 5
+    AQE-coalesced tasks at sf0.1 (956 ms of an 11 MB input; measured
+    r10) because its 6 MB shuffle looks tiny.  An EXPLICIT partition
+    count disables AQE coalescing for that exchange, so it is returned
+    only in the small-input regime where per-core input is below the
+    4 MB openCost floor — at real scale (per-core share above it) the
+    implicit form is returned untouched and AQE/conf own the width, and
+    a keyed aggregate is never capped at core count on big data.
+    """
+    size = _input_bytes(df)
+    if size is None:
+        return None
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if size > 4 * (1 << 20) * par:  # big-data regime: planner owns it
+        return None
+    by_size = -(-size * max(1, fanout_weight) // FANOUT_INPUT_BYTES_PER_TASK)
+    return max(1, min(par, by_size))
+
+
 def ensure_parallelism(
     df: DataFrame,
     min_partitions: int | None = None,
@@ -209,7 +235,17 @@ def truncate_lineage(df: DataFrame, release: DataFrame | None = None) -> DataFra
     if sc.getCheckpointDir() is not None:
         out = df.checkpoint(eager=True)
     else:
-        out = df.localCheckpoint(eager=True)
+        # SERIALIZED blocks (MEMORY_AND_DISK; the Dataset default is
+        # the *_DESER object store): a deserialized UnsafeRow costs
+        # ~80 B/row in JVM object overhead for a 3-long row (measured
+        # r10: the 2.4M-row pagerank edge base checkpointed at 220 MB
+        # vs 28 MB cached columnar, and every downstream scan paid the
+        # bloat).
+        from pyspark import StorageLevel
+
+        out = df.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     if release is not None:
         release_checkpoints(release)
     return out

@@ -57,6 +57,14 @@ def get_spark(
         # tables keep the 4 MB openCost floor (no tiny-split overhead)
         # and a real cluster's many-file scans are unaffected.
         .config("spark.sql.files.minPartitionNum", cpus)
+        # Kryo for block/broadcast serialization: the iterative
+        # operators store loop-invariant relations as SERIALIZED local
+        # checkpoints (dedup.truncate_lineage), and the default
+        # JavaSerializer writes those blocks several times slower than
+        # Kryo for the same bytes.  SQL shuffles use the dedicated
+        # UnsafeRow serializer either way, so this touches only RDD
+        # block storage and broadcast payloads.
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # InferFiltersFromGenerate synthesizes `size(arr)>0` under every
         # explode, substitutes the FULL array expression through the
         # projection, and pushes it below exchanges into the scan stage —

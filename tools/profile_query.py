@@ -122,12 +122,18 @@ def main() -> None:
     last_mark = run_marks[-1]
     print(f"== {name}  sf={sf_dir}  runs: " + " ".join(f"{w:.3f}s" for w in walls))
     print(f"-- jobs of run {runs - 1} (steady state):")
+    prev_end = last_mark
     for jid in sorted(jobs):
         j = jobs[jid]
         if j["start"] < last_mark or j["end"] is None:
             continue
         wall = j["end"] - j["start"]
-        print(f"job {jid:3d}  {wall * 1000:7.0f} ms  desc={j['desc'][:50]!r}")
+        gap = (j["start"] - prev_end) * 1000
+        prev_end = j["end"]
+        print(
+            f"job {jid:3d}  {wall * 1000:7.0f} ms  gap {gap:6.0f} ms  "
+            f"desc={j['desc'][:40]!r}"
+        )
         for sid in sorted(j["stages"]):
             s = stages.get(sid)
             if not s or not s.get("done"):
