@@ -24,9 +24,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-#: parquet-footer row-group counts, keyed by (path, mtime) — driver-side
-#: metadata reads, same class of work as Spark's own file listing.
-_ROW_GROUP_CACHE: dict[tuple[str, float], int] = {}
+#: parquet-footer row-group counts — driver-side metadata reads, same
+#: class of work as Spark's own file listing.  One entry per PATH,
+#: validated by (mtime, size): a rewritten/rotated file replaces its
+#: entry instead of accumulating dead keys for the process lifetime,
+#: and the size component narrows the 1-second-mtime staleness window
+#: of an in-place overwrite (ADVICE r9).
+_ROW_GROUP_CACHE: dict[str, tuple[tuple[float, int], int]] = {}
 
 
 def _scan_units(df: DataFrame, target: int) -> int | None:
@@ -64,13 +68,16 @@ def _scan_units(df: DataFrame, target: int) -> int | None:
         try:
             import os
 
-            key = (path, os.path.getmtime(path))
-            n = _ROW_GROUP_CACHE.get(key)
-            if n is None:
+            st = os.stat(path)
+            stamp = (st.st_mtime, st.st_size)
+            hit = _ROW_GROUP_CACHE.get(path)
+            if hit is not None and hit[0] == stamp:
+                n = hit[1]
+            else:
                 import pyarrow.parquet as pq
 
                 n = pq.ParquetFile(path).metadata.num_row_groups
-                _ROW_GROUP_CACHE[key] = n
+                _ROW_GROUP_CACHE[path] = (stamp, n)
             units += max(1, n)
         except Exception:
             return None
@@ -89,6 +96,14 @@ def _scan_units(df: DataFrame, target: int) -> int | None:
 #: anything over ~8 MB ships at full defaultParallelism exactly as
 #: before.
 FANOUT_INPUT_BYTES_PER_TASK = 256 << 10
+
+#: Input-size gate for jaccard_pairs_auto's shared probe/join explode
+#: (ADVICE r9): below this the exploded posting relation is persisted
+#: once for both consumers (~10x input when serialized — bounded);
+#: above it the probe runs over the unpersisted explode, because on the
+#: boilerplate-skewed corpora that dispatch to 'prefix' the persist
+#: would materialize the largest relation of the pipeline for nothing.
+SHARED_EXPLODE_MAX_BYTES = 64 << 20
 
 
 def _input_bytes(df: DataFrame) -> int | None:
@@ -560,6 +575,21 @@ def simhash_near_pairs(
     )
 
 
+#: fanout_weight for the PPJoin-style posting pair joins (consumed by
+#: _shingle_rows): the join explodes C(df, 2) candidate pairs per
+#: posting list, so its per-input-byte compute is an order of magnitude
+#: above the plain-explode baseline.  Re-adjudicated r10 under an
+#: INTERLEAVED same-process A/B at both core counts (VERDICT r9 #4 —
+#: full table in OPTIMIZATION_r10.md): weight 1 under-provisions the
+#: join stage at every core count (c32 medians: ngram 3.00 s, auto
+#: 2.98 s), weight 16 over-widens it to full cluster width at c32
+#: (ngram 2.24 s, auto 3.10 s — the driver's r9 finding), and weight 4
+#: sits at the knee (ngram 1.77 s, auto 2.06 s).  At c8 weights 4 and
+#: 16 derive the SAME width (both cap at defaultParallelism), so the
+#: choice only moves high-core-count behavior.
+PAIR_JOIN_FANOUT_WEIGHT = 4
+
+
 def _shingle_rows(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
@@ -573,10 +603,7 @@ def _shingle_rows(
     original text), measured 36s -> 4.3s for the capped build at
     sf0.1.
     """
-    # weight 16: the posting join downstream explodes C(df_cap, 2)
-    # candidate pairs per shingle posting list — compute per input byte
-    # is an order of magnitude above the plain-explode baseline
-    src = ensure_parallelism(df, fanout_weight=16)
+    src = ensure_parallelism(df, fanout_weight=PAIR_JOIN_FANOUT_WEIGHT)
     grams = word_shingles(F.col(text_col), shingle_n)
     base = src.select(F.col(id_col).alias("doc"), grams.alias("__g"))
     return base.select(
@@ -791,9 +818,11 @@ def embedding_cosine_pairs(
     :func:`erddap2agol_spark.operators.similarity.sign_lsh_topk`, which
     buckets by projection signs first.
     """
-    from .similarity import cosine, with_norm
+    from .similarity import VECTOR_FANOUT_WEIGHT, cosine, with_norm
 
-    v = with_norm(ensure_parallelism(df), id_col, vec_col)
+    v = with_norm(
+        ensure_parallelism(df, fanout_weight=VECTOR_FANOUT_WEIGHT), id_col, vec_col
+    )
     a = v.alias("a")
     b = v.alias("b")
     return (
@@ -1264,28 +1293,46 @@ def jaccard_pairs_auto(
     set it so the regime decision costs a sampled pass, not a second
     full shingle aggregate on top of the join itself.
 
-    Shared explode (r9): with an EXACT probe (``probe_sample_rate``
-    None) the shingle explode is built once, persisted, aggregated by
-    the probe (filling the cache), and — in the posting regime — fed
-    straight to the pair join, which reads the cache instead of
-    re-exploding the corpus.  With a sampled probe the explode is
-    sample-gated and cannot be reused; the join rebuilds it, exactly
-    as before.
+    Shared explode (r9, SIZE-GATED r10 per ADVICE r9): with an EXACT
+    probe (``probe_sample_rate`` None) on a SMALL corpus
+    (:data:`SHARED_EXPLODE_MAX_BYTES`), the shingle explode is built
+    once, persisted SERIALIZED, aggregated by the probe (filling the
+    cache), and — in the posting regime — fed straight to the pair
+    join, which reads the cache instead of re-exploding the corpus.
+    Past the gate the probe aggregates over the UNPERSISTED explode:
+    on a boilerplate-skewed web corpus — exactly where the probe picks
+    'prefix' and the explode is at its largest — the old unconditional
+    persist materialized the entire posting relation into executor
+    storage just to compute a two-scalar aggregate, then dropped it.
+    A large posting corpus pays one extra explode pass instead (cache
+    only what is certain to be reused — guide §5).  With a sampled
+    probe the explode is sample-gated and cannot be reused; the join
+    rebuilds it, exactly as before.
     """
     if probe_sample_rate is None:
-        sh = _shingle_rows(df, id_col, text_col, shingle_n).persist()
-        regime = jaccard_regime_probe(
-            df, id_col, text_col, shingle_n=shingle_n,
-            fanout_threshold=fanout_threshold, _prebuilt_sh=sh,
-        )
-        if regime == "posting":
-            out = truncate_lineage(_posting_pairs_from(sh, threshold))
+        size = _input_bytes(df)
+        if size is not None and size <= SHARED_EXPLODE_MAX_BYTES:
+            from pyspark import StorageLevel
+
+            # serialized blocks: the exploded posting relation is the
+            # biggest thing this operator ever stores; the deserialized
+            # default costs several x the footprint for one re-read
+            sh = _shingle_rows(df, id_col, text_col, shingle_n).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            regime = jaccard_regime_probe(
+                df, id_col, text_col, shingle_n=shingle_n,
+                fanout_threshold=fanout_threshold, _prebuilt_sh=sh,
+            )
+            if regime == "posting":
+                out = truncate_lineage(_posting_pairs_from(sh, threshold))
+                sh.unpersist(True)
+                return out
             sh.unpersist(True)
-            return out
-        sh.unpersist(True)
-        return jaccard_prefix_pairs(
-            df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
-        ).select("doc_a", "doc_b", "jaccard")
+            return jaccard_prefix_pairs(
+                df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
+            ).select("doc_a", "doc_b", "jaccard")
+        probe_sample_rate = 1.0  # exact probe, unpersisted explode
     regime = jaccard_regime_probe(
         df, id_col, text_col, shingle_n=shingle_n,
         fanout_threshold=fanout_threshold, sample_rate=probe_sample_rate,

@@ -19,6 +19,15 @@ import pandas as pd  # module-level so PEP-563 string hints on pandas
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: fanout_weight for the vector-scoring fan-outs (brute-force cosine,
+#: in-bucket LSH scoring): the per-row work is an interpreted
+#: higher-order-function dot product times the candidate multiplicity,
+#: far above the scan baseline ensure_parallelism's 256 KiB/task
+#: constant was sized for (ADVICE r9: quadratic callers sized tasks by
+#: input bytes).  Adjudicated by the same interleaved A/B protocol as
+#: dedup.PAIR_JOIN_FANOUT_WEIGHT — table in OPTIMIZATION_r10.md.
+VECTOR_FANOUT_WEIGHT = 8
+
 
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two float-array columns.
@@ -220,7 +229,11 @@ def brute_force_topk(
     from .dedup import ensure_parallelism
 
     q = with_norm(queries, id_col, vec_col).alias("q")
-    c = with_norm(ensure_parallelism(corpus), id_col, vec_col).alias("c")
+    c = with_norm(
+        ensure_parallelism(corpus, fanout_weight=VECTOR_FANOUT_WEIGHT),
+        id_col,
+        vec_col,
+    ).alias("c")
     scored = (
         F.broadcast(q.select(F.col("id"), F.col("vec"), F.col("nrm")).alias("q"))
         .crossJoin(c)
@@ -507,7 +520,11 @@ def sign_lsh_topk(
     from .dedup import ensure_parallelism
 
     q = with_norm(queries, id_col, vec_col).withColumn("bucket", sign_bucket(F.col("vec"), bits))
-    c = with_norm(ensure_parallelism(corpus), id_col, vec_col).withColumn(
+    c = with_norm(
+        ensure_parallelism(corpus, fanout_weight=VECTOR_FANOUT_WEIGHT),
+        id_col,
+        vec_col,
+    ).withColumn(
         "bucket", sign_bucket(F.col("vec"), bits)
     )
     a = q.alias("q")

@@ -43,8 +43,11 @@ def _edges(spark):
 
 
 def test_pagerank_call_scoped_caches(spark):
-    """The r9 edges/deg/g persists are call-scoped: after the call only
-    the returned checkpoint lives, and releasing it restores base."""
+    """r10 lifecycle: the call leaves NO CacheManager entry (nothing can
+    plan-match a rebuilt identical plan) and only the deg/g scaffold
+    checkpoints backing the LAZY returned plan — the edge checkpoint is
+    freed in-call once g materializes — and release_checkpoints(result)
+    restores the persistent-RDD table to base."""
     from erddap2agol_spark.operators.graph import pagerank
 
     base = _persistent_rdd_ids(spark)
@@ -53,8 +56,9 @@ def test_pagerank_call_scoped_caches(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "pagerank left a CacheManager-pinned persist behind"
     )
-    assert len(_persistent_rdd_ids(spark) - base) == 1, (
-        "expected exactly the returned checkpoint to persist"
+    live = _persistent_rdd_ids(spark) - base
+    assert len(live) == 2, (
+        f"expected exactly the deg+g scaffold checkpoints, got {len(live)}"
     )
     release_checkpoints(out)
     assert not (_persistent_rdd_ids(spark) - base)
