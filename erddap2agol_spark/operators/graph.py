@@ -269,33 +269,61 @@ def pagerank(
         np_ = _loop_partitions(n_sym, deg)
         if np_ < deg.sparkSession.sparkContext.defaultParallelism:
             nparts = np_
-    # g = (src, dst) ONLY — the degree does NOT ride the edge list
-    # (changed r10): each round's join carries the rank/deg quotient
-    # inside the |V|-row vector instead, so the loop-invariant edge
-    # relation (checkpointed below, re-scanned by every round) is a
-    # third narrower — same aggregate, same IEEE division, one small
-    # deg join moved into each round's tiny vector build.
-    g = sym
-    if broadcast_ranks:
+    # deg RIDES the edge relation (the oracle's own ``g`` shape,
+    # re-adopted r10 after an interleaved A/B + event-log profile —
+    # fresh-session run walls 13.9/7.2/5.7/5.3 s vs the r9/r10
+    # narrow-g form's 18.3/11.1/8.3/7.5 s): each round's division
+    # ``sum(rank/deg)`` happens on the edge side, so a round needs NO
+    # vector-build join — its broadcast payload is the raw
+    # (node, rank) aggregate output of the previous round, and one
+    # round costs exactly ONE broadcast materialization + ONE agg
+    # stage.  The narrow-g alternative (deg carried by the per-round
+    # vector) traded ~1/3 less checkpoint width for an extra
+    # BroadcastHashJoin + stage boundary PER ROUND — pure sequential
+    # driver latency (guide §1.2: the shape of the job beats
+    # per-stage byte counts).
+    # int32 deg on the edge relation in the broadcast regime (guide
+    # §2.3 narrower types): deg <= |V|, and the broadcast regime
+    # asserts |V| fits a broadcast relation (hard cap 512M rows), so
+    # deg < 2^31 provably; int->double promotion in the round's
+    # division is exact, identical IEEE quotient.  The unbounded
+    # equi-join regime keeps the long.
+    dcol = deg.select(
+        "src", F.col("deg").cast("int").alias("deg")
+    ) if broadcast_ranks else deg.select("src", "deg")
+    g = sym.join(F.broadcast(dcol) if broadcast_ranks else dcol, "src")
+    # Materialize g BEFORE the dst repartition, and repartition
+    # IN-QUERY over the checkpoint (restructured r10, twice):
+    # (a) a localCheckpoint under AQE erases physical partitioning —
+    # the LogicalRDD leaf reports UnknownPartitioning(0) (observed in
+    # plans/r10/pagerank dumps) — so the r9 checkpoint-after-
+    # repartition form silently re-added an ENSURE_REQUIREMENTS
+    # exchange of partial-agg output on EVERY round (at scale: up to
+    # map-tasks x |V| partial rows shuffled per round, exactly what
+    # the dst partitioning exists to remove);
+    # (b) a fully LAZY g (no checkpoint, union+join inline) fixes (a)
+    # but hands AQE a deep logical plan to re-optimize at every stage
+    # boundary — measured this round: a 5.1 s driver gap before the
+    # rounds, run walls 13-14 s vs 5-6 s (profile in
+    # OPTIMIZATION_r10.md).
+    # Checkpoint-then-repartition gets both: the checkpoint job is
+    # map-only (the deg join is broadcast — no exchange), the rounds
+    # plan roots at a shallow LogicalRDD, and the repartition subtree
+    # over that leaf is IDENTICAL in every round, so all rounds share
+    # ONE exchange (ReuseExchange / AQE stage cache) and every
+    # per-round aggregate is a COMPLETE agg with zero exchanges.
+    # g's checkpoint blocks are freed by release_checkpoints(result);
+    # edges_chk has no reader once g and deg are materialized and is
+    # freed HERE (explicit — GC never reclaims under pinned-thread
+    # py4j).
+    if persist_each:
+        g = truncate_lineage(g, release=edges_chk)
+    if broadcast_ranks or nparts:
         g = (
             g.repartition(nparts, F.col("dst"))
             if nparts
             else g.repartition(F.col("dst"))
         )
-    elif nparts:
-        g = g.repartition(nparts, F.col("dst"))
-    if persist_each:
-        # materialize g: the rounds COULD share its exchange lazily
-        # (the subtree is identical per round), but the un-materialized
-        # form inlines the whole edge-build tree 5x into the rounds
-        # plan and AQE re-optimizes that tree at EVERY stage boundary —
-        # measured r10: ~1.7 s of driver gaps across the round stages
-        # vs a shallow LogicalRDD-rooted plan.  Serialized blocks (see
-        # truncate_lineage) keep the re-scan per round cheap; the edge
-        # checkpoint has no further reader once g is materialized and
-        # is freed here (explicit — GC never reclaims under
-        # pinned-thread py4j).
-        g = truncate_lineage(g, release=edges_chk)
     if n_known:  # n_known == 0 (empty graph) keeps the column form
         # |V| was collected by the regime probe, so fold it in as a
         # LITERAL: the ``crossJoin(n)`` form re-evaluates the 1-row
@@ -321,14 +349,13 @@ def pagerank(
         )
     dside = deg.select(F.col("src").alias("node"), "deg")
     for it in range(iterations):
-        # (node, rank/deg): the division happens in the |V|-row vector,
-        # never on the |E|-row side — identical doubles, identical sum
-        v = ranks.join(
-            F.broadcast(dside) if broadcast_ranks else dside, "node"
-        ).select("node", (F.col("rank") / F.col("deg")).alias("w"))
-        r = F.broadcast(v) if broadcast_ranks else v
+        # division on the edge side, exactly the oracle's
+        # sum(r.rank/g.deg): identical two doubles divided per edge,
+        # identical per-group sum
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = g.join(r, g.src == r.node).select(
-            F.col("dst").alias("node"), F.col("w").alias("c")
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         if n_known:
