@@ -278,7 +278,14 @@ def release_checkpoints(df: DataFrame) -> int:
     RDD — ``unpersist`` on a never-persisted LogicalRDD (e.g. a
     ``createDataFrame`` relation) is a harmless no-op.  Best-effort:
     on backends without py4j plan access (Spark Connect) this quietly
-    releases nothing and the blocks live until application exit."""
+    releases nothing and the blocks live until application exit.
+
+    Scope note (ADVICE r9): this releases storage BLOCKS.  On a
+    cluster whose session has a RELIABLE checkpoint dir configured,
+    ``truncate_lineage`` writes checkpoint FILES there; those files
+    are the checkpoint-dir lifecycle (clean them with the dir, as with
+    shuffle/work dirs — Spark itself only removes them at context stop
+    when ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on)."""
     try:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
     except Exception:

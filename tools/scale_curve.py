@@ -105,6 +105,7 @@ LINEAR_QUERIES = [
 ]
 PAIR_QUERIES = [
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "simhash_hamming_pairs",
     # round-5 additions: the auto-dispatched set-similarity join (probe +
     # posting join on this corpus) and the cross-doc tile dedup — both
