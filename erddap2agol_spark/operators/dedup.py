@@ -698,7 +698,18 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(rare, "sh", "left_semi")
-    sh = sh.persist()
+    # SERIALIZED blocks (r10): the exploded shingle relation is the
+    # biggest thing this operator stores — ~10 rows per input row, and
+    # the default DESERIALIZED cache costs several x the footprint in
+    # JVM object overhead.  Measured at x16 (profile, c32): the
+    # deserialized cache preceded a 6.1 s driver-visible stall (GC)
+    # before the pair-join stage and the query scaled 0.93x from 8 to
+    # 32 cores; serialized, the stall collapses and the join stage
+    # becomes the wall.  Same move as jaccard_pairs_auto's shared
+    # explode (ADVICE r9 #1).
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # no eager fill — same shuffle-equi-join reasoning as
     # lsh_candidate_pairs (eager count measured strictly slower)
     out = _posting_pairs_from(sh, threshold)

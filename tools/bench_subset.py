@@ -18,10 +18,13 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in sys.path:
         sys.path.insert(0, repo)
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     n_runs = 3
-    if "--runs" in sys.argv:
-        n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    if "--runs" in argv:
+        i = argv.index("--runs")
+        n_runs = int(argv[i + 1])
+        del argv[i : i + 2]
+    names = [a for a in argv if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from erddap2agol_spark.operators.dedup import release_checkpoints
